@@ -1,0 +1,164 @@
+"""Relational operators (SURVEY §2.2-2.5) as reusable DataFrame functions.
+
+Each function replaces a hand-rolled Flink lambda in the reference with a
+declarative plan Catalyst can optimize (pushdown, broadcast selection,
+whole-stage codegen). File:line citations point at the reference code the
+semantics were derived from.
+"""
+
+from __future__ import annotations
+
+import functools
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def semi_join(df: DataFrame, keys: DataFrame, on: Sequence[str]) -> DataFrame:
+    """P2/J6 — keep rows whose key appears in ``keys``.
+
+    Reference: ``filter(x => set.contains(x._1))`` with a driver-collected
+    set captured in the closure (Trainer.scala:39,85; PreProcess.scala:215).
+    Spark-first: a broadcast LEFT SEMI join — no driver round-trip, no
+    closure serialization, scales past driver memory.
+    """
+    return df.join(F.broadcast(keys), on=list(on), how="left_semi")
+
+
+def anti_join(df: DataFrame, keys: DataFrame, on: Sequence[str]) -> DataFrame:
+    """J7 — keep rows whose key does NOT appear in ``keys``.
+
+    Reference: per-group ``probeSet.diff(presentProbes)``
+    (PreProcess.scala:114-118) — a set difference, i.e. LEFT ANTI join.
+    """
+    return df.join(keys, on=list(on), how="left_anti")
+
+
+def split_by_predicate(df: DataFrame, pred, label_col: str = "split") -> DataFrame:
+    """P3 — complement filter pair as a single labeled frame.
+
+    Reference: ``filter(!pred)`` / ``filter(pred)`` on the same input
+    (Input.scala:156,159). One pass + CASE beats two scans.
+    """
+    return df.withColumn(label_col, F.when(pred, F.lit("a")).otherwise(F.lit("b")))
+
+
+def symmetrize_edges(df: DataFrame, src: str, dst: str) -> DataFrame:
+    """P4 — emit both directions of each edge.
+
+    Reference: ``flatMap(x => Seq((a,b),(b,a)))`` (PreProcess.scala:168).
+    Spark-first: explode over a 2-element array stays in codegen; no
+    Python UDF, no shuffle.
+    """
+    pair = F.explode(
+        F.array(
+            F.struct(F.col(src).alias("src"), F.col(dst).alias("dst")),
+            F.struct(F.col(dst).alias("src"), F.col(src).alias("dst")),
+        )
+    ).alias("e")
+    return df.select(pair).select("e.src", "e.dst")
+
+
+def dict_encode(df: DataFrame, name_col: str, id_col: str = "id") -> DataFrame:
+    """A2 — distinct names -> dense 0-based ids, deterministically.
+
+    Reference: ``collect.toSet`` + incremental ids in set-iteration order
+    (Input.scala:137-142) — nondeterministic. Deliberate deviation
+    (SURVEY §7 M4d): ``row_number() OVER (ORDER BY name) - 1``.
+
+    Scale note: a single-partition window over the *distinct* names, not
+    the data — dictionary cardinality (~21k probes in the reference) is
+    tiny relative to the fact table, same trick as a broadcast dim build.
+    For >~100M distinct keys switch to zipWithIndex-style monotonic ids.
+    """
+    w = Window.orderBy("name")
+    return (
+        df.select(F.col(name_col).alias("name"))
+        .distinct()
+        .withColumn(id_col, (F.row_number().over(w) - F.lit(1)).cast("bigint"))
+    )
+
+
+def dict_decode(
+    df: DataFrame,
+    dictionary: DataFrame,
+    key_col: str,
+    dict_key: str,
+    dict_value: str,
+    out_col: str = "name",
+    default: str = "Unknown",
+) -> DataFrame:
+    """P5 — id -> name decode with a default for unmapped ids.
+
+    Reference: driver-map lookup in a closure with ``"Unknown"`` default
+    (PipeLine.scala:30). Spark-first: broadcast LEFT join + coalesce.
+    """
+    joined = df.join(
+        F.broadcast(dictionary),
+        df[key_col] == dictionary[dict_key],
+        "left",
+    )
+    return joined.select(
+        *[df[c] for c in df.columns],
+        F.coalesce(dictionary[dict_value], F.lit(default)).alias(out_col),
+    )
+
+
+def grouped_moments(df: DataFrame, key: str, value: str) -> DataFrame:
+    """A3 — per-key ΣX, ΣX², n (the correlation building block).
+
+    Reference: ``groupBy(1).reduceGroup`` emitting (key, ΣX, ΣX², list)
+    (PreProcess.scala:30-53). Spark's HashAggregate does the map-side
+    partial aggregation the reference's reduceGroup forgoes.
+    """
+    v = F.col(value)
+    return df.groupBy(key).agg(
+        F.sum(v).alias("sum_x"),
+        F.sum(v * v).alias("sum_x2"),
+        F.count(v).alias("n"),
+    )
+
+
+def cross_missing_cells(
+    rows: DataFrame, cols: DataFrame, observed: DataFrame, on: Sequence[str]
+) -> DataFrame:
+    """A4/J4 — full grid minus observed cells (the ALS "missing" input).
+
+    Reference: per-sample ``probeSet.diff(presentProbes)`` against a
+    driver-broadcast full probe set (PreProcess.scala:102-119; the
+    commented-out ``cross`` at :102 is the same semantics).
+    Spark-first: crossJoin + LEFT ANTI. The cross is |rows|x|cols| — at
+    scale keep ``cols`` the broadcast side (dimension-sized).
+    """
+    return rows.crossJoin(F.broadcast(cols)).join(observed, on=list(on), how="left_anti")
+
+
+def grouped_concat(
+    df: DataFrame, key: str, order: str, value_expr, sep: str = ","
+) -> DataFrame:
+    """O1/A7 — within-group ordered concatenation (no global sort).
+
+    Reference: Scala collection ``sortBy`` inside reduceGroup before
+    vector assembly (Trainer.scala:46,93). Spark-first:
+    ``array_sort(collect_list(struct(order, value)))`` — the sort happens
+    per group post-shuffle, never a global ORDER BY. The struct sort
+    tie-breaks on the value, keeping output deterministic when the order
+    column has duplicates.
+    """
+    assembled = df.groupBy(key).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(order).alias("o"), value_expr.alias("v")))
+        ).alias("pairs")
+    )
+    return assembled.select(
+        key,
+        F.array_join(F.transform(F.col("pairs"), lambda p: p["v"]), sep).alias("vals"),
+    )
+
+
+def union_all(dfs: Sequence[DataFrame]) -> DataFrame:
+    """U1 — bag union. For very many inputs prefer a multi-path read
+    (one scan node) over a deep union tree (Input.scala:125-130 folds
+    586 per-file DataSets; SURVEY §2.5 U1 caveat)."""
+    return functools.reduce(DataFrame.unionAll, dfs)

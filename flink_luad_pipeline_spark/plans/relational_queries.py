@@ -1,0 +1,714 @@
+"""Oracle-checked queries for the relational surface (SURVEY §2.1-2.5).
+
+One registered query per operator ID, exercised over the driver's
+synthetic tables. Where the reference consumes TSV files, the query
+round-trips parquet -> TSV -> reader so the CSV source semantics (S1/S2/
+S5) are actually exercised, while the oracle stays a plain SELECT on the
+parquet view.
+
+Determinism conventions: see plans/registry.py. Money-scale aggregates
+are computed in DECIMAL on both sides — exact arithmetic, immune to
+floating-point accumulation order.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..operators import relational as R
+from ..sources import csv_io
+from .registry import query
+
+
+def _tmp(name: str) -> str:
+    d = os.path.join(tempfile.gettempdir(), "flps_io")
+    os.makedirs(d, exist_ok=True)
+    return os.path.join(d, name)
+
+
+# ---------------------------------------------------------------------------
+# §2.1 Sources & sinks
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "s1_scan_csv_defs",
+    oracle="SELECT r_regionkey, r_name FROM region",
+)
+def s1_scan_csv_defs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 — typed TSV scan with comment + malformed-row handling.
+
+    Reference: Input.scala:29-30 (lenient=true drops the header row and
+    short lines; ignoreComments="#"). We materialize region as a TSV with
+    an injected comment line, a header line, and a malformed line — all
+    three must be dropped by the reader.
+    """
+    rows = load(spark, sf_dir, "region").orderBy("r_regionkey").collect()
+    path = _tmp("s1_region.tsv")
+    with open(path, "w") as f:
+        f.write("# definition-file style comment\n")
+        f.write("r_regionkey\tr_name\n")  # header: malformed for INT field
+        for r in rows:
+            f.write(f"{r.r_regionkey}\t{r.r_name}\n")
+        f.write("short-line-without-tab\n")
+    return csv_io.read_tsv(spark, path, "r_regionkey INT, r_name STRING")
+
+
+@query(
+    "s2_scan_csv_projected",
+    oracle="SELECT p_partkey, p_retailprice FROM part",
+)
+def s2_scan_csv_projected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 — scan-time column projection (Input.scala:120-121,
+    includedFields=Array(0,1)): write part as TSV, read back only two of
+    six columns."""
+    part = load(spark, sf_dir, "part")
+    path = _tmp("s2_part_tsv")
+    csv_io.write_tsv(part, path)
+    schema = (
+        "p_partkey BIGINT, p_name STRING, p_brand STRING, p_type STRING,"
+        " p_size INT, p_retailprice DOUBLE"
+    )
+    return csv_io.read_tsv_projected(
+        spark, path, schema, ["p_partkey", "p_retailprice"]
+    )
+
+
+@query(
+    "s3_from_collection",
+    oracle=(
+        "SELECT CAST(id AS INT) AS id, name FROM (VALUES (0, 'mirna'),"
+        " (1, 'rna'), (2, 'meth')) AS t(id, name)"
+    ),
+)
+def s3_from_collection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 — parallelize a driver collection (PreProcess.scala:163,171
+    ``env.fromCollection``)."""
+    return spark.createDataFrame(
+        [(0, "mirna"), (1, "rna"), (2, "meth")], "id INT, name STRING"
+    )
+
+
+@query(
+    "s4_sink_print",
+    oracle=(
+        "SELECT o_orderkey, o_orderstatus FROM orders ORDER BY o_orderkey LIMIT 10"
+    ),
+)
+def s4_sink_print(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 — eager collect-to-driver (PipeLine.scala:34 ``data.print()``).
+    Collects the top-10 rows to the driver, then re-creates a DataFrame
+    from the driver-side rows (mirroring print's driver materialization).
+    """
+    top = (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus")
+        .orderBy("o_orderkey")
+        .limit(10)
+    )
+    rows = top.collect()  # the eager action under test
+    return spark.createDataFrame(rows, top.schema)
+
+
+@query(
+    "s5_sink_csv_roundtrip",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def s5_sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 — TSV sink with overwrite + read-back (PipeLine.scala:36
+    ``writeAsCsv(..., WriteMode.OVERWRITE)``; one file per task, like the
+    reference's observed ``text.txt/{1..8}`` artifact)."""
+    nation = load(spark, sf_dir, "nation")
+    path = _tmp("s5_nation_tsv")
+    csv_io.write_tsv(nation, path)
+    csv_io.write_tsv(nation, path)  # twice: exercises OVERWRITE
+    return csv_io.read_tsv(
+        spark, path, "n_nationkey INT, n_name STRING, n_regionkey INT"
+    )
+
+
+@query(
+    "s6_sink_path_template",
+    oracle=(
+        "SELECT 'output_' || CAST((SELECT count(*) FROM region) AS VARCHAR)"
+        " || '.txt' AS path"
+    ),
+)
+def s6_sink_path_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 — output filename templating (PipeLine.scala:36
+    ``path.replace("%s%", ...)``). Token is data-derived (region count)
+    instead of the reference's wall clock, for determinism."""
+    n = load(spark, sf_dir, "region").count()
+    resolved = csv_io.resolve_output_path("output_%s%.txt", str(n))
+    return spark.createDataFrame([(resolved,)], "path STRING")
+
+
+# ---------------------------------------------------------------------------
+# §2.2 Projections, filters, row transforms
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "p1_project_tuple",
+    oracle=(
+        "SELECT l_orderkey * 1000 + l_linenumber AS cell_id,"
+        " l_quantity AS value FROM lineitem"
+    ),
+)
+def p1_project_tuple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 — map-as-projection/re-keying (Input.scala:105,122,147 etc.)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        (F.col("l_orderkey") * 1000 + F.col("l_linenumber")).alias("cell_id"),
+        F.col("l_quantity").alias("value"),
+    )
+
+
+@query(
+    "p2_filter_semi",
+    oracle=(
+        "SELECT l_orderkey, l_suppkey, l_quantity FROM lineitem"
+        " WHERE l_suppkey IN (1, 2, 3, 5, 8, 13, 21, 34, 55, 89)"
+    ),
+)
+def p2_filter_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 — set-membership filter (Trainer.scala:39,85: closure-captured
+    driver set). Small literal set -> ``isin`` (Catalyst folds it into the
+    scan predicate); for DataFrame-shaped key sets see j6_semi_join."""
+    keys = [1, 2, 3, 5, 8, 13, 21, 34, 55, 89]
+    return (
+        load(spark, sf_dir, "lineitem")
+        .where(F.col("l_suppkey").isin(keys))
+        .select("l_orderkey", "l_suppkey", "l_quantity")
+    )
+
+
+@query(
+    "p3_filter_split",
+    oracle=(
+        "SELECT o_orderkey, CASE WHEN o_orderstatus = 'F' THEN 'a' ELSE 'b' END"
+        " AS split FROM orders"
+    ),
+)
+def p3_filter_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 — complement filter pair train/predict (Input.scala:156,159),
+    expressed as one labeled pass."""
+    orders = load(spark, sf_dir, "orders")
+    return R.split_by_predicate(orders, F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "split"
+    )
+
+
+@query(
+    "p4_flatmap_symmetrize",
+    oracle=(
+        "WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)"
+        " SELECT l_partkey AS src, l_suppkey AS dst FROM pairs"
+        " UNION ALL SELECT l_suppkey AS src, l_partkey AS dst FROM pairs"
+    ),
+)
+def p4_flatmap_symmetrize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 — emit both edge directions (PreProcess.scala:168 flatMap)."""
+    pairs = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    return R.symmetrize_edges(pairs, "l_partkey", "l_suppkey")
+
+
+@query(
+    "p5_dict_decode",
+    oracle=(
+        "SELECT c_custkey, coalesce(n.n_name, 'Unknown') AS name"
+        " FROM customer c LEFT JOIN nation n ON c.c_custkey % 31 = n.n_nationkey"
+    ),
+)
+def p5_dict_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 — id->name decode with 'Unknown' default (PipeLine.scala:30).
+    Key space 0..30 vs 25 nations so the default path is exercised."""
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", (F.col("c_custkey") % 31).alias("decode_key")
+    )
+    nation = load(spark, sf_dir, "nation")
+    out = R.dict_decode(cust, nation, "decode_key", "n_nationkey", "n_name")
+    return out.select("c_custkey", "name")
+
+
+@query(
+    "p6_scalar_funcs",
+    oracle=(
+        "SELECT l_orderkey, l_linenumber,"
+        " CAST(round(sqrt(l_quantity), 6) AS DECIMAL(18,6)) AS sqrt_qty,"
+        " CAST(round(abs(l_discount - 0.05), 6) AS DECIMAL(18,6)) AS abs_disc,"
+        " lower(l_returnflag) AS flag_lower,"
+        " CAST(l_linenumber AS DOUBLE) AS ln_double"
+        " FROM lineitem WHERE l_quantity <> 25.0"
+        " AND isfinite(l_extendedprice / (l_quantity - 25.0))"
+    ),
+)
+def p6_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 — scalar function surface: sqrt/abs (PreProcess.scala:71-75),
+    toDouble/toLowerCase (Input.scala:49-74), NaN/Inf guard
+    (PreProcess.scala:75: drop non-finite correlation values). The zero
+    denominator is filtered first — under ANSI mode (Spark 4 default)
+    x/0.0 raises instead of yielding Inf, so the finite-guard runs only
+    on rows where the division is defined."""
+    guarded = load(spark, sf_dir, "lineitem").where(F.col("l_quantity") != 25.0)
+    ratio = F.col("l_extendedprice") / (F.col("l_quantity") - F.lit(25.0))
+    finite = (~F.isnan(ratio)) & (F.abs(ratio) != F.lit(float("inf")))
+    return guarded.where(finite).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sqrt("l_quantity"), 6).cast("decimal(18,6)").alias("sqrt_qty"),
+        F.round(F.abs(F.col("l_discount") - 0.05), 6)
+        .cast("decimal(18,6)")
+        .alias("abs_disc"),
+        F.lower("l_returnflag").alias("flag_lower"),
+        F.col("l_linenumber").cast("double").alias("ln_double"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 Aggregations & grouping
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a1_defs_last_wins",
+    oracle=(
+        "SELECT user_id, event_type,"
+        " CAST(arg_max(value, event_id) AS DECIMAL(18,6)) AS last_value"
+        " FROM events GROUP BY user_id, event_type"
+    ),
+)
+def a1_defs_last_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 — per-key last-write-wins aggregation (Input.scala:73: the
+    definition-file parse overwrites the (sample,type) file map, so the
+    last mapping wins). Distributed form: ``max_by`` over a unique
+    monotone column instead of a mutable driver map."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("user_id", "event_type").agg(
+        F.max_by("value", "event_id").cast("decimal(18,6)").alias("last_value")
+    )
+
+
+@query(
+    "a2_dict_encode",
+    oracle=(
+        "SELECT name, CAST(row_number() OVER (ORDER BY name) - 1 AS BIGINT) AS id"
+        " FROM (SELECT DISTINCT p_brand AS name FROM part)"
+    ),
+)
+def a2_dict_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 — distinct names -> dense ids (Input.scala:104-108,137-142);
+    deterministic row_number replaces set-iteration order (SURVEY M4d)."""
+    return R.dict_encode(load(spark, sf_dir, "part"), "p_brand")
+
+
+@query(
+    "a3_probe_moments",
+    oracle=(
+        "SELECT l_partkey AS probe,"
+        " CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_x,"
+        " CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS"
+        " DECIMAL(18,2))) AS DECIMAL(38,4)) AS sum_x2,"
+        " count(*) AS n FROM lineitem GROUP BY l_partkey"
+    ),
+)
+def a3_probe_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 — per-probe ΣX, ΣX², n (PreProcess.scala:30-53). DECIMAL math
+    so the hash is accumulation-order-independent."""
+    li = load(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("decimal(18,2)")
+    return li.groupBy(F.col("l_partkey").alias("probe")).agg(
+        F.sum(q).cast("decimal(38,2)").alias("sum_x"),
+        F.sum(q * q).cast("decimal(38,4)").alias("sum_x2"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "a4_missing_cells",
+    oracle=(
+        "WITH prio AS (SELECT DISTINCT o_orderpriority FROM orders),"
+        " observed AS (SELECT DISTINCT o_custkey, o_orderpriority FROM orders)"
+        " SELECT c.c_custkey, p.o_orderpriority FROM customer c CROSS JOIN prio p"
+        " WHERE NOT EXISTS (SELECT 1 FROM observed o WHERE o.o_custkey = c.c_custkey"
+        " AND o.o_orderpriority = p.o_orderpriority)"
+    ),
+)
+def a4_missing_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/J4/J7 — full grid minus observed cells (PreProcess.scala:102-119:
+    the ALS 'missing cells' complement). crossJoin + broadcast LEFT ANTI;
+    the dimension side (priorities) is the broadcast side."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    prio = orders.select("o_orderpriority").distinct()
+    observed = orders.select(
+        F.col("o_custkey").alias("c_custkey"), "o_orderpriority"
+    ).distinct()
+    return R.cross_missing_cells(
+        cust, prio, observed, ["c_custkey", "o_orderpriority"]
+    )
+
+
+@query(
+    "a5_grouped_min",
+    oracle=(
+        "SELECT l_partkey, CAST(min(l_extendedprice) AS DECIMAL(18,2)) AS min_price"
+        " FROM lineitem GROUP BY l_partkey"
+    ),
+)
+def a5_grouped_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 — grouped min (PreProcess.scala:187 ``groupBy(0).min(1)``, the
+    CC min-neighbor step)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_partkey").agg(
+        F.min("l_extendedprice").cast("decimal(18,2)").alias("min_price")
+    )
+
+
+@query(
+    "a6_component_representative",
+    oracle=(
+        "SELECT c_nationkey AS component, min(c_custkey) AS representative"
+        " FROM customer GROUP BY c_nationkey"
+    ),
+)
+def a6_component_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 — one representative per group (PreProcess.scala:203-209 takes
+    the arbitrary *first* member; we take min — deterministic, same
+    intent per Report.pdf p.4 §4.2)."""
+    cust = load(spark, sf_dir, "customer")
+    return cust.groupBy(F.col("c_nationkey").alias("component")).agg(
+        F.min("c_custkey").alias("representative")
+    )
+
+
+@query(
+    "a7_vector_assemble",
+    oracle=(
+        "SELECT l_orderkey AS sample_id,"
+        " string_agg(printf('%.2f', l_quantity), ','"
+        " ORDER BY l_linenumber, printf('%.2f', l_quantity))"
+        " AS vals FROM lineitem GROUP BY l_orderkey"
+    ),
+)
+def a7_vector_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 — per-sample ordered value assembly (Trainer.scala:41-50:
+    collect (probe,value), sort by probe, emit DenseVector). Output as an
+    ordered string so the oracle comparison is exact; the ML-vector form
+    lives in ml.py (assemble_features)."""
+    li = load(spark, sf_dir, "lineitem")
+    out = R.grouped_concat(
+        li, "l_orderkey", "l_linenumber", F.format_string("%.2f", F.col("l_quantity"))
+    )
+    return out.select(F.col("l_orderkey").alias("sample_id"), "vals")
+
+
+@query(
+    "a8_distinct",
+    oracle="SELECT DISTINCT o_orderpriority FROM orders",
+)
+def a8_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 — distinct (Input.scala:140-141 ``collect.toSet`` — distributed
+    instead of driver-side)."""
+    return load(spark, sf_dir, "orders").select("o_orderpriority").distinct()
+
+
+@query(
+    "a9_count",
+    oracle=(
+        "SELECT count(*) AS n_rows, count(DISTINCT o_custkey) AS n_custs"
+        " FROM orders"
+    ),
+)
+def a9_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 — count actions used for logging/branching
+    (PreProcess.scala:121,127: ``if missing.count > 0`` gates ALS)."""
+    orders = load(spark, sf_dir, "orders")
+    return orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("o_custkey").alias("n_custs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 Joins
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j1_equi_join_flat",
+    oracle=(
+        "SELECT s.s_suppkey, n.n_name FROM supplier s"
+        " JOIN nation n ON s.s_nationkey = n.n_nationkey"
+    ),
+)
+def j1_equi_join_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 — inner equi-join with inline projection
+    (PreProcess.scala:182-184: workset ⋈ edges propagating labels).
+    Dimension side broadcast."""
+    sup = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    return sup.join(
+        F.broadcast(nat), sup.s_nationkey == nat.n_nationkey
+    ).select("s_suppkey", "n_name")
+
+
+@query(
+    "j2_join_filter",
+    oracle=(
+        "SELECT o.o_orderkey, c.c_custkey FROM orders o"
+        " JOIN customer c ON o.o_custkey = c.c_custkey"
+        " WHERE o.o_totalprice < c.c_acctbal * 100"
+    ),
+)
+def j2_join_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 — join + post-filter conditional emit (PreProcess.scala:190-193:
+    emit only if new component < old component)."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .where(F.col("o_totalprice") < F.col("c_acctbal") * 100)
+        .select("o_orderkey", "c_custkey")
+    )
+
+
+@query(
+    "j3_join_on_array",
+    oracle=(
+        "SELECT a.vec_id AS left_id, b.vec_id AS right_id FROM embeddings a"
+        " JOIN embeddings b ON a.embedding = b.embedding"
+        " WHERE a.vec_id <= b.vec_id"
+    ),
+)
+def j3_join_on_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 — equi-join keyed on a vector/array column (Trainer.scala:102-109
+    joins predictions back on DenseVector equality). Anti-pattern in real
+    pipelines (ml.py keeps ids through transform instead) but supported:
+    Spark hashes/compares array columns natively."""
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.alias("a")
+    b = emb.alias("b")
+    return (
+        a.join(b, F.col("a.embedding") == F.col("b.embedding"))
+        .where(F.col("a.vec_id") <= F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("left_id"), F.col("b.vec_id").alias("right_id")
+        )
+    )
+
+
+@query(
+    "j4_cross_join",
+    oracle=(
+        "SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n"
+    ),
+)
+def j4_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 — cartesian product (PreProcess.scala:102 commented ``cross``;
+    semantically present in the missing-cells complement)."""
+    return load(spark, sf_dir, "region").crossJoin(
+        load(spark, sf_dir, "nation")
+    ).select("r_name", "n_name")
+
+
+@query(
+    "j5_broadcast_nested_loop",
+    oracle=(
+        "SELECT a.s_suppkey AS left_key, b.s_suppkey AS right_key FROM supplier a"
+        " JOIN supplier b ON a.s_suppkey > b.s_suppkey"
+        " AND abs(a.s_acctbal - b.s_acctbal) < 10.0"
+    ),
+)
+def j5_broadcast_nested_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 — all-pairs with non-equi predicate (PreProcess.scala:56-79:
+    hand-rolled broadcast nested-loop over driver-collected probe
+    summaries, upper-triangle pruned). Spark plans this as
+    BroadcastNestedLoopJoin; the ``a > b`` triangle predicate halves the
+    pair count exactly like the reference's ``x._1 > y._1``."""
+    sup = load(spark, sf_dir, "supplier")
+    a = sup.alias("a")
+    b = sup.alias("b")
+    cond = (F.col("a.s_suppkey") > F.col("b.s_suppkey")) & (
+        F.abs(F.col("a.s_acctbal") - F.col("b.s_acctbal")) < 10.0
+    )
+    return a.join(b, cond).select(
+        F.col("a.s_suppkey").alias("left_key"),
+        F.col("b.s_suppkey").alias("right_key"),
+    )
+
+
+@query(
+    "j6_semi_join",
+    oracle=(
+        "SELECT o_orderkey, o_totalprice FROM orders WHERE o_custkey IN"
+        " (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')"
+    ),
+)
+def j6_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 — broadcast left-semi join (Trainer.scala:39,85 set-membership
+    filters, distributed form)."""
+    orders = load(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "c_custkey")
+    keys = (
+        load(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    return R.semi_join(orders, keys, ["c_custkey"]).select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "j7_anti_join",
+    oracle=(
+        "SELECT c_custkey FROM customer WHERE NOT EXISTS"
+        " (SELECT 1 FROM orders o WHERE o.o_custkey = customer.c_custkey)"
+    ),
+)
+def j7_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 — left-anti join (PreProcess.scala:114-118 set difference)."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    okeys = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return R.anti_join(cust, okeys, ["c_custkey"])
+
+
+# ---------------------------------------------------------------------------
+# §2.5 Set ops, repartition, in-group sort + generic built-ins
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "u1_union_all",
+    oracle=(
+        "SELECT o_orderstatus, count(*) AS n FROM ("
+        " SELECT o_orderstatus FROM orders WHERE o_orderpriority LIKE '1%'"
+        " UNION ALL SELECT o_orderstatus FROM orders WHERE o_orderpriority"
+        " NOT LIKE '1%') GROUP BY o_orderstatus"
+    ),
+)
+def u1_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 — bag union of per-source frames (Input.scala:125-130 folds the
+    per-file DataSets; PreProcess.scala:152 unions observed+predicted)."""
+    orders = load(spark, sf_dir, "orders")
+    urgent = orders.where(F.col("o_orderpriority").like("1%")).select("o_orderstatus")
+    rest = orders.where(~F.col("o_orderpriority").like("1%")).select("o_orderstatus")
+    return R.union_all([urgent, rest]).groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "u2_rebalance",
+    oracle=(
+        "SELECT count(*) AS n, CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))"
+        " AS DECIMAL(38,2)) AS total_qty FROM lineitem"
+    ),
+)
+def u2_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2 — round-robin repartition after skewed union
+    (PreProcess.scala:152 ``.rebalance``) -> ``repartition(n)``
+    (RoundRobinPartitioning); content must be preserved exactly. On a
+    real cluster AQE's partition coalescing makes the explicit call
+    unnecessary post-shuffle."""
+    li = load(spark, sf_dir, "lineitem").repartition(8)
+    return li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("total_qty"),
+    )
+
+
+@query(
+    "o1_sort_in_group",
+    oracle=(
+        "SELECT l_orderkey, string_agg(l_returnflag, ''"
+        " ORDER BY l_linenumber, l_returnflag)"
+        " AS flags FROM lineitem GROUP BY l_orderkey"
+    ),
+)
+def o1_sort_in_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 — sort only within groups (Trainer.scala:46,93 sortBy inside
+    reduceGroup); array_sort(collect_list) — never a global sort."""
+    li = load(spark, sf_dir, "lineitem")
+    return R.grouped_concat(
+        li, "l_orderkey", "l_linenumber", F.col("l_returnflag"), sep=""
+    ).select("l_orderkey", F.col("vals").alias("flags"))
+
+
+@query(
+    "b1_topk",
+    oracle=(
+        "SELECT c_custkey, c_name FROM customer"
+        " ORDER BY c_acctbal DESC, c_custkey LIMIT 10"
+    ),
+)
+def b1_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in orderBy/limit top-k (not in the reference; SURVEY §2.5
+    note — ships because deterministic output ordering needs it). Spark
+    plans this as TakeOrderedAndProject: no global sort materialized."""
+    cust = load(spark, sf_dir, "customer")
+    return (
+        cust.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+        .select("c_custkey", "c_name")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Flagship (M1): multi-join star aggregation
+# ---------------------------------------------------------------------------
+
+FLAGSHIP_ORACLE = (
+    "SELECT n.n_name AS nation, r.r_name AS region,"
+    " CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) *"
+    " (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue,"
+    " count(*) AS n_items"
+    " FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"
+    " JOIN customer c ON o.o_custkey = c.c_custkey"
+    " JOIN nation n ON c.c_nationkey = n.n_nationkey"
+    " JOIN region r ON n.n_regionkey = r.r_regionkey"
+    " WHERE o.o_orderstatus <> 'X'"
+    " GROUP BY n.n_name, r.r_name ORDER BY revenue DESC, nation"
+)
+
+
+@query("flagship_revenue_by_nation", oracle=FLAGSHIP_ORACLE)
+def flagship_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1 flagship — revenue by nation through the 5-table star.
+
+    Scale shape: one shuffle for the lineitem⋈orders join keys, every
+    dimension (customer/nation/region) broadcast, partial aggregation
+    map-side, final agg on 25 groups. DECIMAL revenue for exactness.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").where(F.col("o_orderstatus") != "X")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+
+    revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(
+            nation.n_name.alias("nation"), region.r_name.alias("region")
+        )
+        .agg(
+            F.sum(revenue).cast("decimal(38,4)").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("nation"))
+    )
