@@ -1,0 +1,219 @@
+"""ML / composite analytic operators (SURVEY §2.7: C1, C2, C4, C5).
+
+Re-expression of the reference's FlinkML stages on spark.ml, with the
+COO long-format DataFrame (sample_id, probe_id, value) as the central
+IR — vectors materialize only at the ML boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml.classification import LinearSVC, LinearSVCModel
+from pyspark.ml.functions import array_to_vector
+from pyspark.ml.recommendation import ALS
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pearson_edges(
+    matrix: DataFrame,
+    threshold: float | None = 0.8,
+    sample_col: str = "sample_id",
+    probe_col: str = "probe_id",
+    value_col: str = "value",
+    round_digits: int | None = None,
+) -> DataFrame:
+    """C2 — all-pairs Pearson correlation between probe columns.
+
+    Reference: PreProcess.scala:25-82 — two-stage reduceGroup computing
+    r = (n·Σxy − Σx·Σy)/√((n·Σx²−(Σx)²)(n·Σy²−(Σy)²)) with a
+    driver-collected broadcast of per-probe moments, upper-triangle
+    pruning (x._1 > y._1, :69), threshold filter and NaN/Inf drop (:75).
+    Default threshold 0.8 (Input.scala:185); None disables
+    (Input.scala:57-61 'none').
+
+    Spark-first: self-join the long matrix on sample_id (alignment by
+    sample id for free — fixing the reference's zip-order bug, see
+    SURVEY §2.7 caveat), upper-triangle predicate pushed below the
+    join, built-in ``corr`` aggregate (single-pass co-moment, same
+    formula). Zero-variance pairs yield null -> dropped, mirroring the
+    reference's NaN drop.
+
+    Scale: O(p²) candidate pairs. Fine for p ~ 21k (reference workload);
+    for wide matrices switch to a DIMSUM-style sampled similarity join
+    or block-matrix multiplication behind this same signature.
+
+    Returns ``DataFrame[probe_i, probe_j, r]`` with probe_i > probe_j.
+    """
+    a = matrix.select(
+        F.col(sample_col).alias("s"),
+        F.col(probe_col).alias("probe_i"),
+        F.col(value_col).alias("x"),
+    )
+    b = matrix.select(
+        F.col(sample_col).alias("s"),
+        F.col(probe_col).alias("probe_j"),
+        F.col(value_col).alias("y"),
+    )
+    pairs = a.join(b, "s").where(F.col("probe_i") > F.col("probe_j"))
+    # Pearson r as covar/(sx*sy) with try_divide: identical to corr()
+    # but ANSI-safe — a zero-variance probe (the reference's NaN case,
+    # PreProcess.scala:75) yields NULL instead of raising, and is
+    # dropped below exactly like the reference drops NaN.
+    r = F.try_divide(
+        F.covar_samp("x", "y"), F.stddev_samp("x") * F.stddev_samp("y")
+    )
+    if round_digits is not None:
+        r = F.round(r, round_digits)
+    edges = pairs.groupBy("probe_i", "probe_j").agg(r.alias("r"))
+    edges = edges.where(F.col("r").isNotNull() & ~F.isnan(F.col("r")))
+    if threshold is not None:
+        edges = edges.where(F.abs(F.col("r")) >= F.lit(threshold))
+    return edges
+
+
+def assemble_features(
+    matrix: DataFrame,
+    sample_col: str = "sample_id",
+    probe_col: str = "probe_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """A7 — per-sample dense feature vector, probe-id order.
+
+    Reference: Trainer.scala:41-50 / 87-97 (collect per-sample pairs,
+    sortBy probe id, emit DenseVector). Spark-first: in-group
+    array_sort + array_to_vector; no global sort, one shuffle.
+    Assumes the matrix is completed (every sample has every probe) —
+    run ALS completion first, as the pipeline does.
+
+    Returns ``DataFrame[sample_id, features(VectorUDT)]``.
+    """
+    return (
+        matrix.groupBy(F.col(sample_col).alias("sample_id"))
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(probe_col).alias("p"),
+                        F.col(value_col).cast("double").alias("v"),
+                    )
+                )
+            ).alias("pairs")
+        )
+        .select(
+            "sample_id",
+            array_to_vector(
+                F.transform(F.col("pairs"), lambda pr: pr["v"])
+            ).alias("features"),
+        )
+    )
+
+
+def als_complete(
+    observed: DataFrame,
+    rank: int = 10,
+    max_iter: int = 10,
+    reg_param: float = 0.9,
+    seed: int = 42,
+    num_blocks: int = 100,
+    sample_col: str = "sample_id",
+    probe_col: str = "probe_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """C1 — matrix completion by ALS; fills the missing cells.
+
+    Reference: PreProcess.scala:130-152 — FlinkML ALS(iterations=10,
+    factors=10, blocks=100, λ=0.9, seed=42), predict the missing-cell
+    complement, union with observed. Defaults mirror those exactly.
+    Flink and Spark both implement ALS-WR (Zhou et al.) but weight λ
+    differently, so completed values are statistically (not bitwise)
+    equivalent — validated by holdout RMSE, not hashes (SURVEY §5.2).
+
+    Spark-first deltas: the missing complement is a crossJoin +
+    broadcast LEFT ANTI instead of per-group driver set-diff, and the
+    reference's post-union ``rebalance`` (PreProcess.scala:152) is
+    AQE's job now.
+
+    Returns the completed matrix (observed ∪ predicted), same schema.
+    """
+    obs = observed.select(
+        F.col(sample_col).cast("int").alias("sample_id"),
+        F.col(probe_col).cast("int").alias("probe_id"),
+        F.col(value_col).cast("double").alias("value"),
+    ).cache()
+
+    samples = obs.select("sample_id").distinct()
+    probes = obs.select("probe_id").distinct()
+    missing = samples.crossJoin(F.broadcast(probes)).join(
+        obs, ["sample_id", "probe_id"], "left_anti"
+    )
+
+    # A9-style control-flow on an aggregate: skip ALS when complete
+    # (PreProcess.scala:121,127).
+    if missing.isEmpty():
+        return obs
+
+    als = ALS(
+        rank=rank,
+        maxIter=max_iter,
+        regParam=reg_param,
+        seed=seed,
+        numUserBlocks=num_blocks,
+        numItemBlocks=num_blocks,
+        userCol="sample_id",
+        itemCol="probe_id",
+        ratingCol="value",
+        coldStartStrategy="nan",
+    )
+    model = als.fit(obs)
+    predicted = model.transform(missing).select(
+        "sample_id", "probe_id", F.col("prediction").cast("double").alias("value")
+    )
+    return obs.unionAll(predicted)  # U1 (PreProcess.scala:152)
+
+
+def svm_train(
+    features: DataFrame,
+    labels: DataFrame,
+    max_iter: int = 100,
+    reg_param: float = 1.0,
+    label_col: str = "tumorous",
+) -> LinearSVCModel:
+    """C4 — train a linear soft-margin SVM.
+
+    Reference: Trainer.scala:26-61 — FlinkML CoCoA SVM, defaults
+    (10 outer/10 local iterations, reg 1.0), labels ±1.0. spark.ml's
+    LinearSVC is the same model family (linear hinge loss) under a
+    different optimizer (OWLQN), so decision values differ — parity is
+    statistical (training accuracy on separable data), per SURVEY §5.2.
+    Labels map {-1,+1} -> {0,1} at this boundary. Returns the fitted
+    model (no mutable singleton — the reference stashes it in
+    ``private var predictorSVM``, Trainer.scala:119).
+
+    ``standardization=False`` matches FlinkML CoCoA, which trains on
+    raw feature scales — with spark.ml's default per-feature scaling
+    the expression-magnitude signal the pipeline relies on would be
+    equalized with noise probes.
+    """
+    train = features.join(labels, "sample_id").select(
+        "sample_id",
+        "features",
+        F.when(F.col(label_col), 1.0).otherwise(0.0).alias("label"),
+    )
+    svc = LinearSVC(maxIter=max_iter, regParam=reg_param, standardization=False)
+    return svc.fit(train)
+
+
+def svm_predict(model: LinearSVCModel, features: DataFrame) -> DataFrame:
+    """C5 — predict; returns (sample_id, prediction ±1.0).
+
+    Reference: Trainer.scala:73-116 — predicts on bare vectors, then
+    re-joins ids via DenseVector equality (J3, an anti-pattern).
+    Spark-first: ``transform`` carries all input columns through, so
+    sample_id survives and no join is needed.
+    """
+    return model.transform(features).select(
+        "sample_id",
+        F.when(F.col("prediction") == 1.0, F.lit(1.0))
+        .otherwise(F.lit(-1.0))
+        .alias("prediction"),
+    )

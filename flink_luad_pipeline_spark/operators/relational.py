@@ -94,14 +94,17 @@ def dict_decode(
     Reference: driver-map lookup in a closure with ``"Unknown"`` default
     (PipeLine.scala:30). Spark-first: broadcast LEFT join + coalesce.
     """
-    joined = df.join(
-        F.broadcast(dictionary),
-        df[key_col] == dictionary[dict_key],
-        "left",
+    # rename to fresh columns first: the dictionary frame is typically
+    # reused across several joins in a pipeline and bare column refs
+    # would trip Spark's ambiguous-self-join check
+    d = dictionary.select(
+        F.col(dict_key).alias("__dict_key"),
+        F.col(dict_value).alias("__dict_value"),
     )
+    joined = df.join(F.broadcast(d), df[key_col] == d["__dict_key"], "left")
     return joined.select(
         *[df[c] for c in df.columns],
-        F.coalesce(dictionary[dict_value], F.lit(default)).alias(out_col),
+        F.coalesce(d["__dict_value"], F.lit(default)).alias(out_col),
     )
 
 

@@ -1,3 +1,139 @@
-"""Composite analytics queries (SURVEY §2.6-2.7) — filled in M3."""
+"""Composite analytics queries (SURVEY §2.6-2.7: C1-C5, I1).
+
+The COO matrix for these queries is derived deterministically from the
+synthetic tables (sample=order, probe=linenumber, value=quantity), so
+the same operators that run the LUAD pipeline (pipeline.py) are
+exercised against DuckDB oracles where SQL can express them:
+
+- C2 correlation  -> DuckDB ``corr()``
+- I1/C3 connected components -> DuckDB ``WITH RECURSIVE`` min-label
+- C1 ALS, C4/C5 SVM -> rows-only (different optimizers than FlinkML;
+  statistical parity is asserted in tests/test_pipeline.py on the
+  separable golden fixture, per SURVEY §5.2)
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import ml
+from ..catalog import load
+from ..operators.graph import connected_components
+from .registry import query
+
+
+def _coo_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long/tidy COO matrix from lineitem: (sample=order, probe=line#,
+    value=quantity) — the engine's central IR (Input.scala:172 shape)."""
+    return load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("sample_id"),
+        F.col("l_linenumber").alias("probe_id"),
+        F.col("l_quantity").alias("value"),
+    )
+
+
+@query(
+    "c2_pearson_corr_edges",
+    oracle=(
+        "WITH m AS (SELECT l_orderkey AS s, l_linenumber AS p, l_quantity AS v"
+        " FROM lineitem)"
+        " SELECT a.p AS probe_i, b.p AS probe_j,"
+        " CAST(round(corr(a.v, b.v), 6) AS DECIMAL(18,6)) AS r"
+        " FROM m a JOIN m b ON a.s = b.s AND a.p > b.p"
+        " GROUP BY a.p, b.p"
+        " HAVING corr(a.v, b.v) IS NOT NULL AND NOT isnan(corr(a.v, b.v))"
+    ),
+)
+def c2_pearson_corr_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 — all-pairs Pearson correlation (PreProcess.scala:25-82),
+    threshold disabled (the 'none' path, Input.scala:57-61) so the
+    near-zero correlations of the synthetic matrix survive for the
+    oracle; the threshold path is exercised in pipeline tests.
+    """
+    edges = ml.pearson_edges(_coo_matrix(spark, sf_dir), threshold=None,
+                             round_digits=6)
+    return edges.select(
+        "probe_i", "probe_j", F.col("r").cast("decimal(18,6)").alias("r")
+    )
+
+
+CC_ORACLE = (
+    "WITH RECURSIVE"
+    " nodes AS (SELECT p_partkey AS v FROM part),"
+    " e AS (SELECT p.p_partkey AS src, p.p_partkey + 1 AS dst FROM part p"
+    "   WHERE p.p_partkey % 10 < 3"
+    "   AND EXISTS (SELECT 1 FROM part q WHERE q.p_partkey = p.p_partkey + 1)),"
+    " sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),"
+    " reach(v, lbl) AS ("
+    "   SELECT v, v FROM nodes"
+    "   UNION"
+    "   SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.v)"
+    " SELECT v AS vertex, min(lbl) AS component FROM reach GROUP BY v"
+)
+
+
+@query("i1_c3_connected_components", oracle=CC_ORACLE)
+def i1_c3_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I1/C3 — min-label connected components via the driver-loop
+    delta iteration (PreProcess.scala:179-197; max 100 supersteps).
+
+    Graph: chain edges (k, k+1) for k%10 in {0,1,2} over part keys ->
+    components of size 4 plus singletons; isolated vertices included
+    (the reference seeds CC from the full probe set,
+    PreProcess.scala:171). Oracle: recursive min-label closure.
+    """
+    part = load(spark, sf_dir, "part").select("p_partkey")
+    chain = part.where(F.col("p_partkey") % 10 < 3).select(
+        F.col("p_partkey").alias("src"),
+        (F.col("p_partkey") + 1).alias("dst"),
+    )
+    # guard: drop edges whose endpoint doesn't exist (max key boundary)
+    edges = chain.join(
+        part.select(F.col("p_partkey").alias("dst")), "dst", "left_semi"
+    )
+    vertices = part.select(F.col("p_partkey").alias("vertex"))
+    return connected_components(edges, vertices)
+
+
+@query("c1_als_completion")  # rows-only: ALS values are optimizer-specific
+def c1_als_completion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 — ALS matrix completion (PreProcess.scala:130-152; rank 10,
+    10 iters, λ 0.9, 100 blocks, seed 42). Observed = mean quantity per
+    (suppkey, partkey%200) bucket; the ~0.2% empty buckets are the
+    missing cells ALS fills. Row count is deterministic
+    (|samples| x |probes|); values are validated statistically by
+    holdout RMSE in tests/test_analytics.py (SURVEY §5.2: Flink and
+    Spark weight λ differently — no bitwise parity)."""
+    li = load(spark, sf_dir, "lineitem")
+    observed = li.groupBy(
+        F.col("l_suppkey").alias("sample_id"),
+        (F.col("l_partkey") % 200).alias("probe_id"),
+    ).agg(F.avg("l_quantity").alias("value"))
+    completed = ml.als_complete(observed, num_blocks=10)
+    return completed.select("sample_id", "probe_id", "value")
+
+
+@query("c4_c5_svm_train_predict")  # rows-only: OWLQN vs CoCoA optimizers
+def c4_c5_svm_train_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4+C5 — linear SVM train on 80% of embeddings (binary label =
+    class < 5), predict the held-out 20%; output (sample_id,
+    prediction ±1.0) — the reference's final shape (Trainer.scala:73,
+    README.md:73-75 ``samp5  -1.0``). Ids survive ``transform`` so the
+    reference's vector-equality re-join (J3, Trainer.scala:102-109) is
+    unnecessary here; J3 itself is covered by j3_join_on_array."""
+    emb = load(spark, sf_dir, "embeddings")
+    features = emb.select(
+        F.col("vec_id").alias("sample_id"),
+        ml.array_to_vector(
+            F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        ).alias("features"),
+    )
+    labels = emb.select(
+        F.col("vec_id").alias("sample_id"),
+        (F.col("label") < 5).alias("tumorous"),
+    )
+    train_ids = features.where(F.col("sample_id") % 5 != 0)
+    predict_ids = features.where(F.col("sample_id") % 5 == 0)
+    model = ml.svm_train(train_ids, labels, max_iter=20)
+    return ml.svm_predict(model, predict_ids)
