@@ -1,0 +1,286 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Four tiers, all shuffle-bounded (candidate generation is always an
+equi-join on a bucket key — never a crossJoin), designed so the same
+code runs at 100 TB:
+
+- exact:    md5(normalized text) hash-groupBy. One shuffle on a short key.
+- minhash:  word-shingles -> k minhashes -> banded LSH -> bucket join ->
+            exact-Jaccard verify. Candidate volume is controlled by
+            (bands, rows-per-band); verification joins only candidates.
+- simhash:  64-bit sign-of-sum signature -> pigeonhole chunk join ->
+            hamming verify via bit_count(xor).
+- jaccard:  exact n-gram Jaccard via shingle-explode + self-join on the
+            shingle (inverted-index join, standard MapReduce shape).
+
+Everything is native pyspark.sql.functions — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import text_fingerprint, tokenize, word_shingles
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup groups: fingerprint -> (keeper=min id, n_dups).
+
+    Returns one row per duplicated fingerprint (groups of size >= 2).
+    """
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            text_fingerprint(F.col(text_col)).alias("fp"),
+        )
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("keeper"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
+
+
+def _shingled(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        word_shingles(tokenize(F.col(text_col)), k).alias("shingles"),
+    ).where(F.size("shingles") > 0)
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity join (inverted-index shape).
+
+    explode shingles -> self-join on shingle -> |A∩B| per pair ->
+    J = inter / (|A| + |B| - inter). The join key is the shingle, so
+    cost is Σ (docs-per-shingle)² — bounded by dropping ultra-common
+    shingles upstream if needed. Returns (doc_a, doc_b, jaccard) with
+    doc_a < doc_b, jaccard >= threshold.
+    """
+    sh = _shingled(df, id_col, text_col, k)
+    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    inv = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    a = inv.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = inv.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.try_divide(
+                F.col("inter").cast("double"),
+                (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= F.lit(threshold))
+    )
+
+
+def _minhash_signature(shingles: Column, num_hashes: int) -> Column:
+    """k minhashes: min over shingles of xxhash64(i || shingle).
+
+    One pass over the shingle array per hash function, all in codegen;
+    no 64x row explosion.
+    """
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                shingles,
+                lambda s: F.xxhash64(F.concat(i.cast("string"), F.lit("#"), s)),
+            )
+        ),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + banded LSH near-duplicate pairs, exact-verified.
+
+    shingle -> signature(num_hashes) -> split into ``bands`` bands of
+    num_hashes/bands rows -> explode (band_idx, band_hash) -> self-join
+    on the band key (candidates collide in >= 1 band) -> verify with
+    exact Jaccard and filter >= threshold.
+
+    With 64 hashes / 16 bands (r=4), collision probability at J=0.5 is
+    1-(1-0.5^4)^16 ≈ 0.64, at J=0.8 ≈ 0.9996 — tune (bands, num_hashes)
+    per target threshold. Verification makes false positives free
+    (dropped) and the returned pairs exact; only false *negatives* are
+    possible, the standard MinHash recall trade-off.
+
+    Returns (doc_a, doc_b, jaccard).
+    """
+    rows_per_band = num_hashes // bands
+    sh = _shingled(df, id_col, text_col, k).select(
+        "doc_id",
+        "shingles",
+        _minhash_signature(F.col("shingles"), num_hashes).alias("sig"),
+    )
+    banded = sh.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(
+                                    F.col("sig"),
+                                    b * rows_per_band + 1,
+                                    rows_per_band,
+                                ),
+                                lambda h: h.cast("string"),
+                            ),
+                        )
+                    ).alias("bhash"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.bhash")
+
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "bhash"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+    # exact-Jaccard verification on candidates only
+    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    inv = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    inter = (
+        cand.join(
+            inv.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a"
+        )
+        .join(
+            inv.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.try_divide(
+                F.col("inter").cast("double"),
+                (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= F.lit(threshold))
+    )
+
+
+def simhash(tokens: Column, bits: int = 64) -> Column:
+    """SimHash signature: per token a 64-bit hash; each bit votes ±1;
+    signature bit = sign of the vote sum. Returns BIGINT.
+
+    Built as Σ_b (vote_b > 0) * 2^b with shiftright/bitwise-and —
+    all codegen, no UDF.
+    """
+    def vote_fn(b: int):
+        # closure factory: a default-arg lambda would surface as a
+        # 3-parameter lambda to Spark's higher-order-function binder
+        def merge(acc, t):
+            return acc + F.when(
+                F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+
+        return merge
+
+    votes = [F.aggregate(tokens, F.lit(0), vote_fn(b)) for b in range(bits)]
+    out = F.lit(0).cast("long")
+    for b, v in enumerate(votes):
+        # bit 63 is the sign bit of a signed long: adding -(2**63) sets
+        # it without overflowing ANSI arithmetic
+        const = 2**b if b < 63 else -(2**63)
+        out = out + F.when(v > 0, F.lit(const).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return out
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs: pigeonhole banding on 16-bit chunks
+    (hamming <= 3 => at least one of 4 chunks identical), then exact
+    hamming distance via bit_count(a XOR b). Returns
+    (doc_a, doc_b, hamming)."""
+    assert chunks > max_hamming, "pigeonhole needs chunks > max_hamming"
+    width = 64 // chunks
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        simhash(tokenize(F.col(text_col))).alias("sh"),
+    )
+    mask = (1 << width) - 1
+    banded = sh.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned(F.col("sh"), c * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("ckey"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "sh", "bk.chunk", "bk.ckey")
+    pairs = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["chunk", "ckey"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("x.sh").bitwiseXOR(F.col("y.sh"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.where(F.col("hamming") <= max_hamming)

@@ -1,0 +1,132 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers behind the same output contract (query_id, cand_id, sim, rank):
+
+- brute-force top-k: every query against every candidate. Exact; the
+  baseline. Join is query-side broadcast (queries are few), so the big
+  candidate table is never shuffled.
+- LSH-bucketed (random-hyperplane signs): candidates restricted to the
+  query's bucket — the scale path. Deterministic hyperplanes derived
+  from xxhash64 so results are reproducible without storing planes.
+
+All vector math is functions/vectors.py (zip_with/aggregate, codegen).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.vectors import cosine_similarity
+
+
+def _ranked(scored: DataFrame, k: int) -> DataFrame:
+    """Deterministic top-k: order by rounded sim desc, then cand_id —
+    rounding first so engine-specific low bits can't flip ranks."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("cand_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact cosine top-k. queries is the small side (broadcast); the
+    candidate scan streams through one projection + partial top-k.
+    Excludes self-matches on id equality."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = candidates.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(cosine_similarity(F.col("qv"), F.col("cv")), round_digits)
+            .alias("sim"),
+        )
+        .where(F.col("sim").isNotNull())
+    )
+    return _ranked(scored, k)
+
+
+def _hyperplane_bucket(vec, n_planes: int, dim: int):
+    """Sign-pattern bucket id from n pseudo-random hyperplanes.
+
+    Plane p's j-th component is a deterministic ±1 derived from
+    xxhash64(p, j) — reproducible anywhere, nothing to store, and
+    cheap: bucket = Σ_p [dot(plane_p, v) > 0] * 2^p.
+    """
+    def plane_fn(p: int):
+        # closure factory (a default-arg lambda would look like a
+        # 3-parameter lambda to the higher-order-function binder)
+        def component(x, j):
+            return x.cast("double") * F.when(
+                F.xxhash64(F.lit(p), j).bitwiseAND(F.lit(1)) == 1, 1.0
+            ).otherwise(-1.0)
+
+        return component
+
+    bucket = F.lit(0)
+    for p in range(n_planes):
+        comp = F.aggregate(
+            F.zip_with(vec, F.sequence(F.lit(0), F.lit(dim - 1)), plane_fn(p)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(comp > 0, F.lit(2**p)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_bucketed_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    n_planes: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Approximate cosine top-k: score only candidates sharing the
+    query's hyperplane-sign bucket (2^n_planes buckets). Recall is
+    tunable via n_planes (fewer planes = bigger buckets = higher
+    recall & cost); multi-probe or repeated tables raise recall
+    without growing buckets. The join is an equi-join on the bucket —
+    shuffle-partitionable, no broadcast requirement, which is what
+    makes this the 100 TB path."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _hyperplane_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
+    )
+    c = candidates.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cv"),
+        _hyperplane_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
+    )
+    scored = (
+        c.join(q, "bucket")
+        .where(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(cosine_similarity(F.col("qv"), F.col("cv")), round_digits)
+            .alias("sim"),
+        )
+        .where(F.col("sim").isNotNull())
+    )
+    return _ranked(scored, k)

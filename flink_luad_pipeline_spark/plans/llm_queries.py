@@ -1,3 +1,288 @@
-"""LLM-data-pipeline queries (dedup/similarity/text/multimodal) — M5."""
+"""LLM-training-data-pipeline queries over documents/embeddings.
+
+Beyond the reference's surface (north-star brief): dedup (exact /
+MinHash-LSH / SimHash / exact n-gram Jaccard), similarity search
+(brute-force + LSH-bucketed cosine top-k), text analysis (token count,
+quality, language ID, fingerprint), multimodal binary plumbing.
+
+Because the synthetic corpus has no duplicates, dedup queries plant
+them deterministically: an augmented view unions mutated copies of a
+slice of the corpus — the identical augmentation is expressed in the
+DuckDB oracle, so the checks stay exact.
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions import text as T
+from ..operators import dedup, multimodal, similarity
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+_TOKENS_SQL = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+_EN = "['the','and','of','to','a','in','is','that','it','for']"
+_DE = "['der','die','und','das','ist','nicht','ein','mit','zu','den']"
+_FR = "['le','la','et','les','des','un','une','est','pour','que']"
+_HITS = "len(list_filter(tokens, x -> list_contains({words}, x)))"
+
+
+@query(
+    "ll1_text_stats",
+    oracle=(
+        f"WITH tok AS (SELECT doc_id, text, {_TOKENS_SQL} AS tokens FROM documents)"
+        " SELECT doc_id,"
+        " CAST(len(tokens) AS INT) AS n_tokens,"
+        " CAST(length(text) AS INT) AS n_chars,"
+        " CAST(round(CASE WHEN length(text) = 0 THEN NULL ELSE"
+        "   length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0 / length(text)"
+        "   END, 6) AS DECIMAL(18,6)) AS punct_ratio,"
+        f" CAST(round(CASE WHEN len(tokens) = 0 THEN NULL ELSE"
+        f"   {_HITS.format(words=_EN)} * 1.0 / len(tokens) END, 6)"
+        "   AS DECIMAL(18,6)) AS stop_ratio,"
+        " CAST(round(CASE WHEN len(tokens) = 0 THEN NULL ELSE"
+        "   list_sum(list_transform(tokens, x -> length(x))) * 1.0 / len(tokens)"
+        "   END, 6) AS DECIMAL(18,6)) AS mean_token_len,"
+        " CAST(round("
+        "   least(len(tokens) / 100.0, 1.0) * 0.4"
+        f"  + coalesce(CASE WHEN len(tokens) = 0 THEN NULL ELSE"
+        f"    {_HITS.format(words=_EN)} * 1.0 / len(tokens) END, 0.0) * 0.4"
+        "   + (1.0 - least(coalesce(CASE WHEN length(text) = 0 THEN NULL ELSE"
+        "     length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0 /"
+        "     length(text) END, 1.0) * 5.0, 1.0)) * 0.2"
+        " , 6) AS DECIMAL(18,6)) AS quality_score"
+        " FROM tok"
+    ),
+)
+def ll1_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality scoring (length/punct/stopword ratios),
+    all JVM-side column functions."""
+    docs = load(spark, sf_dir, "documents")
+    tokens = T.tokenize(F.col("text"))
+    q = T.quality_features(F.col("text"), tokens)
+
+    def d6(c):
+        return F.round(c, 6).cast("decimal(18,6)")
+
+    return docs.select(
+        "doc_id",
+        q["n_tokens"].alias("n_tokens"),
+        q["n_chars"].alias("n_chars"),
+        d6(q["punct_ratio"]).alias("punct_ratio"),
+        d6(q["stop_ratio"]).alias("stop_ratio"),
+        d6(q["mean_token_len"]).alias("mean_token_len"),
+        d6(q["quality_score"]).alias("quality_score"),
+    )
+
+
+@query(
+    "ll2_lang_id",
+    oracle=(
+        f"WITH tok AS (SELECT doc_id, {_TOKENS_SQL} AS tokens FROM documents),"
+        f" hits AS (SELECT doc_id, CAST({_HITS.format(words=_EN)} AS INT) AS en_hits,"
+        f" CAST({_HITS.format(words=_DE)} AS INT) AS de_hits,"
+        f" CAST({_HITS.format(words=_FR)} AS INT) AS fr_hits FROM tok)"
+        " SELECT doc_id, en_hits, de_hits, fr_hits,"
+        " CASE WHEN greatest(en_hits, de_hits, fr_hits) = 0 THEN 'und'"
+        " WHEN en_hits = greatest(en_hits, de_hits, fr_hits) THEN 'en'"
+        " WHEN de_hits = greatest(en_hits, de_hits, fr_hits) THEN 'de'"
+        " ELSE 'fr' END AS lang_pred FROM hits"
+    ),
+)
+def ll2_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID via stopword-hit heuristic (n-gram flavor); ties
+    resolve in declaration order (en > de > fr)."""
+    docs = load(spark, sf_dir, "documents")
+    tokens = T.tokenize(F.col("text"))
+    scores = T.lang_scores(tokens)
+    return docs.select(
+        "doc_id",
+        scores["en"].alias("en_hits"),
+        scores["de"].alias("de_hits"),
+        scores["fr"].alias("fr_hits"),
+        T.predict_lang(tokens).alias("lang_pred"),
+    )
+
+
+@query(
+    "ll3_fingerprint",
+    oracle=(
+        "SELECT doc_id,"
+        " md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp"
+        " FROM documents"
+    ),
+)
+def ll3_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 over normalized text (md5 so the
+    oracle computes the identical hash)."""
+    return load(spark, sf_dir, "documents").select(
+        "doc_id", T.text_fingerprint(F.col("text")).alias("fp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup (with planted duplicates)
+# ---------------------------------------------------------------------------
+
+_AUG_SQL = (
+    "SELECT doc_id, text FROM documents"
+    " UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0"
+)
+
+
+def _augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus ∪ exact copies of every 10th doc (ids shifted +1e6)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return docs.unionAll(copies)
+
+
+@query(
+    "ll4_dedup_exact",
+    oracle=(
+        f"WITH aug AS ({_AUG_SQL}),"
+        " fps AS (SELECT doc_id,"
+        " md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp FROM aug)"
+        " SELECT fp, min(doc_id) AS keeper, count(*) AS n_docs"
+        " FROM fps GROUP BY fp HAVING count(*) >= 2"
+    ),
+)
+def ll4_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on normalized-text md5; keeper = min
+    doc_id per group. One shuffle on a 128-bit key at any scale."""
+    return dedup.exact_duplicates(_augmented(spark, sf_dir), "doc_id", "text")
+
+
+_JACCARD_ORACLE = (
+    f"WITH aug AS ({_AUG_SQL}),"
+    f" tok AS (SELECT doc_id, {_TOKENS_SQL} AS tokens FROM aug),"
+    " sh AS (SELECT doc_id, list_distinct(CASE WHEN len(tokens) >= 3 THEN"
+    "   list_transform(range(1, len(tokens) - 1),"
+    "     i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])"
+    "   ELSE [] END) AS shingles FROM tok),"
+    " nz AS (SELECT doc_id, shingles, len(shingles) AS n_sh FROM sh"
+    "   WHERE len(shingles) > 0),"
+    " inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM nz),"
+    " inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i"
+    "   FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id"
+    "   GROUP BY a.doc_id, b.doc_id)"
+    " SELECT doc_a, doc_b,"
+    " CAST(round(i * 1.0 / (na.n_sh + nb.n_sh - i), 6) AS DECIMAL(18,6))"
+    " AS jaccard"
+    " FROM inter JOIN nz na ON na.doc_id = doc_a JOIN nz nb ON nb.doc_id = doc_b"
+    " WHERE i * 1.0 / (na.n_sh + nb.n_sh - i) >= 0.4"
+)
+
+
+@query("ll5_jaccard_pairs", oracle=_JACCARD_ORACLE)
+def ll5_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard similarity join (inverted-index shape) at
+    threshold 0.4 over the augmented corpus — planted copies give J=1.0
+    pairs; organic near-dups may appear below them."""
+    pairs = dedup.jaccard_pairs(
+        _augmented(spark, sf_dir), "doc_id", "text", k=3, threshold=0.4
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        F.round("jaccard", 6).cast("decimal(18,6)").alias("jaccard"),
+    )
+
+
+@query("ll6_minhash_lsh")  # rows-only: xxhash64 signatures have no SQL twin
+def ll6_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH near-dup pairs, exact-verified (J >= 0.4).
+    Recall vs the exact join (ll5) is asserted in tests/test_llm_ops.py."""
+    pairs = dedup.minhash_lsh_pairs(
+        _augmented(spark, sf_dir), "doc_id", "text", k=3, threshold=0.4
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        F.round("jaccard", 6).cast("decimal(18,6)").alias("jaccard"),
+    )
+
+
+@query("ll7_simhash_pairs")  # rows-only: xxhash64-based signature
+def ll7_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming <= 3 of 64 bits) via pigeonhole
+    chunk banding; planted exact copies land at hamming 0."""
+    return dedup.simhash_pairs(_augmented(spark, sf_dir), "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_COS_SQL = (
+    "round(list_sum(list_transform(range(1, len(qv) + 1),"
+    " i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))"
+    " / (sqrt(list_sum(list_transform(qv,"
+    " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    " * sqrt(list_sum(list_transform(cv,"
+    " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)"
+)
+
+
+@query(
+    "ll8_cosine_topk",
+    oracle=(
+        "WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings"
+        " WHERE vec_id < 5),"
+        " c AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings),"
+        f" scored AS (SELECT query_id, cand_id, {_COS_SQL} AS sim"
+        " FROM q, c WHERE query_id <> cand_id),"
+        " ranked AS (SELECT query_id, cand_id, sim,"
+        " row_number() OVER (PARTITION BY query_id"
+        " ORDER BY sim DESC, cand_id) AS rank"
+        " FROM scored WHERE sim IS NOT NULL)"
+        " SELECT query_id, cand_id, CAST(sim AS DECIMAL(18,6)) AS sim,"
+        " CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= 10"
+    ),
+)
+def ll8_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for query vectors vec_id<5 — the exact
+    ANN baseline. Similarity rounded to 6 digits *before* ranking on
+    both sides so engine fp-order can't flip ranks."""
+    emb = load(spark, sf_dir, "embeddings")
+    out = similarity.brute_force_topk(
+        emb.where(F.col("vec_id") < 5), emb, k=10
+    )
+    return out.select(
+        "query_id", "cand_id", F.col("sim").cast("decimal(18,6)").alias("sim"), "rank"
+    )
+
+
+@query("ll9_ann_lsh_topk")  # rows-only: xxhash64-derived hyperplanes
+def ll9_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate cosine top-10 (the scale path: bucket
+    equi-join instead of all-pairs). Recall vs ll8 asserted in tests."""
+    emb = load(spark, sf_dir, "embeddings")
+    out = similarity.lsh_bucketed_topk(
+        emb.where(F.col("vec_id") < 5), emb, k=10
+    )
+    return out.select(
+        "query_id", "cand_id", F.col("sim").cast("decimal(18,6)").alias("sim"), "rank"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@query("ll10_multimodal_features")  # rows-only: mapInPandas pipeline
+def ll10_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: deterministic fake payloads -> Arrow-
+    batched mapInPandas feature extraction (byte stats standing in for
+    the stubbed media decode). Values asserted in tests/test_llm_ops.py."""
+    docs = load(spark, sf_dir, "documents")
+    binary = multimodal.attach_binary_payload(docs, "doc_id", "text")
+    return multimodal.extract_features(binary)

@@ -1,3 +1,111 @@
-"""Structured Streaming queries over the events table — M5."""
+"""Structured Streaming queries over the events table (north-star
+surface; the reference is batch-only — SURVEY §2.9).
+
+Each query replays the events parquet through a real file-source stream
+(watermark + windows/dedup/state) with Trigger.AvailableNow into a
+memory sink, then returns the sink table. Where the streaming result
+provably equals a batch computation (complete-mode window aggs, dedup
+keys, final stateful totals), a DuckDB oracle checks it exactly; the
+session-window query stays rows-only (its batch twin is asserted in
+tests/test_streaming.py).
+"""
 
 from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..streaming import ops
+from .registry import query
+
+_COUNTER = itertools.count()
+
+
+def _drain(stream_df: DataFrame, base_name: str, mode: str) -> DataFrame:
+    """Unique memory-sink name per invocation so repeated runs in one
+    session never read a stale table."""
+    return ops.run_available_now(
+        stream_df, f"{base_name}_{next(_COUNTER)}", mode
+    )
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")  # stable formatting
+    return ops.read_events_stream(spark, sf_dir)
+
+
+@query(
+    "ss1_tumbling_window",
+    oracle=(
+        "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')"
+        " AS window_start, event_type, count(*) AS n,"
+        " CAST(round(max(value), 6) AS DECIMAL(18,6)) AS max_value"
+        " FROM events GROUP BY 1, 2"
+    ),
+)
+def ss1_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h event-time windows with watermark, complete mode —
+    equals the batch hour-truncated group-by, hence oracle-checked."""
+    agg = ops.tumbling_window_agg(_events(spark, sf_dir))
+    return _drain(agg, "ss1_tumbling", "complete")
+
+
+@query(
+    "ss2_sliding_window",
+    oracle=(
+        "WITH starts AS (SELECT unnest([date_trunc('hour', ts)"
+        " - INTERVAL 1 HOUR, date_trunc('hour', ts)]) AS ws FROM events)"
+        " SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,"
+        " count(*) AS n FROM starts GROUP BY ws"
+    ),
+)
+def ss2_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 2h/1h windows (each event in two windows), complete
+    mode; oracle unrolls the overlap with unnest."""
+    agg = ops.sliding_window_counts(_events(spark, sf_dir))
+    return _drain(agg, "ss2_sliding", "complete")
+
+
+@query("ss3_session_window")  # rows-only: session assignment is stateful
+def ss3_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30 min gap) per user, append mode. Only
+    sessions sealed by the final watermark are emitted — the
+    deterministic streaming semantics, intentionally not a batch
+    equivalent; batch gaps-and-islands parity is tested in
+    tests/test_streaming.py."""
+    agg = ops.session_window_agg(_events(spark, sf_dir))
+    return _drain(agg, "ss3_session", "append")
+
+
+@query(
+    "ss4_streaming_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def ss4_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dropDuplicates on (user_id, event_type): the emitted
+    key set is exactly DISTINCT."""
+    dedup = ops.streaming_dedup_keys(_events(spark, sf_dir))
+    return _drain(dedup, "ss4_dedup", "append")
+
+
+@query(
+    "ss5_stateful_totals",
+    oracle=(
+        "SELECT user_id, count(*) AS n_events,"
+        " CAST(round(max(value), 6) AS DECIMAL(18,6)) AS max_value"
+        " FROM events GROUP BY user_id"
+    ),
+)
+def ss5_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState running
+    count/max per user), update mode. The sink holds one emission per
+    (user, trigger); totals are monotone, so max() over emissions is
+    the final state — which must equal the batch aggregate."""
+    totals = ops.stateful_user_totals(_events(spark, sf_dir))
+    sink = _drain(totals, "ss5_stateful", "update")
+    return sink.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.round(F.max("max_value"), 6).cast("decimal(18,6)").alias("max_value"),
+    )

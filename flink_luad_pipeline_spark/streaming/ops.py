@@ -1,0 +1,180 @@
+"""Structured Streaming surface over the events table (SURVEY §2.9/§7 M5).
+
+The reference is batch-only (ExecutionEnvironment, PipeLine.scala:8; no
+windows/watermarks anywhere in its 570 LoC) — this module is the
+north-star extension mandated by the target brief ("stream-processor",
+Structured Streaming approach). Events are replayed from the parquet
+file through a file stream source with ``Trigger.AvailableNow`` into a
+memory sink, which gives deterministic, driver-checkable results while
+exercising the real streaming operators (watermarks, windows, dedup,
+arbitrary state).
+
+At production scale the same plans run off Kafka/file sources with
+continuous triggers — nothing here is test-only except the sink.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+#: parquet physical schema of events with TIMESTAMP(NANOS) read as long
+_EVENTS_RAW_SCHEMA = (
+    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING,"
+    " value DOUBLE, props STRING"
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-replay stream of the events table.
+
+    The file's ``ts`` is parquet TIMESTAMP(NANOS); streaming readers
+    need an explicit schema, so it is declared BIGINT (with the
+    nanosAsLong conf) and rebuilt as a microsecond timestamp via exact
+    integer division — same handling as catalog.load.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = f"{sf_dir.rstrip('/')}/events.parquet"
+    # FileStreamSource wants a directory; the test data is a single
+    # parquet file -> stage a symlink dir (read-only testdata untouched)
+    tag = hashlib.md5(src.encode()).hexdigest()[:8]
+    stream_dir = os.path.join(tempfile.gettempdir(), "flps_stream", tag)
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .load(stream_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def run_available_now(
+    stream_df: DataFrame, query_name: str, output_mode: str
+) -> DataFrame:
+    """Drain the stream with Trigger.AvailableNow into a memory sink and
+    return the sink table. Deterministic: processes exactly the data
+    available at start, then stops."""
+    spark = stream_df.sparkSession
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
+
+
+def tumbling_window_agg(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Tumbling 1h windows per event_type: count + max(value).
+
+    Watermark bounds state; complete output mode emits every window so
+    the result equals the batch group-by (giving it a DuckDB oracle).
+    max() (not sum) keeps doubles exact/order-independent.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("value").alias("max_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            F.round("max_value", 6).cast("decimal(18,6)").alias("max_value"),
+        )
+    )
+
+
+def sliding_window_counts(events: DataFrame) -> DataFrame:
+    """Sliding windows (2h length, 1h slide): every event lands in two
+    windows — the canonical overlap shape."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n",
+        )
+    )
+
+
+def session_window_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows per user: sessions close after ``gap`` of
+    inactivity. No SQL oracle (session assignment is stateful); the
+    batch twin in tests is gaps-and-islands over lag()."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def streaming_dedup_keys(events: DataFrame) -> DataFrame:
+    """Streaming dropDuplicates on (user_id, event_type): emits the
+    first occurrence of each key — projected to the key, that's exactly
+    DISTINCT, hence oracle-checkable."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+
+
+_STATE_SCHEMA = "n BIGINT, mx DOUBLE"
+_TOTALS_SCHEMA = "user_id BIGINT, n_events BIGINT, max_value DOUBLE"
+
+
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState (the Spark
+    analogue of a Flink keyed ProcessFunction): per-user running
+    count/max. Update mode; with AvailableNow file replay the final
+    emission per user equals the batch aggregate, which tests assert.
+
+    The state function is a *closure* on purpose: a module-level
+    function would be cloudpickled by reference, requiring this package
+    on every Python worker's import path — a closure ships by value and
+    runs on stock workers.
+    """
+
+    def user_totals(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, mx = state.get if state.exists else (0, float("-inf"))
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf):
+                mx = max(mx, float(pdf["value"].max()))
+        state.update((n, mx))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "max_value": [mx]}
+        )
+
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            user_totals,
+            outputStructType=_TOTALS_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,93 @@
+"""Property tests for rows-only LLM ops (the checks the DuckDB oracle
+can't express): MinHash recall vs exact Jaccard, SimHash planted dups,
+LSH-ANN score consistency vs brute force, multimodal byte stats."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from flink_luad_pipeline_spark.catalog import load
+from flink_luad_pipeline_spark.operators import dedup, multimodal, similarity
+from flink_luad_pipeline_spark.plans.llm_queries import _augmented
+
+
+def test_minhash_pairs_subset_of_exact(spark, sf_dir):
+    """Every minhash-verified pair must appear in the exact join with
+    the same (exact) Jaccard; planted copies (J=1.0) must be found."""
+    aug = _augmented(spark, sf_dir)
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.jaccard_pairs(aug, "doc_id", "text", threshold=0.4).collect()
+    }
+    mh = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.minhash_lsh_pairs(aug, "doc_id", "text", threshold=0.4).collect()
+    }
+    assert set(mh) <= set(exact)
+    for pair, j in mh.items():
+        assert abs(j - exact[pair]) < 1e-9
+    planted = {p for p, j in exact.items() if j == 1.0}
+    assert planted, "fixture should plant J=1.0 pairs"
+    # identical docs have identical signatures -> collide in every band
+    assert planted <= set(mh)
+
+
+def test_simhash_planted_duplicates(spark, sf_dir):
+    aug = _augmented(spark, sf_dir)
+    pairs = dedup.simhash_pairs(aug, "doc_id", "text").collect()
+    got = {(r.doc_a, r.doc_b): r.hamming for r in pairs}
+    docs = load(spark, sf_dir, "documents")
+    planted_ids = [
+        r.doc_id for r in docs.where(F.col("doc_id") % 10 == 0).collect()
+    ]
+    for i in planted_ids:
+        assert got.get((i, i + 1000000)) == 0  # identical text -> distance 0
+
+
+def test_lsh_ann_scores_match_brute_force(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    bf = {
+        (r.query_id, r.cand_id): r.sim
+        for r in similarity.brute_force_topk(queries, emb, k=1000000).collect()
+    }
+    ann = similarity.lsh_bucketed_topk(queries, emb, k=10).collect()
+    assert len(ann) > 0
+    for r in ann:
+        # bucketing only restricts candidates; scores must be identical
+        assert bf[(r.query_id, r.cand_id)] == r.sim
+
+
+def test_multimodal_features_match_python(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").limit(20)
+    binary = multimodal.attach_binary_payload(docs, "doc_id", "text")
+    feats = {r.doc_id: r for r in multimodal.extract_features(binary).collect()}
+    for row in docs.collect():
+        norm = " ".join(row.text.lower().split())
+        payload = hashlib.md5(norm.encode()).digest() * 4
+        f = feats[row.doc_id]
+        assert f.n_bytes == 64
+        assert abs(f.byte_mean - sum(payload) / 64) < 1e-9
+        assert abs(f.byte_entropy_proxy - len(set(payload)) / 256.0) < 1e-12
+        assert f.format == "fake/md5x4"
+
+
+def test_decode_image_is_stubbed():
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x00")
+
+
+def test_frame_sample_plan(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").limit(5)
+    binary = multimodal.attach_binary_payload(docs, "doc_id", "text")
+    plan = multimodal.frame_sample_plan(binary, every_n=4)
+    rows = plan.collect()
+    # 64-byte payload -> 16 "frames" -> sampled every 4 -> 4 rows/doc
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r.frame_idx)
+    assert all(sorted(v) == [0, 4, 8, 12] for v in per_doc.values())
