@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Protocol (BASELINE.md): warm SparkSession, each query timed end-to-end
+(plan -> collect), median of 3 runs after one warmup.
+
+Headline set: one representative per operator family —
+multi-join star agg, grouped moments, cross+anti missing-cells, in-group
+vector assembly, shuffle join, semi join, explode symmetrize, top-k,
+correlation self-join, iterative connected components, text stats,
+exact dedup, cosine top-k, streaming tumbling window.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "flagship_revenue_by_nation",
+    "a3_probe_moments",
+    "a4_missing_cells",
+    "a7_vector_assemble",
+    "j2_join_filter",
+    "j6_semi_join",
+    "p4_flatmap_symmetrize",
+    "b1_topk",
+    "c2_pearson_corr_edges",
+    "i1_c3_connected_components",
+    "ll1_text_stats",
+    "ll4_dedup_exact",
+    "ll8_cosine_topk",
+    "ss1_tumbling_window",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from flink_luad_pipeline_spark import catalog, plans
+    from flink_luad_pipeline_spark.session import get_spark
+
+    spark = get_spark("bench")
+    queries = plans.all_queries()
+
+    # warm the session (JVM, parquet footers, codegen) outside timing;
+    # catalog.load handles the events TIMESTAMP(NANOS) column
+    for t in ("lineitem", "events", "documents", "embeddings"):
+        catalog.load(spark, sf_dir, t).count()
+
+    per_query: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        fn(spark, sf_dir).collect()  # warmup run (not timed)
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            runs.append(time.perf_counter() - t0)
+        per_query[name] = round(statistics.median(runs), 4)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": round(sum(per_query.values()), 4),
+                "unit": "sec",
+                "queries": per_query,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -139,7 +139,12 @@ def minhash_lsh_pairs(
         "doc_id",
         "shingles",
         _minhash_signature(F.col("shingles"), num_hashes).alias("sig"),
-    )
+    ).cache()
+    # The cache is load-bearing, not an optimization nicety: without a
+    # materialization boundary Catalyst collapses the projection and
+    # re-inlines the (num_hashes x |shingles|)-hash signature expression
+    # into every band of the explode below AND into the verification
+    # join — observed 60x slowdown at sf0.1.
     banded = sh.select(
         "doc_id",
         F.explode(
