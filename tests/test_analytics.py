@@ -1,0 +1,143 @@
+"""Statistical/property checks for the analytics operators whose values
+have no SQL oracle (SURVEY §5.2): ALS holdout RMSE, correlation vs
+numpy, connected components vs a pure-Python union-find."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from flink_luad_pipeline_spark import ml
+from flink_luad_pipeline_spark.operators.graph import connected_components
+
+
+def test_als_holdout_rmse(spark):
+    """Mask 10% of a low-rank matrix; ALS must reconstruct the masked
+    cells far better than predicting the global mean (the 'is it
+    actually completing' acceptance test, since FlinkML/spark.ml λ
+    semantics differ and bit parity is impossible)."""
+    rng = random.Random(42)
+    n_samples, n_probes, rank = 40, 30, 3
+    u = [[rng.gauss(0, 1) for _ in range(rank)] for _ in range(n_samples)]
+    v = [[rng.gauss(0, 1) for _ in range(rank)] for _ in range(n_probes)]
+    cells = [
+        (s, p, sum(u[s][r] * v[p][r] for r in range(rank)))
+        for s in range(n_samples)
+        for p in range(n_probes)
+    ]
+    rng.shuffle(cells)
+    held_out = cells[: len(cells) // 10]
+    observed = cells[len(cells) // 10 :]
+
+    obs_df = spark.createDataFrame(
+        observed, "sample_id INT, probe_id INT, value DOUBLE"
+    )
+    completed = ml.als_complete(obs_df, reg_param=0.05, num_blocks=4)
+    got = {
+        (r.sample_id, r.probe_id): r.value
+        for r in completed.collect()
+        if not math.isnan(r.value)
+    }
+    mean = sum(c[2] for c in observed) / len(observed)
+    se_als, se_base, n = 0.0, 0.0, 0
+    for s, p, true in held_out:
+        if (s, p) in got:
+            se_als += (got[(s, p)] - true) ** 2
+            se_base += (mean - true) ** 2
+            n += 1
+    assert n > 0.9 * len(held_out)  # nearly all masked cells predicted
+    rmse_als = math.sqrt(se_als / n)
+    rmse_base = math.sqrt(se_base / n)
+    assert rmse_als < 0.5 * rmse_base, (rmse_als, rmse_base)
+
+
+def test_pearson_edges_match_numpy(spark):
+    """pearson_edges on a random dense matrix == numpy corrcoef."""
+    rng = np.random.default_rng(7)
+    mat = rng.normal(size=(25, 8))
+    rows = [
+        (int(s), int(p), float(mat[s, p]))
+        for s in range(mat.shape[0])
+        for p in range(mat.shape[1])
+    ]
+    df = spark.createDataFrame(rows, "sample_id INT, probe_id INT, value DOUBLE")
+    got = {
+        (r.probe_i, r.probe_j): r.r
+        for r in ml.pearson_edges(df, threshold=None).collect()
+    }
+    ref = np.corrcoef(mat, rowvar=False)
+    assert len(got) == 8 * 7 // 2
+    for (i, j), r in got.items():
+        assert abs(r - ref[i, j]) < 1e-9, (i, j, r, ref[i, j])
+
+
+def _union_find_components(edges, vertices):
+    parent = {v: v for v in vertices}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min vertex per component
+    comp_min = {}
+    for v in vertices:
+        r = find(v)
+        comp_min.setdefault(r, v)
+        comp_min[r] = min(comp_min[r], v)
+    return {v: comp_min[find(v)] for v in vertices}
+
+
+def test_connected_components_vs_union_find(spark):
+    """Random graph: driver-loop CC == union-find ground truth,
+    including isolated vertices and multi-hop label propagation."""
+    rng = random.Random(13)
+    vertices = list(range(120))
+    edges = [
+        (rng.randrange(120), rng.randrange(120)) for _ in range(90)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    expected = _union_find_components(edges, vertices)
+
+    e_df = spark.createDataFrame(edges, "src INT, dst INT")
+    v_df = spark.createDataFrame([(v,) for v in vertices], "vertex INT")
+    got = {
+        r.vertex: r.component
+        for r in connected_components(e_df, v_df).collect()
+    }
+    assert got == expected
+
+
+def test_svm_separable_accuracy(spark):
+    """Linearly separable clouds: train accuracy must be perfect and
+    holdout accuracy high — the C4/C5 statistical acceptance test."""
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(80):
+        label = i % 2 == 0
+        center = 3.0 if label else -3.0
+        vec = rng.normal(loc=center, scale=1.0, size=4)
+        rows.append((i, [float(x) for x in vec], bool(label)))
+    df = spark.createDataFrame(rows, "sample_id INT, arr ARRAY<DOUBLE>, tumorous BOOLEAN")
+    feats = df.select(
+        "sample_id", ml.array_to_vector(F.col("arr")).alias("features")
+    )
+    labels = df.select("sample_id", "tumorous")
+    train = feats.where(F.col("sample_id") < 60)
+    test = feats.where(F.col("sample_id") >= 60)
+    model = ml.svm_train(train, labels)
+    preds = {r.sample_id: r.prediction for r in ml.svm_predict(model, test).collect()}
+    correct = sum(
+        1
+        for i, p in preds.items()
+        if (p == 1.0) == (i % 2 == 0)
+    )
+    assert correct / len(preds) >= 0.9
