@@ -278,6 +278,46 @@ def ll9_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+@query(
+    "ll11_embedding_neardup",
+    oracle=(
+        "WITH e AS (SELECT vec_id, embedding FROM embeddings),"
+        " p AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,"
+        " round(list_sum(list_transform(range(1, len(a.embedding) + 1),"
+        " k -> CAST(a.embedding[k] AS DOUBLE) * CAST(b.embedding[k] AS DOUBLE)))"
+        " / (sqrt(list_sum(list_transform(a.embedding,"
+        " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+        " * sqrt(list_sum(list_transform(b.embedding,"
+        " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS sim"
+        " FROM e a JOIN e b ON a.vec_id < b.vec_id)"
+        " SELECT doc_a, doc_b, CAST(sim AS DECIMAL(18,6)) AS sim FROM p"
+        " WHERE sim >= 0.35"
+    ),
+)
+def ll11_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the fourth dedup tier):
+    all pairs with cosine >= 0.35, thresholded on the *rounded*
+    similarity on both sides so boundary pairs can't flip. Brute-force
+    pair join here (exact, oracle-checkable); the LSH-bucketed scale
+    path is ll9's machinery with a threshold filter."""
+    from ..functions.vectors import cosine_similarity
+
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("doc_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("doc_b"), F.col("embedding").alias("vb"))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(cosine_similarity(F.col("va"), F.col("vb")), 6)
+            .cast("decimal(18,6)")
+            .alias("sim"),
+        )
+        .where(F.col("sim") >= 0.35)
+    )
+
+
 @query("ll10_multimodal_features")  # rows-only: mapInPandas pipeline
 def ll10_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing: deterministic fake payloads -> Arrow-

@@ -663,6 +663,59 @@ def b1_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "b2_rollup",
+    oracle=(
+        "SELECT l_returnflag, l_linestatus, count(*) AS n,"
+        " CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))"
+        " AS total_qty FROM lineitem"
+        " GROUP BY ROLLUP (l_returnflag, l_linestatus)"
+    ),
+)
+def b2_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in hierarchical rollup (not in the reference — SURVEY §2.3
+    notes its absence; shipped as standard engine surface). Subtotal
+    rows carry NULL group keys on both engines."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("total_qty"),
+    )
+
+
+@query(
+    "b3_window_running_sum",
+    oracle=(
+        "SELECT o_custkey, o_orderkey,"
+        " CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))"
+        " OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        " AS DECIMAL(38,2)) AS running_total FROM orders"
+    ),
+)
+def b3_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in analytic window function: per-customer running order
+    total (deterministic frame: orderdate then unique orderkey).
+    DECIMAL so partial-order reshuffles can't change the hash."""
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("decimal(38,2)")
+        .alias("running_total"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Flagship (M1): multi-join star aggregation
 # ---------------------------------------------------------------------------
