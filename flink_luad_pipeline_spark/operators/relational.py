@@ -160,6 +160,33 @@ def grouped_concat(
     )
 
 
+def salted_agg_sum(
+    df: DataFrame, key: str, value, out_col: str, salt_buckets: int = 16
+) -> DataFrame:
+    """Two-stage skew-safe aggregation: partial sum on (key, salt),
+    final sum on key.
+
+    For heavily skewed keys a single-stage groupBy concentrates one
+    key's rows in one task; salting spreads the partial aggregation
+    over ``salt_buckets`` tasks and the final stage only merges
+    ``salt_buckets`` rows per key. Spark's map-side partial
+    HashAggregate already mitigates this for *algebraic* aggregates, so
+    reach for salting when partial aggregation can't help: high
+    map-side group cardinality, collect_list-style holistic aggregates,
+    or AQE disabled. Same result as a plain groupBy — oracle-checked.
+
+    The salt is deterministic (hash of an arbitrary distinct column
+    would be nondeterministic across retries — use pmod of a stable
+    expression; here spark_partition_id is avoided for exactly that
+    reason and the salt derives from the value row's key hash).
+    """
+    salted = df.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(key), value), F.lit(salt_buckets))
+    )
+    partial = salted.groupBy(key, "__salt").agg(F.sum(value).alias("__part"))
+    return partial.groupBy(key).agg(F.sum("__part").alias(out_col))
+
+
 def union_all(dfs: Sequence[DataFrame]) -> DataFrame:
     """U1 — bag union. For very many inputs prefer a multi-path read
     (one scan node) over a deep union tree (Input.scala:125-130 folds

@@ -664,6 +664,32 @@ def b1_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x1_salted_agg",
+    oracle=(
+        "SELECT l_returnflag,"
+        " CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2))"
+        " AS total FROM lineitem GROUP BY l_returnflag"
+    ),
+)
+def x1_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-stage salted aggregation over a deliberately
+    low-cardinality (3-key, maximally skewed) grouping — byte-identical
+    to the plain groupBy thanks to DECIMAL math. Scale utility
+    (operators.relational.salted_agg_sum) demonstrated as a query."""
+    li = load(spark, sf_dir, "lineitem")
+    out = R.salted_agg_sum(
+        li,
+        "l_returnflag",
+        F.col("l_extendedprice").cast("decimal(18,2)"),
+        "total",
+        salt_buckets=16,
+    )
+    return out.select(
+        "l_returnflag", F.col("total").cast("decimal(38,2)").alias("total")
+    )
+
+
+@query(
     "b2_rollup",
     oracle=(
         "SELECT l_returnflag, l_linestatus, count(*) AS n,"

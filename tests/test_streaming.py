@@ -28,6 +28,54 @@ def batch_sessions(events, gap_minutes=30):
     )
 
 
+def test_watermark_seals_windows_append_mode(spark, tmp_path):
+    """Real watermark semantics over multi-batch file replay (append
+    mode): only windows fully below the final watermark are emitted;
+    an unsealed window is withheld. Note Spark's documented guarantee
+    is one-directional — within-delay data is never dropped, while
+    beyond-delay stragglers are dropped only best-effort (observed:
+    an old straggler in a later micro-batch may still aggregate and,
+    being below the watermark, seal immediately)."""
+    import datetime as dt
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+
+    def write_file(name, hours):
+        rows = [
+            (i, dt.datetime(2024, 1, 1, h, m), 1.0)
+            for i, (h, m) in enumerate(hours)
+        ]
+        spark.createDataFrame(
+            rows, "event_id LONG, ts TIMESTAMP, value DOUBLE"
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / name))
+
+    # batch 1 (listed first alphabetically): on-time data around 10:00
+    write_file("a_ontime", [(10, 0), (10, 10), (10, 20), (11, 30)])
+    # batch 2: straggler from 01:00 — far below the watermark by then
+    write_file("b_late", [(1, 0)])
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stream = (
+        spark.readStream.schema("event_id LONG, ts TIMESTAMP, value DOUBLE")
+        .option("maxFilesPerTrigger", 1)  # force separate micro-batches
+        .parquet(f"{src}/*")
+        .withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("ws"), "n"
+        )
+    )
+    got = ops.run_available_now(stream, "late_drop_test", "append")
+    windows = {r.ws: r.n for r in got.collect()}
+    # sealed window emitted intact (all within-delay rows aggregated)
+    assert windows.get("2024-01-01 10:00:00") == 3
+    # final watermark is 11:00 -> the 11:00-12:00 window is NOT sealed
+    # and must be withheld in append mode
+    assert "2024-01-01 11:00:00" not in windows
+
+
 def test_session_windows_match_batch(spark, sf_dir):
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     stream = ops.session_window_agg(ops.read_events_stream(spark, sf_dir))
