@@ -71,6 +71,62 @@ def pearson_edges(
     return edges
 
 
+def pearson_edges_scalable(
+    matrix: DataFrame,
+    threshold: float | None = 0.8,
+    dimsum_threshold: float = 0.0,
+    sample_col: str = "sample_id",
+    probe_col: str = "probe_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """C2 at 100 TB scale — DIMSUM column-similarity route (SURVEY M4f).
+
+    Pearson r between two columns equals the cosine of the *centered*
+    columns (the (n-1) factors cancel), so: center per probe, build a
+    distributed RowMatrix (rows = samples), and run
+    ``columnSimilarities(dimsum_threshold)``. With dimsum_threshold=0
+    the result is exact (brute force per row, map-side); above 0 it
+    switches to DIMSUM sampling, whose cost is O(nnz · log p / thr)
+    instead of O(n · p²) — the reason this path survives wide matrices
+    where the self-join (pearson_edges) is quadratic in probes.
+
+    Requires a dense matrix (run ALS completion first, as the pipeline
+    does) — a missing cell would be treated as 0, which after centering
+    is wrong. Returns the same (probe_i, probe_j, r) contract with
+    probe_i > probe_j, NaN/zero-variance pairs dropped.
+
+    Caveat (measured): sampled mode (dimsum_threshold > 0) has high
+    estimator variance when the row count is small — at n=40 a planted
+    r=1.0 pair came back as 0.57. Use sampling only in the many-rows
+    regime it was designed for (DIMSUM's error bound tightens with
+    magnitude/row count); at small n keep dimsum_threshold=0 (exact).
+    """
+    from pyspark.mllib.linalg.distributed import CoordinateMatrix, MatrixEntry
+
+    means = matrix.groupBy(probe_col).agg(F.avg(value_col).alias("__mean"))
+    centered = matrix.join(means, probe_col).select(
+        F.col(sample_col).cast("long").alias("i"),
+        F.col(probe_col).cast("long").alias("j"),
+        (F.col(value_col) - F.col("__mean")).alias("v"),
+    )
+    entries = centered.rdd.map(lambda r: MatrixEntry(r.i, r.j, r.v))
+    row_matrix = CoordinateMatrix(entries).toRowMatrix()
+    sims = row_matrix.columnSimilarities(dimsum_threshold)
+    spark = matrix.sparkSession
+    edges = spark.createDataFrame(
+        sims.entries.map(lambda e: (int(e.i), int(e.j), float(e.value))),
+        f"{probe_col}_a LONG, {probe_col}_b LONG, r DOUBLE",
+    ).select(
+        F.greatest(f"{probe_col}_a", f"{probe_col}_b").alias("probe_i"),
+        F.least(f"{probe_col}_a", f"{probe_col}_b").alias("probe_j"),
+        "r",
+    )
+    edges = edges.where(F.col("r").isNotNull() & ~F.isnan(F.col("r")))
+    if threshold is not None:
+        edges = edges.where(F.abs(F.col("r")) >= F.lit(threshold))
+    return edges
+
+
 def assemble_features(
     matrix: DataFrame,
     sample_col: str = "sample_id",

@@ -74,6 +74,34 @@ def test_pearson_edges_match_numpy(spark):
         assert abs(r - ref[i, j]) < 1e-9, (i, j, r, ref[i, j])
 
 
+def test_pearson_scalable_matches_self_join(spark):
+    """The DIMSUM/RowMatrix scale path (pearson_edges_scalable) must
+    reproduce the exact self-join correlations, signs included."""
+    rng = np.random.default_rng(5)
+    mat = rng.normal(size=(30, 10))
+    mat[:, 3] = -mat[:, 2]  # planted r = -1
+    mat[:, 5] = 2 * mat[:, 4]  # planted r = +1
+    rows = [
+        (int(s), int(p), float(mat[s, p]))
+        for s in range(30)
+        for p in range(10)
+    ]
+    df = spark.createDataFrame(rows, "sample_id INT, probe_id INT, value DOUBLE")
+    exact = {
+        (r.probe_i, r.probe_j): r.r
+        for r in ml.pearson_edges(df, threshold=None).collect()
+    }
+    scalable = {
+        (r.probe_i, r.probe_j): r.r
+        for r in ml.pearson_edges_scalable(df, threshold=None).collect()
+    }
+    assert set(scalable) == set(exact)
+    for k, r in scalable.items():
+        assert abs(r - exact[k]) < 1e-12
+    assert abs(scalable[(3, 2)] + 1.0) < 1e-12
+    assert abs(scalable[(5, 4)] - 1.0) < 1e-12
+
+
 def _union_find_components(edges, vertices):
     parent = {v: v for v in vertices}
 

@@ -1,0 +1,80 @@
+"""Physical-plan regression tests: the scale-critical plan properties
+(.explain evidence, asserted programmatically so refactors can't
+silently regress them)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_luad_pipeline_spark import plans
+from flink_luad_pipeline_spark.catalog import load
+from flink_luad_pipeline_spark.operators import dedup
+
+QUERIES = plans.all_queries()
+
+
+def physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_flagship_broadcasts_dims_and_prunes_columns(spark, sf_dir):
+    plan = physical(QUERIES["flagship_revenue_by_nation"](spark, sf_dir))
+    # all four dimension joins broadcast — no shuffle join anywhere
+    assert plan.count("BroadcastHashJoin") == 4
+    assert "SortMergeJoin" not in plan
+    # lineitem scan reads only the 3 needed columns of 11
+    for line in plan.splitlines():
+        if "FileScan" in line and "lineitem" in line:
+            assert "l_extendedprice" in line and "l_shipdate" not in line
+    # partial aggregation before the exchange (map-side combine)
+    assert "partial_sum" in plan
+
+
+def test_filter_pushdown_reaches_parquet(spark, sf_dir):
+    df = (
+        load(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") > 45.0)
+        .select("l_orderkey")
+    )
+    plan = physical(df)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)" in plan
+
+
+def test_semi_join_filter_pushed_to_build_side(spark, sf_dir):
+    plan = physical(QUERIES["j6_semi_join"](spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "BUILDING" in plan  # dim filter evaluated at the scan, not post-join
+
+
+def test_topk_never_globally_sorts(spark, sf_dir):
+    plan = physical(QUERIES["b1_topk"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_dedup_paths_have_no_cartesian(spark, sf_dir):
+    """Candidate generation must be an equi-join on a bucket key —
+    a cartesian/BNLJ here would melt at scale."""
+    docs = load(spark, sf_dir, "documents")
+    for frame in (
+        dedup.minhash_lsh_pairs(docs, "doc_id", "text"),
+        dedup.simhash_pairs(docs, "doc_id", "text"),
+        dedup.jaccard_pairs(docs, "doc_id", "text"),
+    ):
+        plan = physical(frame)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_correlation_triangle_predicate_inside_join(spark, sf_dir):
+    plan = physical(QUERIES["c2_pearson_corr_edges"](spark, sf_dir))
+    # the upper-triangle predicate is a join condition, not a post-filter
+    joined = [ln for ln in plan.splitlines() if "Join" in ln and "probe_i" in ln]
+    assert any(">" in ln for ln in joined), plan
+
+
+def test_whole_stage_codegen_covers_scalar_query(spark, sf_dir):
+    plan = physical(QUERIES["p6_scalar_funcs"](spark, sf_dir))
+    # "*(N) Operator" is the WholeStageCodegen stage marker in the
+    # compact plan string — the whole scalar chain must live inside one
+    assert "*(1) Project" in plan or "WholeStageCodegen" in plan
+    assert "BatchScan" in plan or "FileScan" in plan
