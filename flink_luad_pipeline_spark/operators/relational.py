@@ -192,3 +192,60 @@ def union_all(dfs: Sequence[DataFrame]) -> DataFrame:
     (one scan node) over a deep union tree (Input.scala:125-130 folds
     586 per-file DataSets; SURVEY §2.5 U1 caveat)."""
     return functools.reduce(DataFrame.unionAll, dfs)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_col: str = "value",
+    out_col: str = "asof_value",
+) -> DataFrame:
+    """As-of join: attach to each left row the latest right row with
+    ``right_ts <= left_ts`` for the same ``on`` key (left-outer: NULL
+    when no prior right row exists).
+
+    Not in the reference (SURVEY §2.4 notes its absence) — shipped as
+    standard time-series engine surface. Spark has no ASOF JOIN
+    operator; the naive formulation (range join + per-key max) explodes
+    into an O(n·m) BroadcastNestedLoopJoin. The scalable formulation is
+    a single-shuffle merge: union both sides tagged, sort within each
+    key by (ts, side) with right rows ordered *before* left rows at
+    equal timestamps (ASOF is inclusive), and carry the last non-null
+    right value forward with last(ignorenulls) over an unbounded-
+    preceding frame. One shuffle on the key, one sort, no join at all —
+    this survives 100 TB because it is exactly the sort-merge pattern.
+
+    Right rows must be unique per (key, right_ts) for determinism —
+    pre-aggregate if needed (the query wrapper does max()).
+    """
+    from pyspark.sql.window import Window
+
+    l_tag = left.select(
+        F.col(on).alias("k"),
+        F.col(left_ts).alias("t"),
+        F.lit(1).alias("side"),
+        F.lit(None).cast("double").alias("rv"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("lrow"),
+    )
+    r_tag = right.select(
+        F.col(on).alias("k"),
+        F.col(right_ts).alias("t"),
+        F.lit(0).alias("side"),
+        F.col(value_col).cast("double").alias("rv"),
+        F.lit(None)
+        .cast(l_tag.schema["lrow"].dataType)
+        .alias("lrow"),
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = l_tag.unionByName(r_tag).withColumn(
+        out_col, F.last("rv", ignorenulls=True).over(w)
+    )
+    out = merged.where(F.col("side") == 1)
+    return out.select([F.col(f"lrow.{c}").alias(c) for c in left.columns] + [F.col(out_col)])

@@ -130,3 +130,76 @@ def lsh_bucketed_topk(
         .where(F.col("sim").isNotNull())
     )
     return _ranked(scored, k)
+
+
+def ivf_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    centroid_mod: int = 25,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: coarse-quantize candidates
+    into cells, search only the query's ``nprobe`` nearest cells.
+
+    Centroids are chosen deterministically (every ``centroid_mod``-th
+    vector by id) instead of k-means — "training-free" IVF. That keeps
+    the whole operator closed-form, so the DuckDB oracle can reproduce
+    it exactly; swapping in trained centroids changes recall, not the
+    dataflow. Ties broken by (sim desc, centroid_id asc) with rounding
+    *before* argmin, so both engines pick identical cells.
+
+    Scale shape: the centroid table is tiny (N/centroid_mod rows) and
+    broadcast; cell assignment is one narrow map over the candidate
+    scan; the probe-join is an equi-join on cell id — a plain shuffle
+    join at 100 TB, no broadcast of the big side, and each query scores
+    only ~nprobe/M of the corpus.
+    """
+    cents = candidates.where(F.col(id_col) % centroid_mod == 0).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centv")
+    )
+
+    def nearest_cells(df: DataFrame, in_id: str, out_id: str, vec: str, n: int):
+        w = Window.partitionBy(out_id).orderBy(
+            F.col("csim").desc(), F.col("centroid_id")
+        )
+        return (
+            df.select(F.col(in_id).alias(out_id), F.col(vec).alias("v"))
+            .crossJoin(F.broadcast(cents))
+            .select(
+                out_id,
+                "v",
+                "centroid_id",
+                F.round(
+                    cosine_similarity(F.col("v"), F.col("centv")), round_digits
+                ).alias("csim"),
+            )
+            .where(F.col("csim").isNotNull())
+            .withColumn("crank", F.row_number().over(w))
+            .where(F.col("crank") <= n)
+            .drop("csim", "crank")
+        )
+
+    assigned = nearest_cells(candidates, id_col, "cand_id", vec_col, 1)
+    probes = nearest_cells(queries, id_col, "query_id", vec_col, nprobe)
+    scored = (
+        assigned.withColumnRenamed("v", "cv")
+        .join(
+            probes.withColumnRenamed("v", "qv"),
+            "centroid_id",
+        )
+        .where(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(cosine_similarity(F.col("qv"), F.col("cv")), round_digits)
+            .alias("sim"),
+        )
+        .where(F.col("sim").isNotNull())
+        # no dedup needed: each candidate lives in exactly one cell and
+        # the query's nprobe cells are distinct, so pairs are unique
+    )
+    return _ranked(scored, k)

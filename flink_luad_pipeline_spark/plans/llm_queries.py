@@ -221,14 +221,20 @@ def ll7_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Similarity search
 # ---------------------------------------------------------------------------
 
-_COS_SQL = (
-    "round(list_sum(list_transform(range(1, len(qv) + 1),"
-    " i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))"
-    " / (sqrt(list_sum(list_transform(qv,"
-    " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
-    " * sqrt(list_sum(list_transform(cv,"
-    " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)"
-)
+def _cos_sql(a: str, b: str) -> str:
+    """DuckDB cosine-similarity expression between two list columns,
+    rounded to 6 digits (mirrors functions/vectors.cosine_similarity)."""
+    return (
+        f"round(list_sum(list_transform(range(1, len({a}) + 1),"
+        f" i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+        f" / (sqrt(list_sum(list_transform({a},"
+        " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+        f" * sqrt(list_sum(list_transform({b},"
+        " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)"
+    )
+
+
+_COS_SQL = _cos_sql("qv", "cv")
 
 
 @query(
@@ -255,6 +261,48 @@ def ll8_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = similarity.brute_force_topk(
         emb.where(F.col("vec_id") < 5), emb, k=10
     )
+    return out.select(
+        "query_id", "cand_id", F.col("sim").cast("decimal(18,6)").alias("sim"), "rank"
+    )
+
+
+_IVF_ORACLE = (
+    "WITH cents AS (SELECT vec_id AS centroid_id, embedding AS centv"
+    " FROM embeddings WHERE vec_id % 25 = 0),"
+    " cand_sc AS (SELECT c.vec_id AS cand_id, c.embedding AS cv, centroid_id,"
+    f" {_cos_sql('c.embedding', 'centv')} AS csim FROM embeddings c, cents),"
+    " assigned AS (SELECT cand_id, cv, centroid_id FROM ("
+    " SELECT cand_id, cv, centroid_id, row_number() OVER ("
+    " PARTITION BY cand_id ORDER BY csim DESC, centroid_id) AS r"
+    " FROM cand_sc WHERE csim IS NOT NULL) WHERE r = 1),"
+    " q_sc AS (SELECT q.vec_id AS query_id, q.embedding AS qv, centroid_id,"
+    f" {_cos_sql('q.embedding', 'centv')} AS csim"
+    " FROM embeddings q, cents WHERE q.vec_id < 5),"
+    " probes AS (SELECT query_id, qv, centroid_id FROM ("
+    " SELECT query_id, qv, centroid_id, row_number() OVER ("
+    " PARTITION BY query_id ORDER BY csim DESC, centroid_id) AS r"
+    " FROM q_sc WHERE csim IS NOT NULL) WHERE r <= 3),"
+    f" scored AS (SELECT query_id, cand_id, {_COS_SQL} AS sim"
+    " FROM assigned JOIN probes USING (centroid_id)"
+    " WHERE query_id <> cand_id),"
+    " ranked AS (SELECT query_id, cand_id, sim, row_number() OVER ("
+    " PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rank"
+    " FROM scored WHERE sim IS NOT NULL)"
+    " SELECT query_id, cand_id, CAST(sim AS DECIMAL(18,6)) AS sim,"
+    " CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= 10"
+)
+
+
+@query("ll12_ivf_ann_topk", oracle=_IVF_ORACLE)
+def ll12_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-10 (training-free coarse quantizer, nprobe=3).
+
+    Fully deterministic (mod-sampled centroids, rounded sims, explicit
+    tiebreaks) so the DuckDB oracle reproduces cell assignment AND
+    ranking exactly — the approximation itself is oracle-checked, not
+    just rows-only."""
+    emb = load(spark, sf_dir, "embeddings")
+    out = similarity.ivf_topk(emb.where(F.col("vec_id") < 5), emb, k=10)
     return out.select(
         "query_id", "cand_id", F.col("sim").cast("decimal(18,6)").alias("sim"), "rank"
     )

@@ -580,6 +580,50 @@ def j7_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.anti_join(cust, okeys, ["c_custkey"])
 
 
+@query(
+    "j8_asof_join",
+    oracle=(
+        "WITH r AS (SELECT user_id AS k, ts AS t, max(value) AS rv"
+        " FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),"
+        " l AS (SELECT event_id, user_id, ts, value FROM events"
+        " WHERE event_type = 'click')"
+        " SELECT l.event_id, l.user_id,"
+        " strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS ts,"
+        " CAST(round(l.value, 2) AS DECIMAL(18,2)) AS value,"
+        " CAST(round(r.rv, 2) AS DECIMAL(18,2)) AS asof_value"
+        " FROM l ASOF LEFT JOIN r ON l.user_id = r.k AND l.ts >= r.t"
+    ),
+)
+def j8_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 — as-of join: each click event picks up the latest prior (or
+    simultaneous) purchase value for the same user, NULL when none.
+
+    Spark side is operators/relational.asof_join — the union+sort+
+    last(ignorenulls) single-shuffle merge, NOT a range join. The
+    oracle is DuckDB's *native* ASOF LEFT JOIN, so the two
+    implementations are genuinely independent."""
+    ev = load(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    right = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    out = R.asof_join(
+        left, right, on="user_id", left_ts="ts", right_ts="ts",
+        value_col="value", out_col="asof_value",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.round("value", 2).cast("decimal(18,2)").alias("value"),
+        F.round("asof_value", 2).cast("decimal(18,2)").alias("asof_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.5 Set ops, repartition, in-group sort + generic built-ins
 # ---------------------------------------------------------------------------

@@ -169,3 +169,23 @@ def test_svm_separable_accuracy(spark):
         if (p == 1.0) == (i % 2 == 0)
     )
     assert correct / len(preds) >= 0.9
+
+
+def test_asof_join_semantics(spark):
+    from flink_luad_pipeline_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 1, "before_any"), (1, 5, "tie"), (1, 10, "after"), (2, 4, "lone_key")],
+        "k int, ts int, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 2, 100.0), (1, 5, 200.0), (3, 1, 999.0)],
+        "k int, ts int, value double",
+    )
+    out = {
+        r.tag: r.asof_value
+        for r in asof_join(left, right, on="k", left_ts="ts", right_ts="ts").collect()
+    }
+    # inclusive at equal ts; NULL before the first right row / for keys
+    # with no right rows; latest-not-exceeding otherwise
+    assert out == {"before_any": None, "tie": 200.0, "after": 200.0, "lone_key": None}
