@@ -5,7 +5,7 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 Protocol (BASELINE.md): warm SparkSession, each query timed end-to-end
-(plan -> collect), median of 3 runs after one warmup.
+(plan -> Arrow toPandas materialization), median of 3 runs after one warmup.
 
 Headline set: one representative per operator family —
 multi-join star agg, grouped moments, cross+anti missing-cells, in-group
@@ -58,11 +58,15 @@ def main() -> None:
     per_query: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
-        fn(spark, sf_dir).collect()  # warmup run (not timed)
+        # full driver materialization via Arrow (toPandas): same
+        # end-to-end semantics as collect() but batch-columnar transfer
+        # instead of py4j row-at-a-time pickling, which would otherwise
+        # dominate timings for queries returning ~1M rows
+        fn(spark, sf_dir).toPandas()  # warmup run (not timed)
         runs = []
         for _ in range(3):
             t0 = time.perf_counter()
-            fn(spark, sf_dir).collect()
+            fn(spark, sf_dir).toPandas()
             runs.append(time.perf_counter() - t0)
         per_query[name] = round(statistics.median(runs), 4)
 

@@ -68,13 +68,37 @@ def ss2_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain(agg, "ss2_sliding", "complete")
 
 
-@query("ss3_session_window")  # rows-only: session assignment is stateful
+@query(
+    "ss3_session_window",
+    oracle=(
+        # gaps-and-islands twin of session_window(gap=30min): a new
+        # session starts when the inactivity gap reaches 30 min (Spark
+        # session ranges are [ts, ts+gap), touching ranges don't merge);
+        # append mode emits only sessions sealed by the final watermark
+        # max(ts) - 1h, i.e. session_end <= max(ts) - 1h.
+        "WITH o AS (SELECT user_id, ts,"
+        " CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)"
+        " IS NULL OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)"
+        " >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess FROM events),"
+        " s AS (SELECT user_id, ts, sum(new_sess) OVER ("
+        " PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING)"
+        " AS sess_id FROM o),"
+        " g AS (SELECT user_id, min(ts) AS session_start,"
+        " max(ts) + INTERVAL 30 MINUTE AS session_end,"
+        " count(*) AS n_events FROM s GROUP BY user_id, sess_id)"
+        " SELECT user_id,"
+        " strftime(session_start, '%Y-%m-%d %H:%M:%S') AS session_start,"
+        " strftime(session_end, '%Y-%m-%d %H:%M:%S') AS session_end,"
+        " CAST(n_events AS BIGINT) AS n_events FROM g"
+        " WHERE session_end <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)"
+    ),
+)
 def ss3_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (30 min gap) per user, append mode. Only
-    sessions sealed by the final watermark are emitted — the
-    deterministic streaming semantics, intentionally not a batch
-    equivalent; batch gaps-and-islands parity is tested in
-    tests/test_streaming.py."""
+    sessions sealed by the final watermark (max event time - 1h) are
+    emitted; the oracle reproduces exactly that with gaps-and-islands
+    SQL plus the seal filter, so even the stateful streaming query is
+    value-checked, not just rows-only."""
     agg = ops.session_window_agg(_events(spark, sf_dir))
     return _drain(agg, "ss3_session", "append")
 
