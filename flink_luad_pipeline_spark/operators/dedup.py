@@ -8,8 +8,9 @@ code runs at 100 TB:
 - minhash:  word-shingles -> k minhashes -> banded LSH -> bucket join ->
             exact-Jaccard verify. Candidate volume is controlled by
             (bands, rows-per-band); verification joins only candidates.
-- simhash:  64-bit sign-of-sum signature -> pigeonhole chunk join ->
-            hamming verify via bit_count(xor).
+- simhash:  40-bit sign-of-sum signature (portable md5-derived token
+            hashes) -> pigeonhole chunk join -> hamming verify via
+            bit_count(xor).
 - jaccard:  exact n-gram Jaccard via shingle-explode + self-join on the
             shingle (inverted-index join, standard MapReduce shape).
 
@@ -93,18 +94,40 @@ def jaccard_pairs(
     )
 
 
-def _minhash_signature(shingles: Column, num_hashes: int) -> Column:
-    """k minhashes: min over shingles of xxhash64(i || shingle).
+# 40-bit base-hash domain and a prime just below 2^40. With a < 2^22
+# and h < 2^40 the affine probe a*h+b stays under 2^62 — no BIGINT
+# overflow even under ANSI mode, in Spark or DuckDB.
+MINHASH_P = (1 << 40) - 87
 
-    One pass over the shingle array per hash function, all in codegen;
-    no 64x row explosion.
+
+def portable_hash40(col: Column) -> Column:
+    """40-bit hash: first 10 hex chars of md5, parsed as BIGINT.
+
+    Deliberately *portable*: DuckDB reproduces it exactly
+    (md5 + hex parse), which is what lets the whole MinHash-LSH
+    pipeline be oracle-checked instead of rows-only. 40 bits is enough
+    for shingle hashing (birthday collisions merely perturb MinHash
+    estimates identically in both engines).
+    """
+    return F.conv(F.substring(F.md5(col), 1, 10), 16, 10).cast("bigint")
+
+
+def _minhash_signature(base_hashes: Column, num_hashes: int) -> Column:
+    """k minhashes: min over shingles of the i-th affine probe
+    (a_i*h + b_i) mod P over the per-shingle base hash.
+
+    The md5 base hash is computed ONCE per shingle (the caller
+    materializes it); the k probes are pure integer arithmetic — one
+    array pass per hash function, all in codegen, no 64x row explosion
+    and no 64x rehash.
     """
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda i: F.array_min(
             F.transform(
-                shingles,
-                lambda s: F.xxhash64(F.concat(i.cast("string"), F.lit("#"), s)),
+                base_hashes,
+                lambda h: ((40503 * i + 12345) * h + 94261 * i + 57)
+                % F.lit(MINHASH_P),
             )
         ),
     )
@@ -135,16 +158,22 @@ def minhash_lsh_pairs(
     Returns (doc_a, doc_b, jaccard).
     """
     rows_per_band = num_hashes // bands
-    sh = _shingled(df, id_col, text_col, k).select(
+    base = _shingled(df, id_col, text_col, k).select(
         "doc_id",
         "shingles",
-        _minhash_signature(F.col("shingles"), num_hashes).alias("sig"),
+        F.transform(F.col("shingles"), portable_hash40).alias("base"),
     ).cache()
-    # The cache is load-bearing, not an optimization nicety: without a
-    # materialization boundary Catalyst collapses the projection and
-    # re-inlines the (num_hashes x |shingles|)-hash signature expression
-    # into every band of the explode below AND into the verification
-    # join — observed 60x slowdown at sf0.1.
+    sh = base.select(
+        "doc_id",
+        "shingles",
+        _minhash_signature(F.col("base"), num_hashes).alias("sig"),
+    ).cache()
+    # Both caches are load-bearing, not optimization niceties: without
+    # materialization boundaries Catalyst collapses the projections and
+    # re-inlines (a) the per-shingle md5 base hash into all num_hashes
+    # probes and (b) the whole signature expression into every band of
+    # the explode below AND into the verification join — observed 60x
+    # slowdown at sf0.1.
     banded = sh.select(
         "doc_id",
         F.explode(
@@ -152,7 +181,7 @@ def minhash_lsh_pairs(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.struct(
                     b.alias("band"),
-                    F.xxhash64(
+                    portable_hash40(
                         F.concat_ws(
                             ",",
                             F.transform(
@@ -211,24 +240,31 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash(tokens: Column, bits: int = 64) -> Column:
-    """SimHash signature: per token a 64-bit hash; each bit votes ±1;
-    signature bit = sign of the vote sum. Returns BIGINT.
+def simhash(token_hashes: Column, bits: int = 40) -> Column:
+    """SimHash signature over pre-hashed tokens: each of the ``bits``
+    hash bits votes ±1 per token; signature bit = sign of the vote sum.
+    Returns BIGINT.
 
-    Built as Σ_b (vote_b > 0) * 2^b with shiftright/bitwise-and —
-    all codegen, no UDF.
+    Takes the per-token hash array (portable_hash40 — callers
+    materialize it ONCE so the md5 isn't re-evaluated per bit), default
+    width 40 bits to match that hash. Portable: DuckDB reproduces the
+    identical signature, so simhash pairs are oracle-checked. Built as
+    Σ_b (vote_b > 0) * 2^b with shiftright/bitwise-and — all codegen,
+    no UDF.
     """
     def vote_fn(b: int):
         # closure factory: a default-arg lambda would surface as a
         # 3-parameter lambda to Spark's higher-order-function binder
-        def merge(acc, t):
+        def merge(acc, h):
             return acc + F.when(
-                F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) == 1, 1
+                F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
             ).otherwise(-1)
 
         return merge
 
-    votes = [F.aggregate(tokens, F.lit(0), vote_fn(b)) for b in range(bits)]
+    votes = [
+        F.aggregate(token_hashes, F.lit(0), vote_fn(b)) for b in range(bits)
+    ]
     out = F.lit(0).cast("long")
     for b, v in enumerate(votes):
         # bit 63 is the sign bit of a signed long: adding -(2**63) sets
@@ -246,17 +282,24 @@ def simhash_pairs(
     text_col: str,
     max_hamming: int = 3,
     chunks: int = 4,
+    bits: int = 40,
 ) -> DataFrame:
-    """SimHash near-dup pairs: pigeonhole banding on 16-bit chunks
-    (hamming <= 3 => at least one of 4 chunks identical), then exact
-    hamming distance via bit_count(a XOR b). Returns
+    """SimHash near-dup pairs: pigeonhole banding on bits/chunks-wide
+    chunks (hamming <= 3 => at least one of 4 chunks identical), then
+    exact hamming distance via bit_count(a XOR b). Returns
     (doc_a, doc_b, hamming)."""
     assert chunks > max_hamming, "pigeonhole needs chunks > max_hamming"
-    width = 64 // chunks
-    sh = df.select(
+    width = bits // chunks
+    hashed = df.select(
         F.col(id_col).alias("doc_id"),
-        simhash(tokenize(F.col(text_col))).alias("sh"),
-    )
+        F.transform(tokenize(F.col(text_col)), portable_hash40).alias("th"),
+    ).cache()
+    # cache boundaries keep Catalyst from re-inlining (a) the md5 token
+    # hashes into all `bits` vote aggregates and (b) the whole
+    # signature into every chunk of the explode below
+    sh = hashed.select(
+        "doc_id", simhash(F.col("th"), bits).alias("sh")
+    ).cache()
     mask = (1 << width) - 1
     banded = sh.select(
         "doc_id",

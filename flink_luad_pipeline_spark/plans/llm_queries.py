@@ -196,10 +196,67 @@ def ll5_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ll6_minhash_lsh")  # rows-only: xxhash64 signatures have no SQL twin
+_BAND_STR = (
+    "array_to_string(list_transform(list_slice(sig, b * 4 + 1, b * 4 + 4),"
+    " x -> CAST(x AS VARCHAR)), ',')"
+)
+
+
+def _hex10(expr: str) -> str:
+    """DuckDB twin of dedup.portable_hash40: first 10 hex chars of md5
+    parsed as a 40-bit integer."""
+    return (
+        "list_sum(list_transform(range(1, 11), j ->"
+        f" CAST(strpos('0123456789abcdef', substr(md5({expr}), j, 1)) - 1"
+        " AS BIGINT) * (1::BIGINT << (4 * (10 - j)))))"
+    )
+
+
+_MINHASH_ORACLE = (
+    f"WITH aug AS ({_AUG_SQL}),"
+    f" tok AS (SELECT doc_id, {_TOKENS_SQL} AS tokens FROM aug),"
+    " sh AS (SELECT doc_id, list_distinct(CASE WHEN len(tokens) >= 3 THEN"
+    "   list_transform(range(1, len(tokens) - 1),"
+    "     i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])"
+    "   ELSE [] END) AS shingles FROM tok),"
+    " nz AS (SELECT doc_id, shingles, len(shingles) AS n_sh FROM sh"
+    "   WHERE len(shingles) > 0),"
+    f" based AS (SELECT doc_id, list_transform(shingles, s -> {_hex10('s')})"
+    "   AS base FROM nz),"
+    " sigs AS (SELECT doc_id, list_transform(range(0, 64), i ->"
+    "   list_min(list_transform(base, h ->"
+    f"   ((40503 * i + 12345) * h + 94261 * i + 57) % {dedup.MINHASH_P})))"
+    "   AS sig FROM based),"
+    " bands AS (SELECT doc_id, b,"
+    f" {_hex10(_BAND_STR)} AS bhash"
+    "   FROM sigs CROSS JOIN (SELECT unnest(range(0, 16)) AS b) bs),"
+    " cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b"
+    "   FROM bands x JOIN bands y ON x.b = y.b AND x.bhash = y.bhash"
+    "   AND x.doc_id < y.doc_id),"
+    " inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM nz),"
+    " inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i FROM cand c"
+    "   JOIN inv a ON a.doc_id = c.doc_a"
+    "   JOIN inv b ON b.doc_id = c.doc_b AND b.shingle = a.shingle"
+    "   GROUP BY c.doc_a, c.doc_b)"
+    " SELECT doc_a, doc_b,"
+    " CAST(round(i * 1.0 / (na.n_sh + nb.n_sh - i), 6) AS DECIMAL(18,6))"
+    " AS jaccard"
+    " FROM inter JOIN nz na ON na.doc_id = doc_a"
+    " JOIN nz nb ON nb.doc_id = doc_b"
+    " WHERE i * 1.0 / (na.n_sh + nb.n_sh - i) >= 0.4"
+)
+
+
+@query("ll6_minhash_lsh", oracle=_MINHASH_ORACLE)
 def ll6_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + banded LSH near-dup pairs, exact-verified (J >= 0.4).
-    Recall vs the exact join (ll5) is asserted in tests/test_llm_ops.py."""
+
+    The signature hash is the *portable* md5-derived scheme
+    (dedup.portable_hash40 + affine probes mod MINHASH_P), so the full
+    approximate pipeline — shingling, 64 minhashes, 16-band LSH
+    bucketing, candidate join, exact-Jaccard verification — is
+    reproduced verbatim by the DuckDB oracle. Recall vs the exact join
+    (ll5) is additionally asserted in tests/test_llm_ops.py."""
     pairs = dedup.minhash_lsh_pairs(
         _augmented(spark, sf_dir), "doc_id", "text", k=3, threshold=0.4
     )
@@ -210,11 +267,33 @@ def ll6_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ll7_simhash_pairs")  # rows-only: xxhash64-based signature
+_SIMHASH_ORACLE = (
+    f"WITH aug AS ({_AUG_SQL}),"
+    f" tok AS (SELECT doc_id, {_TOKENS_SQL} AS tokens FROM aug),"
+    f" hs AS (SELECT doc_id, list_transform(tokens, t -> {_hex10('t')})"
+    "   AS th FROM tok),"
+    " sig AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, 40),"
+    "   b -> CASE WHEN coalesce(list_sum(list_transform(th, h ->"
+    "   CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)), 0) > 0"
+    "   THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT) AS sh FROM hs),"
+    " banded AS (SELECT doc_id, sh, c, (sh >> (c * 10)) & 1023 AS ckey"
+    "   FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS c) cs),"
+    " pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,"
+    "   CAST(bit_count(xor(x.sh, y.sh)) AS INT) AS hamming"
+    "   FROM banded x JOIN banded y ON x.c = y.c AND x.ckey = y.ckey"
+    "   AND x.doc_id < y.doc_id)"
+    " SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3"
+)
+
+
+@query("ll7_simhash_pairs", oracle=_SIMHASH_ORACLE)
 def ll7_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (hamming <= 3 of 64 bits) via pigeonhole
-    chunk banding; planted exact copies land at hamming 0."""
-    return dedup.simhash_pairs(_augmented(spark, sf_dir), "doc_id", "text")
+    """SimHash near-dup pairs (hamming <= 3 of 40 bits) via pigeonhole
+    chunk banding; planted exact copies land at hamming 0. The token
+    hash is portable_hash40, so signature construction, chunk banding,
+    and hamming verification are all reproduced by the DuckDB oracle."""
+    out = dedup.simhash_pairs(_augmented(spark, sf_dir), "doc_id", "text")
+    return out.select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
 
 
 # ---------------------------------------------------------------------------
