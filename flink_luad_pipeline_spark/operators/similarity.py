@@ -63,31 +63,44 @@ def brute_force_topk(
     return _ranked(scored, k)
 
 
-def _hyperplane_bucket(vec, n_planes: int, dim: int):
-    """Sign-pattern bucket id from n pseudo-random hyperplanes.
-
-    Plane p's j-th component is a deterministic ±1 derived from
-    xxhash64(p, j) — reproducible anywhere, nothing to store, and
-    cheap: bucket = Σ_p [dot(plane_p, v) > 0] * 2^p.
+def hyperplane_signs(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic ±1 hyperplane components: sign = low bit of
+    md5(f"{p}#{j}")'s first 10 hex chars. Computed once at plan-build
+    (no per-row hashing) and trivially reproducible anywhere — in
+    particular in the DuckDB oracle, which inlines the same literals.
     """
-    def plane_fn(p: int):
-        # closure factory (a default-arg lambda would look like a
-        # 3-parameter lambda to the higher-order-function binder)
-        def component(x, j):
-            return x.cast("double") * F.when(
-                F.xxhash64(F.lit(p), j).bitwiseAND(F.lit(1)) == 1, 1.0
-            ).otherwise(-1.0)
+    import hashlib
 
-        return component
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"{p}#{j}".encode()).hexdigest()[:10], 16) & 1
+            else -1.0
+            for j in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
 
+
+def _hyperplane_bucket(vec, n_planes: int, dim: int):
+    """Sign-pattern bucket id from n deterministic hyperplanes:
+    bucket = Σ_p [dot(plane_p, v) > 0] * 2^p. Planes are literal ±1
+    arrays (hyperplane_signs), so the projection is one zip_with +
+    aggregate per plane, all codegen. The dot product is rounded to 6
+    digits before the sign test so engine fp-order can't flip a bucket
+    bit."""
+    planes = hyperplane_signs(n_planes, dim)
     bucket = F.lit(0)
     for p in range(n_planes):
+        signs = F.array(*[F.lit(s) for s in planes[p]])
         comp = F.aggregate(
-            F.zip_with(vec, F.sequence(F.lit(0), F.lit(dim - 1)), plane_fn(p)),
+            F.zip_with(vec, signs, lambda x, s: x.cast("double") * s),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
-        bucket = bucket + F.when(comp > 0, F.lit(2**p)).otherwise(F.lit(0))
+        bucket = bucket + F.when(F.round(comp, 6) > 0, F.lit(2**p)).otherwise(
+            F.lit(0)
+        )
     return bucket
 
 

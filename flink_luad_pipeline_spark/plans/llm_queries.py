@@ -387,10 +387,43 @@ def ll12_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ll9_ann_lsh_topk")  # rows-only: xxhash64-derived hyperplanes
+def _lsh_bucket_sql() -> str:
+    """DuckDB twin of similarity._hyperplane_bucket: the identical ±1
+    literal planes (hyperplane_signs) inlined as list constants."""
+    planes = similarity.hyperplane_signs(4, 64)
+    bits = []
+    for p, plane in enumerate(planes):
+        lits = "[" + ", ".join(f"{s:.1f}" for s in plane) + "]"
+        bits.append(
+            "CASE WHEN round(list_sum(list_transform(range(1, 65),"
+            f" j -> CAST(embedding[j] AS DOUBLE) * ({lits}[j]))), 6) > 0"
+            f" THEN {2**p} ELSE 0 END"
+        )
+    return " + ".join(bits)
+
+
+_LSH_ANN_ORACLE = (
+    "WITH bck AS (SELECT vec_id, embedding,"
+    f" {_lsh_bucket_sql()} AS bucket FROM embeddings),"
+    " q AS (SELECT vec_id AS query_id, embedding AS qv, bucket"
+    " FROM bck WHERE vec_id < 5),"
+    " c AS (SELECT vec_id AS cand_id, embedding AS cv, bucket FROM bck),"
+    f" scored AS (SELECT query_id, cand_id, {_COS_SQL} AS sim"
+    " FROM q JOIN c USING (bucket) WHERE query_id <> cand_id),"
+    " ranked AS (SELECT query_id, cand_id, sim, row_number() OVER ("
+    " PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rank"
+    " FROM scored WHERE sim IS NOT NULL)"
+    " SELECT query_id, cand_id, CAST(sim AS DECIMAL(18,6)) AS sim,"
+    " CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= 10"
+)
+
+
+@query("ll9_ann_lsh_topk", oracle=_LSH_ANN_ORACLE)
 def ll9_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate cosine top-10 (the scale path: bucket
-    equi-join instead of all-pairs). Recall vs ll8 asserted in tests."""
+    equi-join instead of all-pairs). The hyperplanes are literal ±1
+    arrays shared with the oracle, so bucketing AND ranking are
+    value-checked; recall vs ll8 additionally asserted in tests."""
     emb = load(spark, sf_dir, "embeddings")
     out = similarity.lsh_bucketed_topk(
         emb.where(F.col("vec_id") < 5), emb, k=10
@@ -445,11 +478,40 @@ def ll11_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ll10_multimodal_features")  # rows-only: mapInPandas pipeline
+_MM_ORACLE = (
+    # the fake payload is md5(text) bytes x4: n_bytes = 64, byte stats
+    # reduce to stats over the 16 digest bytes (repetition preserves
+    # mean; distinct-set unchanged). Divisions are by powers of two, so
+    # the doubles are exact in both engines.
+    "WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents),"
+    " b AS (SELECT doc_id, list_transform(range(0, 16), i ->"
+    " (strpos('0123456789abcdef', substr(hx, 2 * i + 1, 1)) - 1) * 16"
+    " + strpos('0123456789abcdef', substr(hx, 2 * i + 2, 1)) - 1)"
+    " AS bytes FROM h)"
+    " SELECT doc_id, CAST(64 AS INT) AS n_bytes,"
+    " CAST(round(list_sum(bytes) / 16.0, 6) AS DECIMAL(18,6)) AS byte_mean,"
+    " CAST(round(len(list_distinct(bytes)) / 256.0, 6) AS DECIMAL(18,6))"
+    " AS byte_entropy_proxy,"
+    " 'fake/md5x4' AS format FROM b"
+)
+
+
+@query("ll10_multimodal_features", oracle=_MM_ORACLE)
 def ll10_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing: deterministic fake payloads -> Arrow-
     batched mapInPandas feature extraction (byte stats standing in for
-    the stubbed media decode). Values asserted in tests/test_llm_ops.py."""
+    the stubbed media decode). The fake payload is md5-derived, so the
+    oracle recomputes the identical byte statistics in SQL — the whole
+    Python/Arrow path is value-checked end to end."""
     docs = load(spark, sf_dir, "documents")
     binary = multimodal.attach_binary_payload(docs, "doc_id", "text")
-    return multimodal.extract_features(binary)
+    feats = multimodal.extract_features(binary)
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        F.round("byte_mean", 6).cast("decimal(18,6)").alias("byte_mean"),
+        F.round("byte_entropy_proxy", 6)
+        .cast("decimal(18,6)")
+        .alias("byte_entropy_proxy"),
+        "format",
+    )
