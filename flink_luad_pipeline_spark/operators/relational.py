@@ -249,3 +249,66 @@ def asof_join(
     )
     out = merged.where(F.col("side") == 1)
     return out.select([F.col(f"lrow.{c}").alias(c) for c in left.columns] + [F.col(out_col)])
+
+
+def range_count_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lookback_sec: int = 600,
+    out_col: str = "n_matches",
+) -> DataFrame:
+    """Range (interval) join, counting form: for each left row, count
+    right rows with the same key and ``right_ts ∈ [left_ts - lookback,
+    left_ts)``. Left-outer: rows with no matches keep count 0.
+
+    Not in the reference (SURVEY §2.4 notes no theta/range joins) —
+    shipped as standard event-analytics surface. The naive plan is an
+    inequality join, which Spark executes as BroadcastNestedLoopJoin —
+    O(n·m) per key and a non-starter at scale. This implementation is
+    the standard *bucketed* interval join: both sides hash to
+    ``floor(epoch/lookback)`` buckets, the left probes its own and the
+    previous bucket (two candidate rows via explode — any right row in
+    range provably lands in one of the two), and the join becomes a
+    plain equi-join on (key, bucket) followed by the exact range
+    filter. Two shuffles on a compound key, no nested loop, skew
+    handled by AQE like any other equi-join.
+    """
+    lb = F.lit(lookback_sec)
+    lkey = F.col(on).alias("k")
+    l_b = (F.unix_timestamp(F.col(left_ts)) / lb).cast("long")
+    r_b = (F.unix_timestamp(F.col(right_ts)) / lb).cast("long")
+
+    probes = left.select(
+        F.struct(*[F.col(c) for c in left.columns]).alias("lrow"),
+        lkey,
+        F.col(left_ts).alias("lt"),
+        F.explode(F.array(l_b, l_b - 1)).alias("bucket"),
+    )
+    cands = right.select(
+        F.col(on).alias("k"),
+        F.col(right_ts).alias("rt"),
+        r_b.alias("bucket"),
+    )
+    matched = (
+        probes.join(cands, ["k", "bucket"], "left")
+        .withColumn(
+            "hit",
+            F.when(
+                (F.col("rt") >= F.col("lt") - F.expr(f"INTERVAL {int(lookback_sec)} SECOND"))
+                & (F.col("rt") < F.col("lt")),
+                1,
+            ).otherwise(0),
+        )
+        .groupBy("lrow", "lt")
+        .agg(F.sum("hit").alias(out_col))
+    )
+    # the two probe rows per left row were both left-joined; the groupBy
+    # on the full left row re-merges them, so counts are exact and
+    # zero-match rows survive
+    return matched.select(
+        [F.col(f"lrow.{c}").alias(c) for c in left.columns]
+        + [F.col(out_col).cast("bigint").alias(out_col)]
+    )

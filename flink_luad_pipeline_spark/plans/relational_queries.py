@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..operators import relational as R
-from ..sources import csv_io
+from ..sources import csv_io, json_io
 from .registry import query
 
 
@@ -621,6 +621,106 @@ def j8_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
         F.round("value", 2).cast("decimal(18,2)").alias("value"),
         F.round("asof_value", 2).cast("decimal(18,2)").alias("asof_value"),
+    )
+
+
+@query(
+    "j9_range_count_join",
+    oracle=(
+        "SELECT e.event_id, e.user_id,"
+        " strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts,"
+        " CAST(count(c.ts) AS BIGINT) AS n_clicks"
+        " FROM (SELECT event_id, user_id, ts FROM events"
+        " WHERE event_type = 'error') e"
+        " LEFT JOIN (SELECT user_id, ts FROM events"
+        " WHERE event_type = 'click') c"
+        " ON c.user_id = e.user_id"
+        " AND c.ts >= e.ts - INTERVAL 10 MINUTE AND c.ts < e.ts"
+        " GROUP BY e.event_id, e.user_id, e.ts"
+    ),
+)
+def j9_range_count_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9 — range (interval) join: clicks in the 10 minutes before each
+    error, per user. Spark side is the bucketed equi-join plan
+    (operators/relational.range_count_join — no nested loop); the
+    oracle is the naive inequality join, so plan and semantics are
+    checked independently."""
+    ev = load(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts")
+    out = R.range_count_join(
+        errors, clicks, on="user_id", lookback_sec=600, out_col="n_clicks"
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "n_clicks",
+    )
+
+
+@query(
+    "s7_scan_json_roundtrip",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def s7_scan_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 — JSON-lines sink + schema-first scan round-trip (no
+    inference pass; a corrupt line is planted and must be dropped)."""
+    nation = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    path = _tmp("s7_nation_json")
+    json_io.write_jsonl(nation, path)
+    json_io.write_jsonl(nation, path)  # twice: exercises OVERWRITE
+    with open(os.path.join(path, "zz_corrupt.json"), "w") as f:
+        f.write('{"n_nationkey": "not-an-int", "n_name": 3\n')
+    return json_io.read_jsonl(
+        spark, path, "n_nationkey INT, n_name STRING, n_regionkey INT"
+    )
+
+
+@query(
+    "s8_sink_parquet_partitioned",
+    oracle=(
+        "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,"
+        " CAST(round(sum(o_totalprice), 2) AS DECIMAL(18,2)) AS total"
+        " FROM orders WHERE o_orderstatus = 'F'"
+        " GROUP BY o_orderpriority"
+    ),
+)
+def s8_sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 — hive-partitioned parquet sink + partition-pruned read-back:
+    orders written partitionBy(o_orderstatus), then one partition
+    aggregated. The read filter prunes to a single partition directory
+    (PartitionFilters in the scan, not a post-filter) — the layout that
+    makes 100 TB fact tables scannable."""
+    orders = load(spark, sf_dir, "orders")
+    path = _tmp("s8_orders_part")
+    orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    back = spark.read.parquet(path).where(F.col("o_orderstatus") == "F")
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).cast("decimal(18,2)").alias("total"),
+    )
+
+
+@query(
+    "p7_json_extract",
+    oracle=(
+        "SELECT event_id, CAST(props->>'$.k' AS INT) AS k FROM events"
+        " WHERE CAST(props->>'$.k' AS INT) >= 50"
+    ),
+)
+def p7_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 — embedded-JSON field extraction (events.props) via from_json
+    with explicit schema, JVM-side; filter pushes into the scan."""
+    ev = load(spark, sf_dir, "events")
+    k = json_io.json_field(F.col("props"), "k INT", "k")
+    return (
+        ev.select("event_id", k.alias("k"))
+        .where(F.col("k") >= 50)
     )
 
 

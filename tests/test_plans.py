@@ -78,3 +78,30 @@ def test_whole_stage_codegen_covers_scalar_query(spark, sf_dir):
     # compact plan string — the whole scalar chain must live inside one
     assert "*(1) Project" in plan or "WholeStageCodegen" in plan
     assert "BatchScan" in plan or "FileScan" in plan
+
+
+def test_range_join_is_bucketed_equi_join(spark, sf_dir):
+    """j9 must run as an equi-join on (key, bucket) — the naive
+    inequality formulation degenerates to BroadcastNestedLoopJoin."""
+    plan = physical(QUERIES["j9_range_count_join"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_asof_join_is_single_shuffle_no_join(spark, sf_dir):
+    """j8's union+window formulation must not contain a join at all —
+    the range-join formulation would be a nested loop."""
+    plan = physical(QUERIES["j8_asof_join"](spark, sf_dir))
+    assert "Join" not in plan
+    assert "WindowExec" in plan or "Window" in plan
+
+
+def test_partitioned_sink_readback_prunes_partitions(spark, sf_dir):
+    """s8's read-back filter must prune to one partition directory at
+    planning time, not scan-then-filter."""
+    QUERIES["s8_sink_parquet_partitioned"](spark, sf_dir).collect()  # write
+    import os, tempfile
+    path = os.path.join(tempfile.gettempdir(), "flps_io", "s8_orders_part")
+    back = spark.read.parquet(path).where(F.col("o_orderstatus") == "F")
+    plan = physical(back)
+    assert "PartitionFilters: [isnotnull(o_orderstatus" in plan
