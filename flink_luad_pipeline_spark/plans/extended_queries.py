@@ -1,0 +1,249 @@
+"""Extended relational surface beyond the reference's own operators.
+
+The reference has no grouping sets, set operations, outer joins, window
+ranking, or pivot (SURVEY §2.3/§2.5 "Not present" lists) — but a user
+replacing it with this engine gets them as first-class, oracle-checked
+queries, since they are table stakes for any OLAP surface and all map to
+single Catalyst operators (Expand, SetOperation, SortMergeJoin(outer),
+Window, Pivot-as-Expand+agg).
+
+Scale notes (100 TB):
+- CUBE/ROLLUP expand each input row k-fold *before* the shuffle, but
+  partial aggregation collapses them map-side; the shuffle carries only
+  group keys × partial states.
+- INTERSECT/EXCEPT compile to aggregate+join (distinct semantics) —
+  one shuffle each side, AQE picks broadcast when a side is small.
+- Window ranking partitions by the window key: one hash shuffle, then
+  in-partition sort; no global sort.
+- Pivot with an explicit value list is a plain grouped agg (one
+  shuffle, 25 groups); without the list Spark needs an extra distinct
+  pass over the pivot column — always pass the list at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# B4 — CUBE with grouping_id (superset of the reference's plain groupBy A3)
+# ---------------------------------------------------------------------------
+
+B4_ORACLE = (
+    "SELECT o_orderstatus AS status, o_orderpriority AS priority,"
+    " CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,"
+    " count(*) AS n_orders,"
+    " CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total"
+    " FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)"
+)
+
+
+@query("b4_cube_agg", oracle=B4_ORACLE)
+def b4_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority) with grouping_id.
+
+    Catalyst plans this as Expand (4 projections per row) feeding one
+    partial+final HashAggregate — the 4x blowup never crosses the wire.
+    Spark's grouping_id() and DuckDB's GROUPING() share the
+    leftmost-arg-is-MSB convention (verified empirically).
+    """
+    orders = load(spark, sf_dir, "orders")
+    return orders.cube(
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("priority"),
+    ).agg(
+        F.grouping_id().cast("bigint").alias("gid"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B5 — INTERSECT / EXCEPT (distinct set semantics on both engines)
+# ---------------------------------------------------------------------------
+
+B5_ORACLE = (
+    "SELECT c_custkey AS custkey, 'with_orders' AS src FROM"
+    " (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'"
+    "  INTERSECT SELECT o_custkey FROM orders)"
+    " UNION ALL "
+    "SELECT c_custkey AS custkey, 'no_orders' AS src FROM"
+    " (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'"
+    "  EXCEPT SELECT o_custkey FROM orders)"
+)
+
+
+@query("b5_intersect_except", oracle=B5_ORACLE)
+def b5_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUILDING-segment customers split by order activity via
+    INTERSECT / EXCEPT (both distinct-set semantics, matching SQL).
+
+    Spark compiles both to aggregate + left-semi/anti join; at scale
+    each is one shuffle per side and AQE broadcasts the small side.
+    """
+    cust = (
+        load(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    ordered = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    both = cust.intersect(ordered).withColumn("src", F.lit("with_orders"))
+    only = cust.exceptAll(ordered.distinct()).distinct().withColumn(
+        "src", F.lit("no_orders")
+    )
+    return both.unionAll(only)
+
+
+# ---------------------------------------------------------------------------
+# B6 — FULL OUTER JOIN with null sides
+# ---------------------------------------------------------------------------
+
+B6_ORACLE = (
+    "SELECT coalesce(l.custkey, r.c_custkey) AS custkey,"
+    " l.custkey IS NOT NULL AS has_orders,"
+    " r.c_custkey IS NOT NULL AS in_segment"
+    " FROM (SELECT DISTINCT o_custkey AS custkey FROM orders) l"
+    " FULL OUTER JOIN"
+    " (SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY') r"
+    " ON l.custkey = r.c_custkey"
+)
+
+
+@query("b6_full_outer_join", oracle=B6_ORACLE)
+def b6_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of order-placing custkeys vs MACHINERY-segment
+    customers — rows with a null side on both ends (customers without
+    orders; order custkeys outside the segment).
+
+    The reference has no outer joins (SURVEY §2.4 "Not present"); Spark
+    plans this as sort-merge full-outer (outer joins can't broadcast
+    the preserved side). One shuffle per side on the join key.
+    """
+    left = (
+        load(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+    right = (
+        load(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "MACHINERY")
+        .select("c_custkey")
+    )
+    joined = left.join(right, left.custkey == right.c_custkey, "full_outer")
+    return joined.select(
+        F.coalesce(left.custkey, right.c_custkey).alias("custkey"),
+        left.custkey.isNotNull().alias("has_orders"),
+        right.c_custkey.isNotNull().alias("in_segment"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B7 — window ranking family: rank / dense_rank / lag
+# ---------------------------------------------------------------------------
+
+B7_ORACLE = (
+    "SELECT * FROM ("
+    " SELECT c_nationkey AS nation, c_custkey AS custkey,"
+    " CAST(round(c_acctbal, 2) AS DECIMAL(18,2)) AS acctbal,"
+    " CAST(rank() OVER w AS BIGINT) AS rnk,"
+    " CAST(dense_rank() OVER w AS BIGINT) AS drnk,"
+    " CAST(round(lag(c_acctbal) OVER w, 2) AS DECIMAL(18,2)) AS prev_bal"
+    " FROM customer"
+    " WINDOW w AS (PARTITION BY c_nationkey"
+    "              ORDER BY round(c_acctbal, 2) DESC, c_custkey)"
+    ") WHERE rnk <= 5"
+)
+
+
+@query("b7_window_rank", oracle=B7_ORACLE)
+def b7_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 customers per nation by account balance with rank,
+    dense_rank, and lag (previous balance in rank order).
+
+    One hash shuffle on the partition key, in-partition sort — no
+    global sort. Ordering is made deterministic by the (balance,
+    custkey) tiebreak; balances rounded on both sides so double
+    formatting can't disagree.
+    """
+    cust = load(spark, sf_dir, "customer")
+    bal = F.round(F.col("c_acctbal"), 2)
+    w = Window.partitionBy("c_nationkey").orderBy(bal.desc(), F.col("c_custkey"))
+    return (
+        cust.select(
+            F.col("c_nationkey").alias("nation"),
+            F.col("c_custkey").alias("custkey"),
+            bal.cast("decimal(18,2)").alias("acctbal"),
+            F.rank().over(w).cast("bigint").alias("rnk"),
+            F.dense_rank().over(w).cast("bigint").alias("drnk"),
+            F.round(F.lag("c_acctbal").over(w), 2)
+            .cast("decimal(18,2)")
+            .alias("prev_bal"),
+        )
+        .where(F.col("rnk") <= 5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# B8 — pivot (wide conditional aggregation)
+# ---------------------------------------------------------------------------
+
+B8_ORACLE = (
+    "SELECT o_orderpriority AS priority,"
+    " count(*) FILTER (WHERE o_orderstatus = 'O') AS cnt_open,"
+    " count(*) FILTER (WHERE o_orderstatus = 'F') AS cnt_filled,"
+    " count(*) FILTER (WHERE o_orderstatus = 'P') AS cnt_partial"
+    " FROM orders GROUP BY o_orderpriority"
+)
+
+
+@query("b8_pivot_counts", oracle=B8_ORACLE)
+def b8_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order counts by priority pivoted on status.
+
+    The explicit value list ['O','F','P'] matters at scale: without it
+    Spark runs an extra distinct job over the pivot column first. With
+    it, pivot is a single grouped aggregation (one shuffle, partial
+    agg map-side) — exactly the FILTER-agg the oracle runs.
+    """
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.col("o_orderpriority").alias("priority"))
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+        .withColumnRenamed("O", "cnt_open")
+        .withColumnRenamed("F", "cnt_filled")
+        .withColumnRenamed("P", "cnt_partial")
+        .na.fill(0, ["cnt_open", "cnt_filled", "cnt_partial"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# X2 — sketch aggregates (approximate: rows-only + statistical test)
+# ---------------------------------------------------------------------------
+
+
+@query("x2_sketch_aggs")  # no oracle: approximate results by design
+def x2_sketch_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL distinct-count + approximate median per return flag.
+
+    The 100 TB path for COUNT(DISTINCT) and exact percentiles — both
+    exact forms need a full shuffle of the distinct values / a global
+    sort; the sketches are single-pass, mergeable, fixed-memory
+    (HyperLogLog++ rsd=0.01, ~24 KB per group; GK quantile summary).
+    tests/test_analytics.py asserts relative error vs the exact
+    answers (<= 5% distinct, median within [p40, p60]).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

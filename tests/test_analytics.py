@@ -189,3 +189,26 @@ def test_asof_join_semantics(spark):
     # inclusive at equal ts; NULL before the first right row / for keys
     # with no right rows; latest-not-exceeding otherwise
     assert out == {"before_any": None, "tie": 200.0, "after": 200.0, "lone_key": None}
+
+
+def test_sketch_agg_accuracy(spark, sf_dir):
+    """x2 sketch aggregates must track exact answers: HLL distinct within
+    5% relative error; approx median inside the exact [p40, p60] band."""
+    from flink_luad_pipeline_spark.plans.extended_queries import x2_sketch_aggs
+
+    approx = {r.returnflag: r for r in x2_sketch_aggs(spark, sf_dir).collect()}
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    exact = {
+        r.returnflag: r
+        for r in li.groupBy(F.col("l_returnflag").alias("returnflag"))
+        .agg(
+            F.count_distinct("l_orderkey").alias("n_orders"),
+            F.expr("percentile(l_extendedprice, array(0.4, 0.6))").alias("band"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact) and len(approx) >= 2
+    for flag, a in approx.items():
+        e = exact[flag]
+        assert abs(a.approx_orders - e.n_orders) / e.n_orders <= 0.05
+        assert e.band[0] <= a.approx_median_price <= e.band[1]
