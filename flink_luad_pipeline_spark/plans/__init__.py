@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from . import (  # noqa: F401  (import side effect: registration)
     analytics_queries,
+    datapipe_queries,
     extended_queries,
     llm_queries,
     relational_queries,

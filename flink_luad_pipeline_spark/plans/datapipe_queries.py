@@ -1,0 +1,226 @@
+"""Training-data pipeline operators (beyond dedup/similarity, which
+live in llm_queries.py): context-window chunking, PII redaction,
+deterministic dataset splits, n-gram vocabulary building.
+
+These are the remaining ops a 100 TB LLM-corpus pipeline runs between
+"raw crawl" and "tokenized shards". All four are pure narrow/grouped
+transforms over ``documents`` — embarrassingly parallel except the
+vocabulary count (one shuffle on the n-gram key, partial-agg map-side).
+Everything stays in whole-stage codegen: higher-order array functions
+(transform/filter/slice/posexplode), no Python UDFs.
+
+Tokenization is shared with functions/text.py (lowercased alphanumeric
+runs), and every query has an exact DuckDB twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load
+from ..functions.text import tokenize
+from .registry import query
+
+# Tokenizer twins (see functions/text.py::tokenize)
+_DUCK_TOKS = (
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),"
+    " x -> x <> '')"
+)
+
+# ---------------------------------------------------------------------------
+# LL13 — context-window chunking (token windows, fixed size + stride)
+# ---------------------------------------------------------------------------
+
+CHUNK_SIZE = 32
+CHUNK_STRIDE = 24  # 8-token overlap between consecutive chunks
+
+LL13_ORACLE = (
+    f"WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t"
+    "  FROM documents WHERE doc_id < 200),"
+    " starts AS (SELECT doc_id, t,"
+    f"  unnest(range(0, greatest(len(t), 1), {CHUNK_STRIDE})) AS start"
+    "  FROM toks)"
+    " SELECT doc_id,"
+    f" CAST(start // {CHUNK_STRIDE} AS BIGINT) AS chunk_id,"
+    f" array_to_string(list_slice(t, start + 1, start + {CHUNK_SIZE}), ' ')"
+    "  AS chunk_text,"
+    f" CAST(least({CHUNK_SIZE}, len(t) - start) AS BIGINT) AS n_tokens"
+    " FROM starts"
+)
+
+
+@query("ll13_chunk_documents", oracle=LL13_ORACLE)
+def ll13_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split each document into overlapping token windows (size 32,
+    stride 24) — the context-window chunking step before tokenization.
+
+    Narrow transform: sequence() builds the start offsets, posexplode
+    fans out one row per chunk, slice() takes the window — all inside
+    whole-stage codegen, no shuffle at all. At 100 TB this is the ideal
+    shape: output partitioning inherits input partitioning and the
+    ~1.3x row fan-out never crosses the wire.
+    """
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("t"))
+    starts = toks.select(
+        "doc_id",
+        "t",
+        F.posexplode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.size("t") - 1, F.lit(0)),
+                F.lit(CHUNK_STRIDE),
+            )
+        ).alias("chunk_id", "start"),
+    )
+    window = F.slice(F.col("t"), F.col("start") + 1, CHUNK_SIZE)
+    return starts.select(
+        "doc_id",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.array_join(window, " ").alias("chunk_text"),
+        F.size(window).cast("bigint").alias("n_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# LL14 — PII redaction (emails, long digit runs, phone-ish patterns)
+# ---------------------------------------------------------------------------
+
+# The synthetic corpus has no PII, so both sides inject a deterministic
+# fake email + id-number per document FIRST, then redact. The injection
+# guarantees the redaction regexes actually fire (and any dialect
+# mismatch between engines would surface as a value diff).
+_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_DIGITS_RE = "[0-9]{6,}"
+
+LL14_ORACLE = (
+    "SELECT doc_id, regexp_replace(regexp_replace("
+    "  text || ' contact user' || CAST(doc_id AS VARCHAR)"
+    "   || '@example.com id ' || CAST(1000000 + doc_id AS VARCHAR),"
+    f"  '{_EMAIL_RE}', '<EMAIL>', 'g'),"
+    f"  '{_DIGITS_RE}', '<NUM>', 'g') AS redacted"
+    " FROM documents WHERE doc_id < 200"
+)
+
+
+@query("ll14_redact_pii", oracle=LL14_ORACLE)
+def ll14_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PII scrubbing — emails then 6+ digit runs, applied in a
+    fixed order so the passes compose deterministically.
+
+    Pure narrow map in codegen (JVM regex, no UDF). At 100 TB the regex
+    pass is CPU-bound and embarrassingly parallel; ordering matters
+    (email first, else the digits rule eats the mailbox numerals).
+    """
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com id "),
+        (F.col("doc_id") + 1000000).cast("string"),
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(injected, _EMAIL_RE, "<EMAIL>"),
+            _DIGITS_RE,
+            "<NUM>",
+        ).alias("redacted"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# LL15 — deterministic train/valid/test split (hash-mod, not rand())
+# ---------------------------------------------------------------------------
+
+LL15_ORACLE = (
+    "SELECT doc_id,"
+    " CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT)"
+    "   % 100 AS BIGINT) AS bucket,"
+    " CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT)"
+    "   % 100 < 80 THEN 'train'"
+    " WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT)"
+    "   % 100 < 90 THEN 'valid' ELSE 'test' END AS split"
+    " FROM documents"
+)
+
+
+@query("ll15_train_test_split", oracle=LL15_ORACLE)
+def ll15_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 split assignment by md5(doc_id) mod 100.
+
+    Hash-mod beats rand(): reproducible across runs/engines/retries,
+    stable under re-partitioning, and new documents never reshuffle old
+    assignments — the properties a training pipeline actually needs.
+    Narrow map, no shuffle; md5 is portable so DuckDB checks the exact
+    assignment, not just the split sizes.
+    """
+    docs = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    return docs.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "valid")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# LL16 — n-gram vocabulary (top-100 word bigrams, corpus-wide)
+# ---------------------------------------------------------------------------
+
+LL16_ORACLE = (
+    f"WITH toks AS (SELECT {_DUCK_TOKS} AS t FROM documents),"
+    " grams AS (SELECT t[i] || ' ' || t[i + 1] AS gram"
+    "  FROM toks, unnest(range(1, len(t))) AS u(i)),"
+    " counted AS (SELECT gram, count(*) AS n FROM grams GROUP BY gram)"
+    " SELECT gram, n, CAST(row_number() OVER (ORDER BY n DESC, gram)"
+    "  AS BIGINT) AS rank"
+    " FROM counted QUALIFY rank <= 100"
+)
+
+
+@query("ll16_ngram_vocab", oracle=LL16_ORACLE)
+def ll16_ngram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 word bigrams with counts — vocabulary/BPE-merge-table
+    building over the whole corpus.
+
+    transform(sequence(...)) materializes each document's bigram list
+    in codegen (guarded for 1-token docs: Spark's sequence(1,0) counts
+    DOWN, so it must not run unguarded), explode fans out, and the
+    count is one shuffle with map-side partial aggregation — the gram
+    key space, not the corpus, crosses the wire. Top-k via a single
+    global window over the (tiny) counted vocabulary.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(tokenize(F.col("text")).alias("t"))
+    grams = toks.select(
+        F.explode(
+            F.when(
+                F.size("t") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at("t", i), F.element_at("t", i + 1)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gram")
+    )
+    counted = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("gram"))
+    return (
+        counted.select(
+            "gram", "n", F.row_number().over(w).cast("bigint").alias("rank")
+        )
+        .where(F.col("rank") <= 100)
+    )
