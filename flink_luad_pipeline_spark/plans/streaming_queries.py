@@ -133,3 +133,50 @@ def ss5_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_events").alias("n_events"),
         F.round(F.max("max_value"), 6).cast("decimal(18,6)").alias("max_value"),
     )
+
+
+@query(
+    "ss6_stream_stream_join",
+    oracle=(
+        "SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,"
+        " strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_at,"
+        " strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_at"
+        " FROM events c JOIN events p ON c.user_id = p.user_id"
+        " AND c.event_type = 'click' AND p.event_type = 'purchase'"
+        " AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE"
+    ),
+)
+def ss6_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (click -> purchase within 30 min).
+    Watermarks + the event-time range bound the join state; with
+    AvailableNow replay every match is emitted exactly once, so the
+    append-mode result equals the batch interval join the oracle runs."""
+    ev = _events(spark, sf_dir)
+    joined = ops.stream_stream_click_purchase(ev, "30 minutes")
+    return _drain(joined, "ss6_ssjoin", "append")
+
+
+@query(
+    "ss7_stream_static_enrich",
+    oracle=(
+        "SELECT e.event_type, coalesce(c.c_mktsegment, 'Unknown') AS segment,"
+        " count(*) AS n, CAST(round(sum(e.value), 6) AS DECIMAL(18,6))"
+        " AS sum_value"
+        " FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey"
+        " GROUP BY 1, 2"
+    ),
+)
+def ss7_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment + complete-mode aggregation:
+    the canonical dimension-join pattern (static side re-broadcast per
+    micro-batch, zero stream state). Final complete-mode counts equal
+    the batch left join + group-by."""
+    from ..catalog import load
+
+    ev = _events(spark, sf_dir)
+    dim = load(spark, sf_dir, "customer")
+    agg = ops.stream_static_enrichment(ev, dim)
+    agg = agg.withColumn(
+        "sum_value", F.col("sum_value").cast("decimal(18,6)")
+    )
+    return _drain(agg, "ss7_enrich", "complete")

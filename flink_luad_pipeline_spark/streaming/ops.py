@@ -178,3 +178,75 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_stream_click_purchase(
+    events: DataFrame, max_gap: str = "30 minutes"
+) -> DataFrame:
+    """Stream-stream event-time interval join: each click matched to
+    purchases by the same user within ``max_gap`` after the click
+    (inclusive both ends) — the Flink IntervalJoin / CEP-followed-by
+    shape, and the one genuinely *stateful join* in the surface.
+
+    Both sides carry watermarks plus a range condition on event time,
+    which is what lets Spark bound join state: a buffered click can be
+    dropped once the purchase-side watermark passes click_ts + max_gap.
+    At 100 TB the state size is O(events inside the watermark horizon),
+    not O(stream) — without the time bound this join is unrunnable.
+    """
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {max_gap}")),
+        "inner",
+    )
+    return joined.select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_at"),
+        F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_at"),
+    )
+
+
+def stream_static_enrichment(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static join: enrich the event stream with a broadcast
+    dimension table, then aggregate per (event_type, segment).
+
+    The static side is planned as a broadcast hash join against every
+    micro-batch — no stream state at all, the canonical dimension-
+    enrichment pattern. Left join keeps events with no dimension row
+    (null segment), mirroring the reference's dict_decode default
+    (PipeLine.scala:30 "Unknown").
+    """
+    enriched = events.join(
+        F.broadcast(dim),
+        events.user_id == dim.c_custkey,
+        "left",
+    )
+    return enriched.groupBy(
+        F.col("event_type"),
+        F.coalesce(F.col("c_mktsegment"), F.lit("Unknown")).alias("segment"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
