@@ -103,3 +103,61 @@ def payload_checksum(binary_df: DataFrame) -> DataFrame:
     return binary_df.select(
         "doc_id", F.hex(F.md5(F.col("payload").cast("binary"))).alias("checksum")
     )
+
+
+WINDOW_STATS_SCHEMA = "doc_id BIGINT, win_idx INT, win_mean DOUBLE, win_max BIGINT"
+
+
+def attach_multiwindow_payload(
+    df: DataFrame, id_col: str, text_col: str, windows: int = 4
+) -> DataFrame:
+    """Deterministic fake audio-ish payload with *distinct* 16-byte
+    windows (window w = md5 digest of text + suffix), so windowed
+    processing produces non-constant, oracle-reproducible output."""
+    suffixes = ["", "a", "b", "c", "d", "e", "f", "g"][:windows]
+    payload = F.concat(
+        *[F.unhex(F.md5(F.concat(F.col(text_col), F.lit(s)))) for s in suffixes]
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        payload.alias("payload"),
+        F.struct(
+            F.lit("fake/pcm16x4").alias("format"),
+            F.length(payload).alias("n_bytes"),
+            F.lit(16).alias("win_bytes"),
+        ).alias("meta"),
+    )
+
+
+def window_byte_stats(binary_df: DataFrame) -> DataFrame:
+    """Audio-style windowed stats: split each payload into fixed-size
+    byte windows and emit per-window mean/max — the mapInPandas 1->N
+    expansion a real frame/sample feature extractor uses (decode
+    stubbed; batch iteration, fan-out, and schema are the real thing).
+
+    Arrow ships whole payload batches to Python once; each batch fans
+    out to n_windows rows. At 100 TB this is the right boundary: the
+    heavy bytes cross to Python exactly once, stats come back tiny.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "doc_id": [],
+                "win_idx": [],
+                "win_mean": [],
+                "win_max": [],
+            }
+            for doc_id, payload, meta in zip(
+                pdf["doc_id"], pdf["payload"], pdf["meta"]
+            ):
+                wb = int(meta["win_bytes"])
+                for w in range(0, max(len(payload) // wb, 0)):
+                    chunk = payload[w * wb : (w + 1) * wb]
+                    out["doc_id"].append(doc_id)
+                    out["win_idx"].append(w)
+                    out["win_mean"].append(sum(chunk) / len(chunk))
+                    out["win_max"].append(max(chunk))
+            yield pd.DataFrame(out)
+
+    return binary_df.mapInPandas(batches, WINDOW_STATS_SCHEMA)

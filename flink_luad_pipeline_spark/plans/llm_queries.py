@@ -515,3 +515,36 @@ def ll10_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("byte_entropy_proxy"),
         "format",
     )
+
+
+LL17_ORACLE = (
+    "WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),"
+    " wins AS (SELECT doc_id, w, md5(text || ['','a','b','c'][w + 1]) AS h"
+    "  FROM d, unnest(range(0, 4)) t(w)),"
+    " bytes AS (SELECT doc_id, w,"
+    "  CAST('0x' || substr(h, 2 * j + 1, 2) AS BIGINT) AS b"
+    "  FROM wins, unnest(range(0, 16)) u(j))"
+    " SELECT doc_id, CAST(w AS INT) AS win_idx,"
+    " round(sum(b) / 16.0, 6) AS win_mean,"
+    " CAST(max(b) AS BIGINT) AS win_max"
+    " FROM bytes GROUP BY doc_id, w"
+)
+
+
+@query("ll17_window_byte_stats", oracle=LL17_ORACLE)
+def ll17_window_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio/video-style windowed binary processing: fixed-size byte
+    windows per payload -> per-window mean/max via Arrow-batched
+    mapInPandas (multimodal.window_byte_stats). Payload windows are
+    distinct md5 digests of the doc text, so DuckDB reconstructs the
+    exact bytes from the hex digest and checks every stat — the Python
+    fan-out path is value-checked, not just shape-checked."""
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    binary = multimodal.attach_multiwindow_payload(docs, "doc_id", "text")
+    stats = multimodal.window_byte_stats(binary)
+    return stats.select(
+        "doc_id",
+        "win_idx",
+        F.round("win_mean", 6).alias("win_mean"),
+        "win_max",
+    )

@@ -105,3 +105,38 @@ def test_partitioned_sink_readback_prunes_partitions(spark, sf_dir):
     back = spark.read.parquet(path).where(F.col("o_orderstatus") == "F")
     plan = physical(back)
     assert "PartitionFilters: [isnotnull(o_orderstatus" in plan
+
+
+def test_chunking_is_narrow_no_shuffle(spark, sf_dir):
+    """ll13 chunking must be a pure narrow transform — any Exchange
+    here would shuffle the whole corpus for a per-row fan-out."""
+    plan = physical(QUERIES["ll13_chunk_documents"](spark, sf_dir))
+    assert "Exchange" not in plan
+
+
+def test_split_assignment_is_narrow_no_shuffle(spark, sf_dir):
+    plan = physical(QUERIES["ll15_train_test_split"](spark, sf_dir))
+    assert "Exchange" not in plan
+
+
+def test_cube_expands_before_partial_agg(spark, sf_dir):
+    """b4 CUBE: Expand feeds a partial HashAggregate — the 4x row
+    blowup is collapsed map-side, never crossing the shuffle."""
+    plan = physical(QUERIES["b4_cube_agg"](spark, sf_dir))
+    assert "Expand" in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_pivot_is_single_aggregation(spark, sf_dir):
+    """b8 pivot with an explicit value list: one grouped agg, no extra
+    distinct pass over the pivot column (no second Exchange)."""
+    plan = physical(QUERIES["b8_pivot_counts"](spark, sf_dir))
+    assert plan.count("Exchange") <= 2  # agg shuffle (+AQE read), nothing more
+    assert "partial_count" in plan or "count" in plan
+
+
+def test_vocab_counts_partial_aggregate(spark, sf_dir):
+    """ll16 n-gram count: map-side partial agg so gram keys (not the
+    exploded corpus) cross the wire."""
+    plan = physical(QUERIES["ll16_ngram_vocab"](spark, sf_dir))
+    assert "partial_count" in plan
