@@ -935,3 +935,44 @@ def flagship_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("revenue").desc(), F.col("nation"))
     )
+
+
+S9_ORACLE = (
+    "SELECT o_orderstatus AS status, count(*) AS n_items,"
+    " CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2))"
+    " AS revenue"
+    " FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"
+    " GROUP BY o_orderstatus"
+)
+
+
+@query("s9_bucketed_colocated_join", oracle=S9_ORACLE)
+def s9_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located big-big join over bucketed tables: both sides persisted
+    hash-bucketed by the join key (sources/bucketed.py), so the join
+    itself runs with ZERO shuffle — each bucket pair joins locally
+    (asserted in tests/test_plans.py). The merge hint keeps Spark from
+    broadcasting the (locally tiny) orders side, which would hide the
+    co-location being demonstrated; at real scale neither side fits a
+    broadcast anyway.
+    """
+    from ..sources import bucketed
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    bucketed.write_bucketed(li, "flps_li_b", "l_orderkey", 8)
+    bucketed.write_bucketed(orders, "flps_orders_b", "o_orderkey", 8)
+    li_b = bucketed.read_bucketed(spark, "flps_li_b").hint("merge")
+    o_b = bucketed.read_bucketed(spark, "flps_orders_b")
+    return (
+        li_b.join(o_b, li_b.l_orderkey == o_b.o_orderkey)
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("revenue"),
+        )
+    )

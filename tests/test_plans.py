@@ -140,3 +140,13 @@ def test_vocab_counts_partial_aggregate(spark, sf_dir):
     exploded corpus) cross the wire."""
     plan = physical(QUERIES["ll16_ngram_vocab"](spark, sf_dir))
     assert "partial_count" in plan
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    """s9: both sides bucketed by the join key -> the join reads
+    SelectedBucketsCount scans and needs no Exchange; the only shuffle
+    in the whole query is the final 3-group aggregation."""
+    plan = physical(QUERIES["s9_bucketed_colocated_join"](spark, sf_dir))
+    assert "SortMergeJoin" in plan
+    assert "SelectedBucketsCount" in plan
+    assert plan.count("Exchange") <= 1, plan
