@@ -224,3 +224,59 @@ def ll16_ngram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rank") <= 100)
     )
+
+
+# ---------------------------------------------------------------------------
+# LL18 — corpus mixture sampling (per-source weights, deterministic)
+# ---------------------------------------------------------------------------
+
+_BUCKET_SQL = (
+    "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100"
+)
+
+LL18_ORACLE = (
+    "WITH weighted AS (SELECT doc_id, source,"
+    " CASE CAST(regexp_extract(source, 'src(\\d+)', 1) AS BIGINT) % 4"
+    "  WHEN 0 THEN 100 WHEN 1 THEN 50 WHEN 2 THEN 25 ELSE 10 END AS weight,"
+    f" {_BUCKET_SQL} AS bucket"
+    " FROM documents)"
+    " SELECT doc_id, source, CAST(weight AS BIGINT) AS weight"
+    " FROM weighted WHERE bucket < weight"
+)
+
+
+@query("ll18_stratified_sample", oracle=LL18_ORACLE)
+def ll18_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixture sampling: each source stratum keeps a configured
+    fraction (100/50/25/10% by source id mod 4) of its documents,
+    selected by the same portable hash-mod as ll15 — deterministic,
+    engine-independent, stable under re-partitioning and incremental
+    appends (a new document never changes an old keep/drop decision).
+
+    This is the "mixture weights" step of training-corpus assembly.
+    Narrow map + filter, no shuffle; at 100 TB the filter prunes rows
+    at scan time per stratum.
+    """
+    docs = load(spark, sf_dir, "documents")
+    src_num = F.regexp_extract("source", r"src(\d+)", 1).cast("bigint")
+    weight = (
+        F.when(src_num % 4 == 0, 100)
+        .when(src_num % 4 == 1, 50)
+        .when(src_num % 4 == 2, 25)
+        .otherwise(10)
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            weight.cast("bigint").alias("weight"),
+            bucket.alias("bucket"),
+        )
+        .where(F.col("bucket") < F.col("weight"))
+        .drop("bucket")
+    )
