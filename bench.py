@@ -11,7 +11,9 @@ Headline set: one representative per operator family —
 multi-join star agg, grouped moments, cross+anti missing-cells, in-group
 vector assembly, shuffle join, semi join, explode symmetrize, top-k,
 correlation self-join, iterative connected components, text stats,
-exact dedup, cosine top-k, streaming tumbling window.
+exact dedup, cosine top-k, document chunking, n-gram vocabulary, CUBE,
+bucketed co-located join (timing includes writing both bucketed tables),
+streaming tumbling window.
 """
 
 from __future__ import annotations
@@ -38,6 +40,10 @@ HEADLINE = [
     "ll1_text_stats",
     "ll4_dedup_exact",
     "ll8_cosine_topk",
+    "ll13_chunk_documents",
+    "ll16_ngram_vocab",
+    "b4_cube_agg",
+    "s9_bucketed_colocated_join",
     "ss1_tumbling_window",
 ]
 
