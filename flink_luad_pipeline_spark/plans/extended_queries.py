@@ -247,3 +247,35 @@ def x2_sketch_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+# ---------------------------------------------------------------------------
+# B9 — SQL front door: correlated EXISTS + scalar subquery via spark.sql
+# ---------------------------------------------------------------------------
+
+B9_SQL = (
+    "SELECT c.c_custkey AS custkey, c.c_acctbal_r AS acctbal"
+    " FROM (SELECT c_custkey, CAST(round(c_acctbal, 2) AS DECIMAL(18,2))"
+    "       AS c_acctbal_r, c_nationkey FROM customer) c"
+    " WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"
+    " AND c.c_acctbal_r > (SELECT CAST(round(avg(c_acctbal), 2) AS"
+    "     DECIMAL(18,2)) FROM customer c2"
+    "     WHERE c2.c_nationkey = c.c_nationkey)"
+)
+
+
+@query("b9_sql_subqueries", oracle=B9_SQL)
+def b9_sql_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL front door: the engine's tables registered as views and
+    queried with ANSI SQL — correlated EXISTS (decorrelated by Catalyst
+    into a left-semi join) plus a correlated scalar subquery
+    (decorrelated into an aggregate + join). The oracle is the same
+    SQL text run by DuckDB, so the decorrelation is value-checked.
+
+    Customers with at least one order whose balance beats their
+    nation's average balance.
+    """
+    from ..catalog import register_all
+
+    register_all(spark, sf_dir)
+    return spark.sql(B9_SQL)

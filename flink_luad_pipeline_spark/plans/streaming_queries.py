@@ -180,3 +180,33 @@ def ss7_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_value", F.col("sum_value").cast("decimal(18,6)")
     )
     return _drain(agg, "ss7_enrich", "complete")
+
+
+@query(
+    "ss8_foreach_batch_sink",
+    oracle=(
+        "SELECT user_id, count(*) AS n,"
+        " CAST(round(sum(value), 6) AS DECIMAL(18,6)) AS sum_value"
+        " FROM events GROUP BY user_id"
+    ),
+)
+def ss8_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom streaming sink: complete-mode per-user totals written by
+    foreachBatch into per-batch parquet directories (idempotent
+    overwrite = effectively-exactly-once files); the query returns the
+    final snapshot read back from disk, which equals the batch
+    aggregate."""
+    import os
+    import tempfile
+
+    ev = _events(spark, sf_dir)
+    agg = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 6).cast("decimal(18,6)").alias("sum_value"),
+    )
+    path = os.path.join(
+        tempfile.gettempdir(), "flps_fbsink", f"run_{next(_COUNTER)}"
+    )
+    os.makedirs(path, exist_ok=True)
+    final_dir = ops.foreach_batch_parquet_sink(agg, path)
+    return spark.read.parquet(final_dir)

@@ -250,3 +250,33 @@ def stream_static_enrichment(events: DataFrame, dim: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("value"), 6).alias("sum_value"),
     )
+
+
+def foreach_batch_parquet_sink(stream_df: DataFrame, path: str) -> str:
+    """Custom sink via foreachBatch: every micro-batch lands in its own
+    ``batch=<id>`` directory with mode=overwrite — the idempotent-write
+    pattern that gives effectively-exactly-once file output (a retried
+    batch overwrites its own directory instead of duplicating rows).
+
+    With complete output mode each directory is a full snapshot, so the
+    highest batch id is the final result. Returns the directory of that
+    final snapshot. At scale foreachBatch is also where batch-only
+    features (bucketed writes, MERGE into a warehouse table, JDBC
+    upserts) attach to a stream.
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(path, f"batch={batch_id}")
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    batches = [d for d in os.listdir(path) if d.startswith("batch=")]
+    last = max(batches, key=lambda d: int(d.split("=", 1)[1]))
+    return os.path.join(path, last)
