@@ -46,6 +46,10 @@ def connected_components(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("w"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("w")))
         .distinct()
+        # materialized once: every superstep joins against sym, and
+        # without this the union+distinct (a full shuffle) re-executes
+        # per iteration
+        .localCheckpoint()
     )
     if vertices is None:
         vertices = sym.select(F.col("u").alias("vertex")).distinct()
@@ -64,27 +68,27 @@ def connected_components(
         )
         # A5: min candidate label per neighbor
         cand = msgs.groupBy("vertex").agg(F.min("component").alias("cand"))
-        # J2: keep only strict improvements (conditional update join)
-        upd = (
-            labels.join(cand, "vertex")
-            .where(F.col("cand") < F.col("component"))
-            .select("vertex", F.col("cand").alias("component"))
-        )
-        upd = upd.localCheckpoint()  # truncate lineage per superstep
-        if upd.isEmpty():
-            break
+        # J2 fused with the solution-set update: one left join computes
+        # both the new label (min of old and candidate) and the changed
+        # flag, so each superstep runs TWO jobs (checkpoint + isEmpty)
+        # instead of three — at small scale the per-job latency, not the
+        # data, dominates superstep cost.
+        improved = F.col("cand") < F.col("component")
         labels = (
-            labels.alias("l")
-            .join(upd.alias("u"), "vertex", "left")
+            labels.join(cand, "vertex", "left")
             .select(
                 "vertex",
-                F.coalesce(F.col("u.component"), F.col("l.component")).alias(
-                    "component"
-                ),
+                F.when(improved, F.col("cand"))
+                .otherwise(F.col("component"))
+                .alias("component"),
+                F.coalesce(improved, F.lit(False)).alias("changed"),
             )
-            .localCheckpoint()
+            .localCheckpoint()  # truncate lineage per superstep
         )
-        workset = upd
+        workset = labels.where("changed").select("vertex", "component")
+        labels = labels.select("vertex", "component")
+        if workset.isEmpty():  # cheap: scans the checkpointed RDD
+            break
     return labels
 
 
