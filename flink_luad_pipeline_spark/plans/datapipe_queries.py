@@ -280,3 +280,50 @@ def ll18_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("bucket") < F.col("weight"))
         .drop("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# LL19 — sequence packing (fill fixed token budgets for pretraining)
+# ---------------------------------------------------------------------------
+
+PACK_BUDGET = 2048
+
+LL19_ORACLE = (
+    f"WITH toks AS (SELECT doc_id, len({_DUCK_TOKS}) AS n_tokens"
+    " FROM documents),"
+    " packed AS (SELECT doc_id, n_tokens,"
+    "  coalesce(sum(n_tokens) OVER (ORDER BY doc_id"
+    "   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum"
+    "  FROM toks)"
+    " SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,"
+    f" CAST(cum // {PACK_BUDGET} AS BIGINT) AS pack_id,"
+    f" CAST(cum % {PACK_BUDGET} AS BIGINT) AS pack_offset"
+    " FROM packed"
+)
+
+
+@query("ll19_sequence_packing", oracle=LL19_ORACLE)
+def ll19_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous sequence packing: documents laid end-to-end in doc_id
+    order, assigned to fixed-size token budgets (2048) by exclusive
+    prefix sum — each doc gets (pack_id, pack_offset), the shard/offset
+    a pretraining loader reads.
+
+    Correctness form uses one global window (single-partition sort —
+    fine at test scale, exactly what the oracle computes). The 100 TB
+    path keeps the same contract but packs hierarchically: prefix-sum
+    within partitions + a tiny driver-side scan of per-partition totals
+    (two passes, no global sort), pack_id = partition base + local id.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.size(tokenize(F.col("text"))).alias("n_tokens")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    cum = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return toks.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.floor(cum / PACK_BUDGET).cast("bigint").alias("pack_id"),
+        (cum % PACK_BUDGET).cast("bigint").alias("pack_offset"),
+    )
