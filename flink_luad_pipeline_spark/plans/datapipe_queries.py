@@ -327,3 +327,64 @@ def ll19_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(cum / PACK_BUDGET).cast("bigint").alias("pack_id"),
         (cum % PACK_BUDGET).cast("bigint").alias("pack_offset"),
     )
+
+
+# ---------------------------------------------------------------------------
+# LL20 — eval-set decontamination (n-gram overlap against held-out docs)
+# ---------------------------------------------------------------------------
+
+_DECON_N = 5  # 5-gram overlap = contamination signal
+_EVAL_CUT = 450  # doc_id >= 450 plays the held-out eval set
+
+LL20_ORACLE = (
+    f"WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),"
+    " grams AS (SELECT DISTINCT doc_id,"
+    "   array_to_string(list_slice(t, i, i + 4), ' ') AS g"
+    "   FROM toks, unnest(range(1, len(t) - 3)) u(i)),"
+    f" train AS (SELECT * FROM grams WHERE doc_id < {_EVAL_CUT}),"
+    f" eval_g AS (SELECT DISTINCT g FROM grams WHERE doc_id >= {_EVAL_CUT})"
+    " SELECT t.doc_id, count(*) AS n_shared_grams"
+    " FROM train t JOIN eval_g e ON t.g = e.g"
+    " GROUP BY t.doc_id"
+)
+
+
+@query("ll20_decontaminate", oracle=LL20_ORACLE)
+def ll20_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs (doc_id < 450) that
+    share at least one distinct 5-gram with the held-out eval slice
+    (doc_id >= 450), with the count of shared distinct grams.
+
+    Inverted-index shape: both sides explode to distinct (doc, gram),
+    the contamination check is an equi-join on the gram — work scales
+    with gram-key occupancy, never corpus². At 100 TB the eval side is
+    tiny (benchmarks), so it broadcasts and the training corpus is a
+    single narrow pass + one grouped count.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("t"))
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.when(
+                    F.size("t") >= _DECON_N,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("t") - (_DECON_N - 1)),
+                        lambda i: F.array_join(
+                            F.slice("t", i, _DECON_N), " "
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            )
+        ).alias("g"),
+    )
+    train = grams.where(F.col("doc_id") < _EVAL_CUT)
+    eval_g = (
+        grams.where(F.col("doc_id") >= _EVAL_CUT).select("g").distinct()
+    )
+    return (
+        train.join(F.broadcast(eval_g), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
