@@ -988,3 +988,38 @@ def s9_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue"),
         )
     )
+
+
+S10_ORACLE = (
+    "SELECT r_regionkey AS regionkey, r_name AS name, gen FROM ("
+    " SELECT r_regionkey, r_name, NULL AS gen FROM region"
+    " UNION ALL"
+    " SELECT r_regionkey, r_name, CAST(r_regionkey * 10 AS BIGINT) AS gen"
+    " FROM region)"
+)
+
+
+@query("s10_schema_merge_scan", oracle=S10_ORACLE)
+def s10_schema_merge_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution at the source: two parquet generations of the
+    same table — the second adds a ``gen`` column — read back in ONE
+    scan with mergeSchema; old files surface the new column as NULL.
+
+    This is how a long-lived 100 TB table actually looks (columns added
+    over years of writers). Reconciliation happens per file at scan
+    time — no rewrite of old data, no union plan; partition pruning and
+    pushdown still apply to the merged scan.
+    """
+    base = _tmp("s10_evolving")
+    v1 = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    v2 = v1.withColumn("gen", (F.col("r_regionkey") * 10).cast("bigint"))
+    v1.write.mode("overwrite").parquet(os.path.join(base, "g=1"))
+    v2.write.mode("overwrite").parquet(os.path.join(base, "g=2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(base, "g=1"), os.path.join(base, "g=2")
+    )
+    return merged.select(
+        F.col("r_regionkey").alias("regionkey"),
+        F.col("r_name").alias("name"),
+        "gen",
+    )
