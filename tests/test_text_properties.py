@@ -86,3 +86,24 @@ def test_fingerprint_is_normalization_invariant(spark, texts):
         expected = hashlib.md5(norm.encode()).hexdigest()
         assert got[2 * i] == expected
         assert got[2 * i + 1] == expected
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(TEXTS)
+def test_portable_hash40_matches_duckdb(spark, duck, texts):
+    """The 40-bit portable hash (foundation of every oracle-checked
+    dedup/split/sample op) must agree bit-for-bit with its DuckDB twin
+    on arbitrary unicode input."""
+    from flink_luad_pipeline_spark.operators.dedup import portable_hash40
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "i INT, t STRING")
+    got = {
+        r.i: r.h
+        for r in df.select("i", portable_hash40(F.col("t")).alias("h")).collect()
+    }
+    for i, t in enumerate(texts):
+        (expected,) = duck.execute(
+            "SELECT CAST('0x' || substr(md5(?), 1, 10) AS BIGINT)", [t]
+        ).fetchone()
+        assert got[i] == expected, (t, got[i], expected)
