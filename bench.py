@@ -61,33 +61,38 @@ def main() -> None:
     for t in ("lineitem", "events", "documents", "embeddings"):
         catalog.load(spark, sf_dir, t).count()
 
-    per_query: dict[str, float] = {}
+    per_query: dict[str, float | None] = {}
+    failed: list[str] = []
     for name in HEADLINE:
         fn = queries[name]
         # full driver materialization via Arrow (toPandas): same
         # end-to-end semantics as collect() but batch-columnar transfer
         # instead of py4j row-at-a-time pickling, which would otherwise
         # dominate timings for queries returning ~1M rows
-        fn(spark, sf_dir).toPandas()  # warmup run (not timed)
-        runs = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).toPandas()
-            runs.append(time.perf_counter() - t0)
-        per_query[name] = round(statistics.median(runs), 4)
+        try:
+            fn(spark, sf_dir).toPandas()  # warmup run (not timed)
+            runs = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).toPandas()
+                runs.append(time.perf_counter() - t0)
+            per_query[name] = round(statistics.median(runs), 4)
+        except Exception as exc:  # one bad query must not kill the metric
+            print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
+            per_query[name] = None
+            failed.append(name)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": round(sum(per_query.values()), 4),
-                "unit": "sec",
-                "queries": per_query,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_runtime",
+        "value": round(sum(v for v in per_query.values() if v is not None), 4),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if failed:
+        out["failed"] = failed
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -279,3 +279,32 @@ def b9_sql_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_all(spark, sf_dir)
     return spark.sql(B9_SQL)
+
+
+# ---------------------------------------------------------------------------
+# B10 — exact interpolated percentiles (the sketch-free twin of x2)
+# ---------------------------------------------------------------------------
+
+B10_ORACLE = (
+    "SELECT l_returnflag AS returnflag,"
+    " round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,"
+    " round(quantile_cont(l_extendedprice, 0.95), 6) AS p95"
+    " FROM lineitem GROUP BY l_returnflag"
+)
+
+
+@query("b10_exact_percentiles", oracle=B10_ORACLE)
+def b10_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated p50/p95 per return flag — Spark's
+    percentile() and DuckDB's quantile_cont share linear-interpolation
+    semantics, so the values match to the rounded digit.
+
+    Exact percentiles need the full value multiset per group (memory
+    ~O(group size) on the agg side); that is the cost x2's GK sketch
+    avoids — keep both on the menu and pick by group cardinality.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 6).alias("p95"),
+    )
