@@ -308,3 +308,38 @@ def b10_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("p50"),
         F.round(F.expr("percentile(l_extendedprice, 0.95)"), 6).alias("p95"),
     )
+
+
+# ---------------------------------------------------------------------------
+# B11 — distinct aggregates (mixed with plain aggregates in one pass)
+# ---------------------------------------------------------------------------
+
+B11_ORACLE = (
+    "SELECT l_returnflag AS returnflag,"
+    " count(DISTINCT l_suppkey) AS n_supps,"
+    " count(DISTINCT l_partkey) AS n_parts,"
+    " count(*) AS n_rows,"
+    " CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS qty"
+    " FROM lineitem GROUP BY l_returnflag"
+)
+
+
+@query("b11_distinct_aggregates", oracle=B11_ORACLE)
+def b11_distinct_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two DISTINCT aggregates mixed with plain aggregates in one
+    grouped pass (SURVEY §2.3 lists distinct-aggregates as absent from
+    the reference). Catalyst rewrites multiple distincts via Expand:
+    each row is replicated per distinct column with a tag, deduped,
+    then aggregated — one logical pass, no self-joins. At scale the
+    Expand multiplies shuffle volume by the distinct-clause count;
+    if that bites, swap to approx_count_distinct (x2_sketch_aggs).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+        F.count_distinct("l_suppkey").alias("n_supps"),
+        F.count_distinct("l_partkey").alias("n_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("qty"),
+    )
