@@ -548,3 +548,90 @@ def ll17_window_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("win_mean", 6).alias("win_mean"),
         "win_max",
     )
+
+
+# ---------------------------------------------------------------------------
+# LL21 — quality filter verdict (the keep/drop stage over ll1's signals)
+# ---------------------------------------------------------------------------
+
+_SCORE_SQL = (
+    "least(len(tokens) / 100.0, 1.0) * 0.4"
+    f" + coalesce(CASE WHEN len(tokens) = 0 THEN NULL ELSE"
+    f"   {_HITS.format(words=_EN)} * 1.0 / len(tokens) END, 0.0) * 0.4"
+    " + (1.0 - least(coalesce(CASE WHEN length(text) = 0 THEN NULL ELSE"
+    "   length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0 /"
+    "   length(text) END, 1.0) * 5.0, 1.0)) * 0.2"
+)
+
+LL21_ORACLE = (
+    f"WITH tok AS (SELECT doc_id, text, {_TOKENS_SQL} AS tokens FROM documents),"
+    f" scored AS (SELECT doc_id, len(tokens) AS n_tokens,"
+    f"  {_SCORE_SQL} AS score FROM tok)"
+    " SELECT doc_id, CAST(round(score, 6) AS DECIMAL(18,6)) AS score,"
+    " n_tokens < 20 OR score < 0.5 AS dropped,"
+    " CASE WHEN n_tokens < 20 THEN 'too_short'"
+    "  WHEN score < 0.5 THEN 'low_quality' ELSE 'kept' END AS verdict"
+    " FROM scored"
+)
+
+
+@query("ll21_quality_filter", oracle=LL21_ORACLE)
+def ll21_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keep/drop stage of corpus cleaning: every document gets a
+    verdict (kept / too_short / low_quality) from the ll1 quality
+    signals, rules applied in a fixed precedence so the reason is
+    deterministic. Emitting verdicts for ALL docs (not just keepers)
+    is deliberate — at 100 TB you audit drop *rates* per source before
+    committing to a filter, so the verdict column is the product."""
+    docs = load(spark, sf_dir, "documents")
+    tokens = T.tokenize(F.col("text"))
+    q = T.quality_features(F.col("text"), tokens)
+    score = q["quality_score"]
+    too_short = q["n_tokens"] < 20
+    low_q = score < 0.5
+    return docs.select(
+        "doc_id",
+        F.round(score, 6).cast("decimal(18,6)").alias("score"),
+        (too_short | low_q).alias("dropped"),
+        F.when(too_short, "too_short")
+        .when(low_q, "low_quality")
+        .otherwise("kept")
+        .alias("verdict"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# LL22 — user event-sequence assembly (behavioral training data)
+# ---------------------------------------------------------------------------
+
+LL22_ORACLE = (
+    "SELECT user_id, count(*) AS n_events,"
+    " string_agg(event_type, ' ' ORDER BY ts, event_id) AS sequence"
+    " FROM events GROUP BY user_id"
+)
+
+
+@query("ll22_user_sequences", oracle=LL22_ORACLE)
+def ll22_user_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-history assembly: all events time-ordered
+    ((ts, event_id) tiebreak makes it total) and flattened into one
+    training sequence per user — the events-table analogue of the
+    reference's per-sample vector assembly (A7/O1: sort inside the
+    group during aggregation, Trainer.scala:46). One shuffle on
+    user_id; sort_array happens per group after collect_list, never
+    globally."""
+    from ..catalog import load as load_tbl
+
+    ev = load_tbl(spark, sf_dir, "events")
+    seq = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ),
+            lambda x: x["event_type"],
+        ),
+        " ",
+    )
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"), seq.alias("sequence")
+    )
