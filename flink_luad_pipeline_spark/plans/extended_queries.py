@@ -343,3 +343,74 @@ def b11_distinct_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(38,2)")
         .alias("qty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# B12 — sliding window frame (moving average, ROWS BETWEEN)
+# ---------------------------------------------------------------------------
+
+B12_ORACLE = (
+    "SELECT o_custkey AS custkey, o_orderkey AS orderkey,"
+    " CAST(round(avg(CAST(o_totalprice AS DECIMAL(18,2)))"
+    "  OVER (PARTITION BY o_custkey ORDER BY o_orderkey"
+    "   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4)"
+    "  AS DECIMAL(18,4)) AS moving_avg"
+    " FROM orders"
+)
+
+
+@query("b12_moving_average", oracle=B12_ORACLE)
+def b12_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer 4-order moving average of order value — the
+    ROWS-frame sliding window (b3 covers the cumulative RANGE-ish
+    frame). DECIMAL input + rounded output so the frame average is
+    exact on both engines. One shuffle on the partition key; frames
+    evaluate in a single in-partition pass."""
+    orders = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderkey")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.round(F.avg(F.col("o_totalprice").cast("decimal(18,2)")).over(w), 4)
+        .cast("decimal(18,4)")
+        .alias("moving_avg"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P8 — null-safe equality join (<=> / IS NOT DISTINCT FROM)
+# ---------------------------------------------------------------------------
+
+P8_ORACLE = (
+    "WITH l AS (SELECT o_orderkey, nullif(o_orderstatus, 'P') AS status"
+    "  FROM orders),"
+    " r AS (SELECT * FROM (VALUES ('O', 'open'), ('F', 'filled'),"
+    "  (NULL, 'pending')) AS t(status, label))"
+    " SELECT l.o_orderkey AS orderkey, r.label"
+    " FROM l JOIN r ON l.status IS NOT DISTINCT FROM r.status"
+)
+
+
+@query("p8_null_safe_join", oracle=P8_ORACLE)
+def p8_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join: NULL keys match NULL (Spark ``<=>`` =
+    SQL IS NOT DISTINCT FROM), the semantics a plain equi-join silently
+    drops. Status 'P' is nulled on the fact side and NULL carries the
+    'pending' label in the dimension, so the null-match path is
+    actually exercised. Still hash-joinable (null-safe equality is an
+    equi-key) — no fallback to nested-loop."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("status"),
+    )
+    dim = spark.createDataFrame(
+        [("O", "open"), ("F", "filled"), (None, "pending")],
+        "status STRING, label STRING",
+    )
+    return orders.join(
+        F.broadcast(dim), orders.status.eqNullSafe(dim.status)
+    ).select(F.col("o_orderkey").alias("orderkey"), "label")
