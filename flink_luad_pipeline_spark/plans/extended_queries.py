@@ -414,3 +414,36 @@ def p8_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.join(
         F.broadcast(dim), orders.status.eqNullSafe(dim.status)
     ).select(F.col("o_orderkey").alias("orderkey"), "label")
+
+
+# ---------------------------------------------------------------------------
+# B13 — explicit GROUPING SETS (arbitrary set list, not rollup/cube)
+# ---------------------------------------------------------------------------
+
+# Same query text except the grouping-bitmask function name: Spark's
+# SQL grouping() is unary, so the Spark side uses grouping_id(a, b)
+# while DuckDB uses its variadic GROUPING(a, b) — identical bitmask
+# semantics (leftmost arg = MSB, verified by the value-hash).
+_B13_BODY = (
+    "SELECT o_orderstatus AS status, o_orderpriority AS priority,"
+    " CAST({gidfn}(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,"
+    " count(*) AS n"
+    " FROM orders GROUP BY GROUPING SETS"
+    " ((o_orderstatus), (o_orderpriority), (o_orderstatus, o_orderpriority))"
+)
+B13_SQL = _B13_BODY.format(gidfn="grouping_id")
+
+
+@query("b13_grouping_sets", oracle=_B13_BODY.format(gidfn="GROUPING"))
+def b13_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS — the general form that rollup (b2) and
+    cube (b4) specialize; the set list here (each dim alone + the pair,
+    no grand total) is exactly the shape neither of those can express.
+    Same Expand + partial-agg plan, 3 projections per row collapsed
+    map-side. Issued through spark.sql (the DataFrame API has no
+    grouping-sets builder), same text the oracle runs.
+    """
+    from ..catalog import register_all
+
+    register_all(spark, sf_dir)
+    return spark.sql(B13_SQL)
