@@ -447,3 +447,172 @@ def b13_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_all(spark, sf_dir)
     return spark.sql(B13_SQL)
+
+
+# ---------------------------------------------------------------------------
+# B14 — lateral array explode with position (UDTF family: 1 row -> N rows)
+# ---------------------------------------------------------------------------
+
+B14_ORACLE = (
+    "SELECT p_partkey AS partkey,"
+    " CAST(generate_subscripts(w, 1) - 1 AS INT) AS pos,"
+    " unnest(w) AS word"
+    " FROM (SELECT p_partkey, string_split(p_name, ' ') AS w FROM part)"
+)
+
+
+@query("b14_lateral_posexplode", oracle=B14_ORACLE)
+def b14_lateral_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral array explode with ordinal position — the generalized
+    form of P4's 1-row->2-rows symmetrize (SURVEY §2.8 calls the UDTF
+    shape out as explode). posexplode is a Generate operator: it runs
+    inside whole-stage codegen with no shuffle at all — per-partition
+    row fan-out, the scan's partitioning is preserved downstream.
+    """
+    part = load(spark, sf_dir, "part")
+    return part.select(
+        F.col("p_partkey").alias("partkey"),
+        F.posexplode(F.split("p_name", " ")).alias("pos", "word"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B15 — window navigation family (ntile / percent_rank / cume_dist /
+#        first_value / last_value) — completes b3/b7/b12's Window surface
+# ---------------------------------------------------------------------------
+
+B15_ORACLE = (
+    "SELECT c_custkey AS custkey,"
+    " CAST(ntile(4) OVER w AS INT) AS quartile,"
+    " CAST(round(percent_rank() OVER w, 6) AS DECIMAL(18,6)) AS pct_rank,"
+    " CAST(round(cume_dist() OVER w, 6) AS DECIMAL(18,6)) AS cdist,"
+    " first_value(c_custkey) OVER w AS poorest,"
+    " last_value(c_custkey) OVER"
+    "  (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey"
+    "   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
+    "  AS richest"
+    " FROM customer"
+    " WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)"
+)
+
+
+@query("b15_window_navigation", oracle=B15_ORACLE)
+def b15_window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Navigation/distribution window functions per nation: quartile
+    bucket, percentile position, and the first/last customer by balance.
+
+    One hash shuffle on the partition key, in-partition sort, all five
+    functions evaluated in a single Window operator pass. last_value
+    needs the explicit unbounded-following frame on BOTH engines (the
+    default ORDER BY frame stops at CURRENT ROW and would echo each row
+    back). Tie-break on c_custkey makes every output deterministic.
+    """
+    cust = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return cust.select(
+        F.col("c_custkey").alias("custkey"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6)
+        .cast("decimal(18,6)")
+        .alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).cast("decimal(18,6)").alias("cdist"),
+        F.first("c_custkey").over(w).alias("poorest"),
+        F.last("c_custkey").over(wfull).alias("richest"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B16 — ordered string aggregation + FILTER-style conditional aggregates
+# ---------------------------------------------------------------------------
+
+B16_ORACLE = (
+    "SELECT o_custkey AS custkey,"
+    " string_agg(substr(o_orderpriority, 1, 1), ''"
+    "  ORDER BY o_orderdate, o_orderkey) AS priority_seq,"
+    " CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)"
+    "  AS n_filled,"
+    " CAST(round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 2)"
+    "  AS DECIMAL(18,2)) AS open_total"
+    " FROM orders GROUP BY o_custkey"
+)
+
+
+@query("b16_ordered_string_agg", oracle=B16_ORACLE)
+def b16_ordered_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order-priority history as an ordered string, plus
+    conditional (FILTER-clause) aggregates in the same grouped pass.
+
+    The ordered concat is collect_list(struct(sortkeys, val)) ->
+    array_sort -> transform -> array_join: in-group ordering with NO
+    global sort and map-side partial collection (same pattern as O1).
+    The FILTER aggregates compile to sum(CASE WHEN...) — one shuffle
+    total for all three aggregates.
+    """
+    orders = load(spark, sf_dir, "orders")
+    return orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "o_orderdate",
+                            "o_orderkey",
+                            F.substring("o_orderpriority", 1, 1).alias("p"),
+                        )
+                    )
+                ),
+                lambda s: s["p"],
+            ),
+            "",
+        ).alias("priority_seq"),
+        F.count(F.when(F.col("o_orderstatus") == "F", 1))
+        .cast("bigint")
+        .alias("n_filled"),
+        F.round(
+            F.sum(
+                F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice"))
+            ),
+            2,
+        )
+        .cast("decimal(18,2)")
+        .alias("open_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B17 — time-bucketed batch aggregation over events (date_trunc family)
+# ---------------------------------------------------------------------------
+
+B17_ORACLE = (
+    "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,"
+    " event_type,"
+    " CAST(count(*) AS BIGINT) AS n,"
+    " CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,"
+    " CAST(round(sum(value), 2) AS DECIMAL(18,2)) AS total_value"
+    " FROM events GROUP BY date_trunc('hour', ts), event_type"
+)
+
+
+@query("b17_time_bucket_agg", oracle=B17_ORACLE)
+def b17_time_bucket_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly per-type event stats — the BATCH twin of the streaming
+    tumbling window (ss1), over the same events table: date_trunc is
+    the tumbling window as a plain deterministic grouping expression.
+
+    count(DISTINCT user_id) rewrites to the two-phase Expand+agg plan
+    (partial distinct map-side); at 100 TB swap to approx_count_distinct
+    (x2) unless exactness is contractual. Timestamps leave the query as
+    formatted strings per the registry convention.
+    """
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "hour"
+        ),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.round(F.sum("value"), 2).cast("decimal(18,2)").alias("total_value"),
+    )

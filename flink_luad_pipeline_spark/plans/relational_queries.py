@@ -1023,3 +1023,55 @@ def s10_schema_merge_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r_name").alias("name"),
         "gen",
     )
+
+
+@query(
+    "s11_sorted_clustered_write",
+    oracle=(
+        "SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,"
+        " CAST(round(sum(l_extendedprice), 2) AS DECIMAL(18,2)) AS total"
+        " FROM lineitem"
+        " WHERE l_shipdate >= TIMESTAMP '1997-01-01'"
+        "  AND l_shipdate < TIMESTAMP '1997-04-01'"
+        " GROUP BY l_returnflag"
+    ),
+)
+def s11_sorted_clustered_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 — range-clustered, sorted parquet layout + stats-pruned
+    read-back: lineitem is written repartitionByRange(l_shipdate) +
+    sortWithinPartitions(l_shipdate), so each output file covers a
+    narrow, disjoint ship-date band and every row group's min/max
+    stats are tight. The read-back date filter then skips whole files /
+    row groups at the footer level (PushedFilters on the scan) instead
+    of scanning 100% and post-filtering.
+
+    This is the layout decision that makes time-range queries on a
+    100 TB fact table read ~1/40th of the bytes: sort-on-write costs
+    one range shuffle once, every later scan benefits. (Range
+    partitioning samples the key distribution, so file sizes stay
+    balanced under skew.)
+    """
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_shipdate"
+    )
+    path = _tmp("s11_lineitem_sorted")
+    (
+        li.repartitionByRange(8, "l_shipdate")
+        .sortWithinPartitions("l_shipdate")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return (
+        back.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2)
+            .cast("decimal(18,2)")
+            .alias("total"),
+        )
+    )

@@ -150,3 +150,35 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
     assert "SortMergeJoin" in plan
     assert "SelectedBucketsCount" in plan
     assert plan.count("Exchange") <= 1, plan
+
+
+def test_posexplode_is_narrow_no_shuffle(spark, sf_dir):
+    """b14's Generate fans rows out per-partition; any Exchange here
+    would mean the lateral view is shuffling for no reason."""
+    plan = physical(QUERIES["b14_lateral_posexplode"](spark, sf_dir))
+    assert "Generate" in plan
+    assert "Exchange" not in plan
+
+
+def test_window_navigation_single_window_pass(spark, sf_dir):
+    """b15 evaluates five functions over the same partition key: one
+    hash shuffle and at most the two frame-distinct Window operators
+    (running frame + unbounded frame), never one per function."""
+    plan = physical(QUERIES["b15_window_navigation"](spark, sf_dir))
+    assert plan.count("Window") <= 2
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_ordered_string_agg_partial_collect(spark, sf_dir):
+    """b16's three aggregates share one grouped pass: a single
+    exchange, with partial (map-side) aggregation before it."""
+    plan = physical(QUERIES["b16_ordered_string_agg"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_collect_list" in plan or "partial" in plan
+
+
+def test_sorted_write_readback_pushes_date_filter(spark, sf_dir):
+    """s11's read-back must push the ship-date range into the parquet
+    footer (row-group stats pruning), not post-filter a full scan."""
+    plan = physical(QUERIES["s11_sorted_clustered_write"](spark, sf_dir))
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters", 1)[1][:200]
