@@ -616,3 +616,92 @@ def b17_time_bucket_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").cast("bigint").alias("n_users"),
         F.round(F.sum("value"), 2).cast("decimal(18,2)").alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# B18 — CDC upsert compaction: latest version per key wins
+# ---------------------------------------------------------------------------
+
+# The delta batch is synthesized deterministically from orders itself:
+# every 7th order arrives again with a new price and status, plus every
+# 13th order arrives as a delete tombstone (the classic CDC triple of
+# insert/update/delete).
+B18_ORACLE = (
+    "WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice,"
+    "   0 AS version, FALSE AS deleted FROM orders),"
+    # the 10% price bump runs in exact DECIMAL on both engines: the
+    # source doubles are exact cents, but cents * 1.1 lands on a .xx5
+    # float boundary where double rounding is engine-dependent
+    " updates AS (SELECT o_orderkey, 'U' AS o_orderstatus,"
+    "   CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 1.1, 2)"
+    "    AS DOUBLE) AS o_totalprice,"
+    "   1 AS version, FALSE AS deleted"
+    "   FROM orders WHERE o_orderkey % 7 = 0),"
+    " deletes AS (SELECT o_orderkey, o_orderstatus, o_totalprice,"
+    "   2 AS version, TRUE AS deleted"
+    "   FROM orders WHERE o_orderkey % 13 = 0),"
+    " log AS (SELECT * FROM base UNION ALL SELECT * FROM updates"
+    "   UNION ALL SELECT * FROM deletes),"
+    " latest AS (SELECT *, row_number() OVER"
+    "   (PARTITION BY o_orderkey ORDER BY version DESC) AS rn FROM log)"
+    " SELECT o_orderkey AS orderkey, o_orderstatus AS status,"
+    " CAST(round(o_totalprice, 2) AS DECIMAL(18,2)) AS totalprice,"
+    " CAST(version AS INT) AS version"
+    " FROM latest WHERE rn = 1 AND NOT deleted"
+)
+
+
+@query("b18_upsert_compaction", oracle=B18_ORACLE)
+def b18_upsert_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert as a log compaction: base snapshot + update batch +
+    delete tombstones are unioned into one change log, and a
+    row_number() window keyed on (key, version DESC) keeps exactly the
+    newest surviving row per key — the lakehouse upsert pattern without
+    a table format.
+
+    Scale shape: one hash shuffle on the merge key for the window (the
+    union itself is shuffle-free); at 100 TB the same plan holds, with
+    the base side read partition-pruned to only the files the delta's
+    key range touches (see s11's clustering) — deltas are normally tiny
+    relative to the snapshot.
+    """
+    orders = load(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.lit(0).alias("version"),
+        F.lit(False).alias("deleted"),
+    )
+    updates = orders.where(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        F.round(
+            F.col("o_totalprice").cast("decimal(18,2)")
+            * F.expr("CAST(1.1 AS DECIMAL(2,1))"),
+            2,
+        )
+        .cast("double")
+        .alias("o_totalprice"),
+        F.lit(1).alias("version"),
+        F.lit(False).alias("deleted"),
+    )
+    deletes = orders.where(F.col("o_orderkey") % 13 == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.lit(2).alias("version"),
+        F.lit(True).alias("deleted"),
+    )
+    log = base.unionAll(updates).unionAll(deletes)
+    w = Window.partitionBy("o_orderkey").orderBy(F.col("version").desc())
+    return (
+        log.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (~F.col("deleted")))
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_orderstatus").alias("status"),
+            F.round("o_totalprice", 2).cast("decimal(18,2)").alias("totalprice"),
+            F.col("version").cast("int").alias("version"),
+        )
+    )

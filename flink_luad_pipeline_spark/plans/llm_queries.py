@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from ..catalog import load
 from ..functions import text as T
@@ -634,4 +635,60 @@ def ll22_user_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ev.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"), seq.alias("sequence")
+    )
+
+
+# ---------------------------------------------------------------------------
+# LL23 — near-dup CLUSTERS: Jaccard pair edges -> connected components ->
+#        one keeper per cluster (the dedup decision, not just the pairs)
+# ---------------------------------------------------------------------------
+
+_CLUSTER_ORACLE = (
+    f"WITH RECURSIVE pairs AS ({_JACCARD_ORACLE}),"
+    " sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs"
+    "   UNION SELECT doc_b, doc_a FROM pairs),"
+    " nodes AS (SELECT DISTINCT src AS v FROM sym),"
+    " reach(v, lbl) AS ("
+    "   SELECT v, v FROM nodes"
+    "   UNION"
+    "   SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.v),"
+    " comp AS (SELECT v AS doc_id, min(lbl) AS canonical FROM reach"
+    "   GROUP BY v)"
+    " SELECT doc_id, canonical,"
+    " CAST(count(*) OVER (PARTITION BY canonical) AS BIGINT)"
+    "  AS cluster_size,"
+    " doc_id = canonical AS keep"
+    " FROM comp"
+)
+
+
+@query("ll23_dedup_clusters", oracle=_CLUSTER_ORACLE)
+def ll23_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster assembly — the step after pair generation that
+    actual corpus dedup needs: Jaccard pairs (ll5, J >= 0.4) become
+    edges, connected components (the reference's I1 delta iteration,
+    reused as a library operator) merge transitive near-dups into one
+    cluster, and min-doc_id is the kept canonical per cluster.
+
+    Composition shape at scale: the pair join is the expensive stage
+    (inverted-index equi-join, no cartesian); CC then runs on the PAIR
+    graph only — vertices = docs with >= 1 near-dup, a tiny fraction of
+    the corpus, and near-dup clusters have diameter O(1-2), so the
+    driver loop converges in a couple of supersteps regardless of
+    corpus size.
+    """
+    from ..operators import graph
+
+    pairs = dedup.jaccard_pairs(
+        _augmented(spark, sf_dir), "doc_id", "text", k=3, threshold=0.4
+    )
+    comp = graph.connected_components(pairs, src="doc_a", dst="doc_b")
+    w = W.partitionBy("canonical")
+    return (
+        comp.select(
+            F.col("vertex").alias("doc_id"),
+            F.col("component").alias("canonical"),
+        )
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w).cast("bigint"))
+        .withColumn("keep", F.col("doc_id") == F.col("canonical"))
     )
