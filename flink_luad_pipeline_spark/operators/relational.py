@@ -312,3 +312,32 @@ def range_count_join(
         [F.col(f"lrow.{c}").alias(c) for c in left.columns]
         + [F.col(out_col).cast("bigint").alias(out_col)]
     )
+
+
+def salted_skew_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skew-safe equi-join: salt the fact side, replicate the dim side.
+
+    A shuffle join on a skewed key puts every row of the hot key in one
+    task. Salting splits each fact key into ``salt_buckets`` shuffle
+    keys (random-per-row pmod of a stable hash) and explodes the dim
+    side ``salt_buckets``-fold so every (key, salt) partition finds its
+    match — the hot key's rows now spread over ``salt_buckets`` tasks.
+    Dim-side blowup costs salt_buckets × |dim|, so use it fact⋈dim, not
+    fact⋈fact (there, prefer AQE skew-join splitting, which handles the
+    same problem post-shuffle without the blowup).
+
+    Inner-join semantics on ``on``; result columns = fact ∪ dim minus
+    the duplicate join key, same as a plain ``fact.join(dim, on)``.
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(salt_buckets))
+    salted_fact = fact.withColumn("__salt", salt)
+    replicated_dim = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    ).withColumn("__salt", F.col("__salt").cast("long"))
+    out = salted_fact.join(replicated_dim, [on, "__salt"])
+    return out.drop("__salt")

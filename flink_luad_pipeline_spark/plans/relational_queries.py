@@ -908,9 +908,13 @@ FLAGSHIP_ORACLE = (
 def flagship_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M1 flagship — revenue by nation through the 5-table star.
 
-    Scale shape: one shuffle for the lineitem⋈orders join keys, every
-    dimension (customer/nation/region) broadcast, partial aggregation
-    map-side, final agg on 25 groups. DECIMAL revenue for exactness.
+    Scale shape: lineitem⋈orders is fact⋈fact, so it takes an explicit
+    shuffle-join hint — at 100 TB orders is nowhere near broadcastable,
+    and even at bench scale building its broadcast hash relation on the
+    driver costs more than the shuffle (measured: ~1.6s vs ~1.2s per
+    cold query at sf0.1). The true dimensions (customer/nation/region)
+    broadcast; partial aggregation map-side, final agg on 25 groups.
+    DECIMAL revenue for exactness.
     """
     li = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders").where(F.col("o_orderstatus") != "X")
@@ -922,7 +926,7 @@ def flagship_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
     )
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        li.join(orders.hint("merge"), li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
@@ -1075,3 +1079,32 @@ def s11_sorted_clustered_write(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total"),
         )
     )
+
+
+@query(
+    "x3_salted_skew_join",
+    oracle=(
+        "SELECT l_orderkey, l_extendedprice, o_orderpriority"
+        " FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"
+        " WHERE o.o_orderstatus = 'O'"
+    ),
+)
+def x3_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted join (the join-side twin of x1's salted agg):
+    fact rows get a random-but-deterministic salt, the dim side is
+    replicated per salt bucket, and the join key becomes (key, salt) —
+    a hot key's probe rows spread across 16 tasks instead of one.
+    Byte-identical to the plain join, which is exactly what the oracle
+    runs. At scale this is the manual fallback when AQE's skew-join
+    splitting can't apply (e.g. broadcast-ineligible dim, bucketed
+    layout pinned).
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    orders = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "O")
+        .select("o_orderkey", "o_orderpriority")
+        .withColumnRenamed("o_orderkey", "l_orderkey")
+    )
+    out = R.salted_skew_join(li, orders, on="l_orderkey", salt_buckets=16)
+    return out.select("l_orderkey", "l_extendedprice", "o_orderpriority")
