@@ -705,3 +705,90 @@ def b18_upsert_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("version").cast("int").alias("version"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# B19 — UNPIVOT / melt (the inverse of b8's pivot)
+# ---------------------------------------------------------------------------
+
+B19_ORACLE = (
+    "SELECT p_partkey AS partkey, metric, val FROM"
+    " (SELECT p_partkey, CAST(p_size AS DOUBLE) AS size,"
+    "  p_retailprice AS price FROM part)"
+    " UNPIVOT (val FOR metric IN (size, price))"
+)
+
+
+@query("b19_unpivot", oracle=B19_ORACLE)
+def b19_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide -> long melt via DataFrame.unpivot — the inverse of b8's
+    pivot, closing the reshape pair. Plans as an Expand (2 projections
+    per row, same operator family as cube/rollup): narrow, no shuffle,
+    fan-out stays inside the scan's partitions.
+    """
+    part = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("partkey"),
+        F.col("p_size").cast("double").alias("size"),
+        F.col("p_retailprice").alias("price"),
+    )
+    return part.unpivot(
+        ids=["partkey"],
+        values=["size", "price"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+
+
+# ---------------------------------------------------------------------------
+# B20 — higher-order array functions over embedding vectors
+# ---------------------------------------------------------------------------
+
+B20_ORACLE = (
+    "SELECT vec_id,"
+    " CAST(round(list_sum(list_transform(embedding,"
+    "   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6)"
+    "  AS DECIMAL(18,6)) AS l2_sq,"
+    " CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,"
+    " CAST(round(list_sum(list_transform(range(1, len(embedding) + 1),"
+    "   i -> CAST(embedding[i] AS DOUBLE)"
+    "    * CAST(embedding[len(embedding) + 1 - i] AS DOUBLE))), 6)"
+    "  AS DECIMAL(18,6)) AS rev_dot"
+    " FROM embeddings"
+)
+
+
+@query("b20_array_hof", oracle=B20_ORACLE)
+def b20_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions on the embedding column — the
+    JVM-side vector math the similarity family builds on, isolated:
+    aggregate (fold) for the squared L2 norm, filter+size for the
+    positive-component count, zip_with against the reversed vector for
+    a dot product. All three run inside whole-stage codegen over the
+    array — no explode (which would fan 64 rows per vector through a
+    shuffle at 100 TB), no Python.
+
+    Both engines fold left-to-right in DOUBLE, so the sums are
+    bit-identical before the defensive round(6).
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    vd = F.transform(v, lambda x: x.cast("double"))
+    return emb.select(
+        "vec_id",
+        F.round(
+            F.aggregate(vd, F.lit(0.0), lambda acc, x: acc + x * x), 6
+        )
+        .cast("decimal(18,6)")
+        .alias("l2_sq"),
+        F.size(F.filter(v, lambda x: x > 0)).cast("int").alias("n_pos"),
+        F.round(
+            F.aggregate(
+                F.zip_with(vd, F.reverse(vd), lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("rev_dot"),
+    )
