@@ -137,3 +137,28 @@ def c4_c5_svm_train_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     predict_ids = features.where(F.col("sample_id") % 5 == 0)
     model = ml.svm_train(train_ids, labels, max_iter=20)
     return ml.svm_predict(model, predict_ids)
+
+
+@query("c2b_dimsum_corr_edges")  # rows-only: sampled estimator by design
+def c2b_dimsum_corr_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2's 100 TB tier (SURVEY M4f): DIMSUM column-similarity
+    correlation — Pearson r as cosine of centered columns over a
+    distributed RowMatrix. Exact mode here (dimsum_threshold=0, the
+    small-n regime caveat in ml.pearson_edges_scalable); flip the
+    threshold >0 to get the sampled O(nnz·log p / thr) scale path with
+    the same output contract as c2. Rows-only check: the estimator is
+    approximate by design at scale; its exact-mode agreement with c2
+    is asserted in tests/test_analytics.py.
+
+    The COO cells are summed per (sample, probe) first: the RowMatrix
+    route requires unique indices per row vector (the self-join c2
+    implicitly pairs duplicate cells instead)."""
+    cells = (
+        _coo_matrix(spark, sf_dir)
+        .groupBy("sample_id", "probe_id")
+        .agg(F.sum("value").alias("value"))
+    )
+    edges = ml.pearson_edges_scalable(cells, threshold=None, dimsum_threshold=0.0)
+    return edges.select(
+        "probe_i", "probe_j", F.round("r", 6).cast("decimal(18,6)").alias("r")
+    )

@@ -692,3 +692,46 @@ def ll23_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cluster_size", F.count(F.lit(1)).over(w).cast("bigint"))
         .withColumn("keep", F.col("doc_id") == F.col("canonical"))
     )
+
+
+# ---------------------------------------------------------------------------
+# LL24 — fuzzy string matching: blocked Levenshtein similarity join
+# ---------------------------------------------------------------------------
+
+LL24_ORACLE = (
+    "SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,"
+    " CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist"
+    " FROM part a JOIN part b"
+    " ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey"
+    " WHERE levenshtein(a.p_name, b.p_name) <= 3"
+)
+
+
+@query("ll24_fuzzy_match", oracle=LL24_ORACLE)
+def ll24_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-duplicate detection by edit distance, blocked on brand —
+    the string-similarity sibling of ll5's token-set Jaccard. The
+    blocking key turns the quadratic all-pairs into an equi-join whose
+    cost is Σ(block²); levenshtein runs JVM-side inside codegen on the
+    joined pairs only. At corpus scale, blocking keys come from cheap
+    canopies (first-k chars, simhash prefix, brand/source field) —
+    same plan, different key. The `<` tiebreak halves the pairs inside
+    the join condition, like c2's upper triangle.
+    """
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
+    a = part.alias("a")
+    b = part.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .select(
+            F.col("a.p_partkey").alias("part_a"),
+            F.col("b.p_partkey").alias("part_b"),
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).alias("dist"),
+        )
+        .where(F.col("dist") <= 3)
+        .select("part_a", "part_b", F.col("dist").cast("int").alias("dist"))
+    )
