@@ -735,3 +735,62 @@ def ll24_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("dist") <= 3)
         .select("part_a", "part_b", F.col("dist").cast("int").alias("dist"))
     )
+
+
+# ---------------------------------------------------------------------------
+# LL25 — BPE-ish token counting (the second tokenizer of the brief:
+#         whitespace tokens in ll1, subword-style regex here)
+# ---------------------------------------------------------------------------
+
+# RE2-safe (works in both Java regex and DuckDB's RE2 — no lookahead):
+# contraction suffixes, then space-prefixed letter runs, digit runs,
+# punctuation runs. The GPT-2 pattern's \s+(?!\S) tail is dropped for
+# RE2 compatibility; trailing whitespace simply doesn't count.
+_BPE_PAT = r"'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9'\s]+"
+_BPE_PAT_SQL = _BPE_PAT.replace("'", "''")
+
+LL25_ORACLE = (
+    "WITH t AS (SELECT doc_id,"
+    f" regexp_extract_all(lower(text), '{_BPE_PAT_SQL}') AS toks,"
+    f" {_TOKENS_SQL} AS ws_toks FROM documents)"
+    " SELECT doc_id,"
+    " CAST(len(toks) AS INT) AS n_bpe_tokens,"
+    " CAST(len(ws_toks) AS INT) AS n_ws_tokens,"
+    " CAST(round(CASE WHEN len(ws_toks) = 0 THEN NULL"
+    "  ELSE len(toks) * 1.0 / len(ws_toks) END, 6) AS DECIMAL(18,6))"
+    "  AS fertility"
+    " FROM t"
+)
+
+
+@query("ll25_bpe_token_count", oracle=LL25_ORACLE)
+def ll25_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword-style token counting: a BPE-ish pretokenizer regex
+    (contractions / word runs / digit runs / punct runs, GPT-2 shape
+    restricted to the RE2-compatible subset so the oracle runs the
+    IDENTICAL pattern) next to the whitespace count, plus fertility
+    (subword / word ratio) — the budget signal sequence packing (ll19)
+    consumes. Pure regexp_extract_all + size: JVM codegen, narrow, no
+    shuffle; at 100 TB this is scan-bound exactly like ll1.
+    """
+    docs = load(spark, sf_dir, "documents")
+    # group 0 = whole match: Spark defaults to group 1, DuckDB to 0
+    bpe = F.expr(
+        'regexp_extract_all(lower(text), "'
+        + _BPE_PAT.replace("'", "\\'")
+        + '", 0)'
+    )
+    ws = T.tokenize(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(bpe).cast("int").alias("n_bpe_tokens"),
+        F.size(ws).cast("int").alias("n_ws_tokens"),
+        F.round(
+            F.when(
+                F.size(ws) > 0, F.size(bpe) * F.lit(1.0) / F.size(ws)
+            ),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("fertility"),
+    )
