@@ -99,3 +99,58 @@ def component_representatives(components: DataFrame) -> DataFrame:
     return components.groupBy("component").agg(
         F.min("vertex").alias("representative")
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    vertices: DataFrame,
+    iterations: int = 10,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Power-iteration PageRank with a fixed iteration count.
+
+    The second iterative operator next to connected_components, same
+    driver-loop shape: rank_{i+1}(v) = (1-d)/N + d * Σ_{u→v} rank_i(u)
+    / outdeg(u), dangling mass not redistributed (documented choice —
+    keeps the recurrence a pure join+agg, exactly reproducible in SQL).
+
+    Scale: per iteration one shuffle for the (src-keyed) contribution
+    join and one for the dst-keyed sum; edges and out-degrees are
+    computed once and localCheckpoint'd. Lineage is truncated per
+    iteration, so 10 or 100 iterations hold the same plan size.
+
+    Returns ``DataFrame[vertex, rank]``.
+    """
+    v_col = vertices.columns[0]
+    nodes = vertices.select(F.col(v_col).alias("vertex")).distinct().localCheckpoint()
+    n_total = nodes.count()
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # pre-divide later ranks by out-degree: join edges with degrees once
+    e_deg = e.join(outdeg, "src").localCheckpoint()
+
+    base = F.lit((1.0 - damping) / n_total)
+    ranks = nodes.select("vertex", F.lit(1.0 / n_total).alias("rank"))
+    for _ in range(iterations):
+        contrib = (
+            e_deg.join(ranks, e_deg.src == ranks.vertex)
+            .select(
+                F.col("dst").alias("vertex"),
+                (F.col("rank") / F.col("deg")).alias("c"),
+            )
+            .groupBy("vertex")
+            .agg(F.sum("c").alias("mass"))
+        )
+        ranks = (
+            nodes.join(contrib, "vertex", "left")
+            .select(
+                "vertex",
+                (base + F.lit(damping) * F.coalesce("mass", F.lit(0.0))).alias(
+                    "rank"
+                ),
+            )
+            .localCheckpoint()
+        )
+    return ranks

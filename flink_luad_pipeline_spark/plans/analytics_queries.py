@@ -162,3 +162,71 @@ def c2b_dimsum_corr_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edges.select(
         "probe_i", "probe_j", F.round("r", 6).cast("decimal(18,6)").alias("r")
     )
+
+
+def _pagerank_oracle(iterations: int = 10, damping: float = 0.85) -> str:
+    """Unrolled power-iteration oracle: SQL can't aggregate inside a
+    recursive CTE, so each iteration is its own CTE — generated, not
+    hand-written, so the Spark loop and the SQL provably share the
+    recurrence rank' = (1-d)/N + d * Σ rank/outdeg."""
+    nodes = "SELECT p_partkey AS v FROM part"
+    edges = (
+        "SELECT p_partkey AS src, p_partkey + 1 AS dst FROM part p"
+        " WHERE p_partkey % 10 < 3"
+        " AND EXISTS (SELECT 1 FROM part q WHERE q.p_partkey = p.p_partkey + 1)"
+        " UNION ALL "
+        "SELECT p_partkey AS src, p_partkey + 3 AS dst FROM part p"
+        " WHERE p_partkey % 10 < 3"
+        " AND EXISTS (SELECT 1 FROM part q WHERE q.p_partkey = p.p_partkey + 3)"
+    )
+    parts = [
+        f"WITH nodes AS ({nodes})",
+        f"e AS ({edges})",
+        "n AS (SELECT count(*) AS total FROM nodes)",
+        "outdeg AS (SELECT src, count(*) AS deg FROM e GROUP BY src)",
+        "pr0 AS (SELECT v, 1.0 / (SELECT total FROM n) AS pr FROM nodes)",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"pr{i} AS (SELECT nodes.v,"
+            f" (1.0 - {damping}) / (SELECT total FROM n)"
+            f" + {damping} * coalesce(s.mass, 0.0) AS pr"
+            " FROM nodes LEFT JOIN"
+            f" (SELECT e.dst AS v, sum(p.pr / outdeg.deg) AS mass"
+            f"  FROM e JOIN pr{i - 1} p ON p.v = e.src"
+            "  JOIN outdeg ON outdeg.src = e.src GROUP BY e.dst) s"
+            " ON s.v = nodes.v)"
+        )
+    return (
+        ", ".join(parts)
+        + f" SELECT v AS vertex, CAST(round(pr, 12) AS DECIMAL(20,14)) AS rank"
+        f" FROM pr{iterations}"
+    )
+
+
+@query("g1_pagerank", oracle=_pagerank_oracle())
+def g1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank over the same synthetic chain graph CC
+    uses (directed, +1/+3 hops) — the second iterative driver-loop
+    operator, and unlike most engines' PageRank it is ORACLE-checked:
+    10 unrolled power iterations in DuckDB reproduce the exact doubles
+    (in-degree <= 2 by construction, so float summation order can't
+    diverge; both engines evaluate the identical recurrence).
+    """
+    part = load(spark, sf_dir, "part").select("p_partkey")
+    keys = part.select(F.col("p_partkey").alias("k"))
+    hop = lambda d: (
+        part.where(F.col("p_partkey") % 10 < 3)
+        .select(
+            F.col("p_partkey").alias("src"),
+            (F.col("p_partkey") + d).alias("dst"),
+        )
+        .join(keys, F.col("dst") == F.col("k"), "left_semi")
+    )
+    edges = hop(1).unionAll(hop(3))
+    from ..operators.graph import pagerank
+
+    out = pagerank(edges, part, iterations=10, damping=0.85)
+    return out.select(
+        "vertex", F.round("rank", 12).cast("decimal(20,14)").alias("rank")
+    )
