@@ -305,3 +305,65 @@ def foreach_batch_parquet_sink(stream_df: DataFrame, path: str) -> str:
     batches = [d for d in os.listdir(path) if d.startswith("batch=")]
     last = max(batches, key=lambda d: int(d.split("=", 1)[1]))
     return os.path.join(path, last)
+
+
+def transform_with_state_totals(events: DataFrame) -> DataFrame:
+    """Per-user count/max via ``transformWithStateInPandas`` — the
+    Spark 4 arbitrary-state API (typed ValueState handles, timers,
+    schema'd state) next to ss5's classic applyInPandasWithState.
+
+    Requires (a) the RocksDB state-store provider (set by the caller
+    before ``start()``): transformWithState is implemented against
+    RocksDB's column families, which is also the provider to run at
+    production state sizes (state spills off-heap instead of living in
+    executor JVM memory); and (b) ``google.protobuf`` on the Python
+    workers (the TWS state-server protocol is protobuf-based) — absent
+    in this container, so the operator is NOT in the query registry;
+    tests skip unless protobuf imports. ss5 covers the same semantics
+    on the dependency-free API.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("mx", DoubleType()),
+        ]
+    )
+
+    class UserTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._totals.exists():
+                n, mx = self._totals.get()
+            else:
+                n, mx = 0, float("-inf")
+            for pdf in rows:
+                n += len(pdf)
+                if len(pdf):
+                    mx = max(mx, float(pdf["value"].max()))
+            self._totals.update((n, mx))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "max_value": [mx]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserTotals(),
+        outputStructType="user_id BIGINT, n_events BIGINT, max_value DOUBLE",
+        outputMode="Update",
+        timeMode="None",
+    )

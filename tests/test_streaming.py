@@ -96,3 +96,39 @@ def test_session_windows_match_batch(spark, sf_dir):
         assert expected[k] == n
     # and nearly all sessions should be sealed (only the last hour open)
     assert len(streamed) >= 0.8 * len(expected)
+
+
+def test_transform_with_state_totals(spark, sf_dir):
+    """Spark 4 transformWithStateInPandas twin of ss5 — runs only where
+    google.protobuf is available (the TWS state-server protocol needs
+    it); keeps the operator exercised the moment the dependency exists."""
+    import pytest
+
+    pytest.importorskip("google.protobuf.descriptor")
+    from pyspark.sql import functions as F
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        totals = ops.transform_with_state_totals(
+            ops.read_events_stream(spark, sf_dir)
+        )
+        sink = ops.run_available_now(totals, "tws_test", "update")
+        final = sink.groupBy("user_id").agg(
+            F.max("n_events").alias("n_events")
+        )
+        batch = (
+            load(spark, sf_dir, "events")
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+        )
+        assert final.exceptAll(batch).isEmpty()
+        assert batch.exceptAll(final).isEmpty()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
