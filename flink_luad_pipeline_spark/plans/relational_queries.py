@@ -1108,3 +1108,66 @@ def x3_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = R.salted_skew_join(li, orders, on="l_orderkey", salt_buckets=16)
     return out.select("l_orderkey", "l_extendedprice", "o_orderpriority")
+
+
+@query(
+    "p9_try_cast",
+    oracle=(
+        "SELECT p_partkey,"
+        " TRY_CAST(CASE WHEN p_partkey % 3 = 0 THEN p_name"
+        "  ELSE CAST(p_size AS VARCHAR) END AS INTEGER) AS maybe_int,"
+        " TRY_CAST(CASE WHEN p_partkey % 5 = 0 THEN 'not-a-date'"
+        "  ELSE '2024-01-0' || CAST(1 + p_partkey % 9 AS VARCHAR) END"
+        "  AS DATE) AS maybe_date"
+        " FROM part"
+    ),
+)
+def p9_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 — fault-tolerant parsing with try_cast: malformed cells
+    become NULL instead of failing the job. This is the row-transform
+    counterpart of S1's DROPMALFORMED at the scan: under ANSI mode
+    (Spark 4's default, and what the external driver runs) a plain
+    CAST on one dirty string kills a 100 TB job at 99% — dirty-data
+    casts must be try_cast, with a NULL-rate monitor downstream.
+    """
+    part = load(spark, sf_dir, "part")
+    dirty_int = F.when(
+        F.col("p_partkey") % 3 == 0, F.col("p_name")
+    ).otherwise(F.col("p_size").cast("string"))
+    dirty_date = F.when(
+        F.col("p_partkey") % 5 == 0, F.lit("not-a-date")
+    ).otherwise(
+        F.concat(F.lit("2024-01-0"), (1 + F.col("p_partkey") % 9).cast("string"))
+    )
+    return part.select(
+        "p_partkey",
+        dirty_int.try_cast("int").alias("maybe_int"),
+        dirty_date.try_cast("date").alias("maybe_date"),
+    )
+
+
+@query(
+    "s12_orc_roundtrip",
+    oracle=(
+        "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,"
+        " CAST(round(sum(o_totalprice), 2) AS DECIMAL(18,2)) AS total"
+        " FROM orders GROUP BY o_orderpriority"
+    ),
+)
+def s12_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12 — ORC sink + scan round-trip: the second columnar format
+    next to parquet (both ship in Spark with predicate pushdown,
+    column pruning, and zlib/zstd compression). Orders written as ORC,
+    read back, aggregated — proving the format swap is one word in the
+    writer/reader, as it should be at any scale.
+    """
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    )
+    path = _tmp("s12_orders_orc")
+    orders.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).cast("decimal(18,2)").alias("total"),
+    )
