@@ -184,3 +184,30 @@ def test_sorted_write_readback_pushes_date_filter(spark, sf_dir):
     footer (row-group stats pruning), not post-filter a full scan."""
     plan = physical(QUERIES["s11_sorted_clustered_write"](spark, sf_dir))
     assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters", 1)[1][:200]
+
+
+# Queries whose cartesian/BNLJ is the documented *intent* (exact
+# brute-force tiers with a bucketed scale path, tiny broadcast sides,
+# or the reference's own cross-minus-present semantics; ALS is
+# pyspark.ml internals).
+INTENTIONAL_CARTESIAN = {
+    "j4_cross_join",          # the operator under test IS a cross join
+    "j5_broadcast_nested_loop",  # ditto (upper-triangle BNLJ)
+    "a4_missing_cells",       # crossJoin MINUS observed (PreProcess.scala:102)
+    "c1_als_completion",      # missing-grid crossJoin + mllib ALS internals
+    "ll8_cosine_topk",        # brute-force baseline (scale path: ll9/ll12)
+    "ll11_embedding_neardup",  # exact tier (scale path: ll9 + threshold)
+    "ll12_ivf_ann_topk",      # query×centroid BNLJ: centroid side is tiny
+}
+
+
+def test_no_accidental_cartesians_anywhere(spark, sf_dir):
+    """Registry-wide scale audit: no query outside the documented
+    brute-force/cross tiers may plan a CartesianProduct or
+    BroadcastNestedLoopJoin. Catches an accidental non-equi join the
+    moment it lands, across every current and future query."""
+    streaming = {n for n in QUERIES if n.startswith("ss")}
+    for name in sorted(set(QUERIES) - streaming - INTENTIONAL_CARTESIAN):
+        plan = physical(QUERIES[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
