@@ -794,3 +794,66 @@ def ll25_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(18,6)")
         .alias("fertility"),
     )
+
+
+# ---------------------------------------------------------------------------
+# LL26 — corpus data card: the per-language summary a corpus release
+#        publishes, composing ll1/ll2/ll3's signals in one pass
+# ---------------------------------------------------------------------------
+
+_LANG_SQL = (
+    "CASE WHEN greatest(en_h, de_h, fr_h) = 0 THEN 'und'"
+    " WHEN en_h = greatest(en_h, de_h, fr_h) THEN 'en'"
+    " WHEN de_h = greatest(en_h, de_h, fr_h) THEN 'de'"
+    " ELSE 'fr' END"
+)
+
+LL26_ORACLE = (
+    f"WITH tok AS (SELECT doc_id, text, {_TOKENS_SQL} AS tokens FROM documents),"
+    f" sig AS (SELECT doc_id, len(tokens) AS n_tok,"
+    f"  {_HITS.format(words=_EN)} AS en_h,"
+    f"  {_HITS.format(words=_DE)} AS de_h,"
+    f"  {_HITS.format(words=_FR)} AS fr_h,"
+    "  md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp"
+    "  FROM tok),"
+    " fpc AS (SELECT fp, count(*) AS c FROM sig GROUP BY fp),"
+    f" lab AS (SELECT s.doc_id, s.n_tok, {_LANG_SQL} AS lang,"
+    "  fpc.c > 1 AS is_dup FROM sig s JOIN fpc ON fpc.fp = s.fp)"
+    " SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,"
+    " CAST(sum(n_tok) AS BIGINT) AS total_tokens,"
+    " CAST(count(*) FILTER (WHERE is_dup) AS BIGINT) AS n_dup_docs"
+    " FROM lab GROUP BY lang"
+)
+
+
+@query("ll26_corpus_datacard", oracle=LL26_ORACLE)
+def ll26_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus data card: docs / token volume / exact-dup counts per
+    predicted language — the release-notes summary every corpus build
+    ends with, composed from the engine's own text signals (ll2
+    language ID, ll3 fingerprint) in two grouped passes (fingerprint
+    counts, then the per-language rollup; the fingerprint join is the
+    only wide dependency and shuffles 128-bit keys, uniform by
+    construction).
+
+    Counts and integer sums only — deliberately no floating mean, so
+    the card is exact at any scale and partial-aggregation order can't
+    move a digit.
+    """
+    docs = load(spark, sf_dir, "documents")
+    tokens = T.tokenize(F.col("text"))
+    sig = docs.select(
+        "doc_id",
+        F.size(tokens).alias("n_tok"),
+        T.predict_lang(tokens).alias("lang"),
+        T.text_fingerprint(F.col("text")).alias("fp"),
+    )
+    fpc = sig.groupBy("fp").agg(F.count(F.lit(1)).alias("c"))
+    lab = sig.join(fpc, "fp").select(
+        "lang", "n_tok", (F.col("c") > 1).alias("is_dup")
+    )
+    return lab.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        F.count(F.when(F.col("is_dup"), 1)).cast("bigint").alias("n_dup_docs"),
+    )
