@@ -341,3 +341,74 @@ def salted_skew_join(
     ).withColumn("__salt", F.col("__salt").cast("long"))
     out = salted_fact.join(replicated_dim, [on, "__salt"])
     return out.drop("__salt")
+
+
+def interval_overlap_pairs(
+    df: DataFrame,
+    key: str,
+    id_col: str,
+    start: str = "s",
+    end: str = "e",
+    bucket_sec: int = 512,
+) -> DataFrame:
+    """All unordered pairs of same-key intervals whose half-open spans
+    ``[start, end)`` overlap. Requires every interval shorter than
+    ``bucket_sec`` (the caller caps durations).
+
+    Not in the reference (SURVEY §2.4 lists no theta/range joins) —
+    standard event-analytics surface. The naive formulation is an
+    inequality self-join (BroadcastNestedLoopJoin, O(n² ) per key). This
+    is the banded interval join: every interval explodes to the ≤2
+    time buckets it spans (duration < bucket width guarantees ≤2), the
+    candidate side registers at its start bucket, and the join becomes
+    a plain equi-join on (key, bucket) + exact overlap filter. For any
+    overlapping pair, at least one orientation lands the candidate's
+    start bucket inside the prober's spanned range (bucket assignment
+    is monotone in time), so no pair is missed; the canonical
+    (least, greatest) id ordering + distinct collapses the ≤2
+    discoveries of the same pair.
+
+    Two shuffles on the compound (key, bucket) — both AQE-managed equi
+    shuffles; pair output is tiny relative to input, so the final
+    distinct is cheap. At 100 TB the same plan holds as long as
+    durations stay bounded; unbounded intervals need a different
+    algorithm (sort + sweep per key via applyInPandas).
+
+    Output: key, id_a < id_b, overlap_us (exact integer microseconds).
+    """
+    w = F.lit(bucket_sec)
+    b_start = F.floor(F.unix_timestamp(F.col(start)) / w).cast("long")
+    b_end = F.floor(F.unix_timestamp(F.col(end)) / w).cast("long")
+
+    probes = df.select(
+        F.col(key).alias("k"),
+        F.col(id_col).alias("id_a"),
+        F.col(start).alias("sa"),
+        F.col(end).alias("ea"),
+        F.explode(F.sequence(b_start, b_end)).alias("bucket"),
+    )
+    cands = df.select(
+        F.col(key).alias("k"),
+        F.col(id_col).alias("id_b"),
+        F.col(start).alias("sb"),
+        F.col(end).alias("eb"),
+        b_start.alias("bucket"),
+    )
+    pairs = (
+        probes.join(cands, ["k", "bucket"])
+        .where(
+            (F.col("id_a") != F.col("id_b"))
+            & (F.col("sa") < F.col("eb"))
+            & (F.col("sb") < F.col("ea"))
+        )
+        .select(
+            F.col("k").alias(key),
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            (
+                F.unix_micros(F.least("ea", "eb"))
+                - F.unix_micros(F.greatest("sa", "sb"))
+            ).alias("overlap_us"),
+        )
+    )
+    return pairs.distinct()

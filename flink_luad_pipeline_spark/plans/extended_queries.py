@@ -792,3 +792,58 @@ def b20_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(18,6)")
         .alias("rev_dot"),
     )
+
+
+# ---------------------------------------------------------------------------
+# B21 — SCD2 (type-2 slowly changing dimension) build
+# ---------------------------------------------------------------------------
+
+B21_ORACLE = (
+    "WITH ordered AS (SELECT o_custkey, o_orderpriority, o_orderdate,"
+    "   o_orderkey, lag(o_orderpriority) OVER"
+    "   (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev"
+    "  FROM orders),"
+    " changes AS (SELECT * FROM ordered"
+    "  WHERE prev IS NULL OR prev <> o_orderpriority)"
+    " SELECT o_custkey AS custkey, o_orderpriority AS priority,"
+    " strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS valid_from,"
+    " strftime(lead(o_orderdate) OVER"
+    "   (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),"
+    "   '%Y-%m-%d %H:%M:%S') AS valid_to,"
+    " lead(o_orderdate) OVER"
+    "   (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) IS NULL"
+    "   AS is_current"
+    " FROM changes"
+)
+
+
+@query("b21_scd2_dimension", oracle=B21_ORACLE)
+def b21_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension build: treat each customer's orders as
+    attribute-change events on o_orderpriority, compress consecutive
+    runs of the same value (lag), and interval-ize the survivors
+    (lead -> valid_from/valid_to half-open ranges, NULL valid_to =
+    current row). The standard warehouse dimension-history pattern,
+    absent from the reference (no windows at all, SURVEY §2.5).
+
+    Scale shape: two Window passes over the SAME (custkey) partitioning
+    and (date, key) ordering — Catalyst reuses one hash shuffle + one
+    in-partition sort for both; nothing global. At 100 TB the change
+    log is normally delta-sized; the pattern composes with b18's upsert
+    compaction for incremental refresh.
+    """
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    changes = (
+        orders.withColumn("prev", F.lag("o_orderpriority").over(w))
+        .where(F.col("prev").isNull() | (F.col("prev") != F.col("o_orderpriority")))
+    )
+    wc = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    valid_to = F.lead("o_orderdate").over(wc)
+    return changes.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format(valid_to, "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        valid_to.isNull().alias("is_current"),
+    )

@@ -857,3 +857,83 @@ def ll26_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tok").cast("bigint").alias("total_tokens"),
         F.count(F.when(F.col("is_dup"), 1)).cast("bigint").alias("n_dup_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ll27 — corpus source-overlap matrix (pairwise shingle Jaccard by source)
+# ---------------------------------------------------------------------------
+
+_LL27_ORACLE = (
+    f"WITH tok AS (SELECT source, {_TOKENS_SQL} AS tokens FROM documents),"
+    " sh AS (SELECT source, CASE WHEN len(tokens) >= 3 THEN"
+    "   list_transform(range(1, len(tokens) - 1),"
+    "     i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])"
+    "   ELSE [] END AS shingles FROM tok),"
+    " inv AS (SELECT DISTINCT source, shingle FROM"
+    "   (SELECT source, unnest(shingles) AS shingle FROM sh)),"
+    " sz AS (SELECT source, count(*) AS n FROM inv GROUP BY source),"
+    " inter AS (SELECT a.source AS src_a, b.source AS src_b,"
+    "   count(*) AS n_common FROM inv a JOIN inv b"
+    "   ON a.shingle = b.shingle AND a.source < b.source"
+    "   GROUP BY a.source, b.source)"
+    " SELECT src_a, src_b, CAST(n_common AS BIGINT) AS n_common,"
+    " CAST(round(n_common * 1.0 / (na.n + nb.n - n_common), 6)"
+    "   AS DECIMAL(18,6)) AS jaccard"
+    " FROM inter JOIN sz na ON na.source = src_a"
+    " JOIN sz nb ON nb.source = src_b"
+)
+
+
+@query("ll27_source_overlap", oracle=_LL27_ORACLE)
+def ll27_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus source-overlap matrix: exact pairwise Jaccard similarity
+    of the distinct 3-gram shingle sets of each SOURCE (not each doc) —
+    the cross-source contamination report a corpus release publishes
+    next to its data card (ll26). High overlap between two sources
+    means one likely scraped or mirrors the other; dedup budgets and
+    mixture weights (the d1 sampler) should treat them jointly.
+
+    Scale shape: the inverted-index pattern, never sources² × shingles.
+    explode -> distinct(source, shingle) is one shuffle; the self-join
+    on shingle hits only shingles shared by ≥2 sources; per-pair counts
+    are a grouped agg over that join. Source cardinality is tiny (20
+    here, thousands at worst), so the pair matrix is negligible; the
+    heavy side is distinct shingles, which partitions by shingle hash
+    with no skew (shingles are near-unique).
+    """
+    docs = load(spark, sf_dir, "documents")
+    inv = (
+        docs.select(
+            "source",
+            F.explode(T.word_shingles(T.tokenize(F.col("text")), 3)).alias(
+                "shingle"
+            ),
+        )
+        .distinct()
+    )
+    sz = inv.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = inv.select(F.col("source").alias("src_a"), "shingle")
+    b = inv.select(F.col("source").alias("src_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    na = sz.select(F.col("source").alias("src_a"), F.col("n").alias("na"))
+    nb = sz.select(F.col("source").alias("src_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(F.broadcast(na), "src_a")
+        .join(F.broadcast(nb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            F.round(
+                F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("jaccard"),
+        )
+    )

@@ -1171,3 +1171,45 @@ def s12_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("o_totalprice"), 2).cast("decimal(18,2)").alias("total"),
     )
+
+
+@query(
+    "j10_interval_overlap_join",
+    oracle=(
+        "WITH iv AS (SELECT event_id, user_id, ts AS s,"
+        " ts + to_seconds(CAST(floor(least(value, 511)) AS BIGINT)) AS e"
+        " FROM events)"
+        " SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,"
+        " epoch_us(least(a.e, b.e)) - epoch_us(greatest(a.s, b.s))"
+        " AS overlap_us"
+        " FROM iv a JOIN iv b ON a.user_id = b.user_id"
+        " AND a.event_id < b.event_id AND a.s < b.e AND b.s < a.e"
+    ),
+)
+def j10_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10 — interval self-overlap join: pairs of events for the same
+    user whose activity spans [ts, ts + value sec) overlap (duration
+    capped at 511 s < the 512 s band width the operator requires).
+
+    Spark side is operators/relational.interval_overlap_pairs — the
+    banded equi-join plan (explode to ≤2 spanned buckets, join on
+    (user, bucket), exact filter, canonical distinct). The oracle is
+    the naive inequality self-join, so the banding scheme's
+    completeness is checked independently. overlap_us is an exact
+    integer microseconds difference — no floating rounding needed.
+    """
+    ev = load(spark, sf_dir, "events")
+    iv = ev.select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("s"),
+        F.timestamp_add(
+            "SECOND",
+            F.floor(F.least(F.col("value"), F.lit(511.0))).cast("int"),
+            F.col("ts"),
+        ).alias("e"),
+    )
+    return R.interval_overlap_pairs(
+        iv, key="user_id", id_col="event_id", start="s", end="e",
+        bucket_sec=512,
+    )

@@ -211,3 +211,35 @@ def test_no_accidental_cartesians_anywhere(spark, sf_dir):
         plan = physical(QUERIES[name](spark, sf_dir))
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_interval_overlap_is_banded_equi_join(spark, sf_dir):
+    """j10's self-overlap must be the banded equi-join on
+    (user, bucket) — a BNLJ/cartesian inequality join would be O(n²)
+    per user at scale."""
+    plan = physical(QUERIES["j10_interval_overlap_join"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "bucket" in plan
+
+
+def test_scd2_windows_share_one_shuffle(spark, sf_dir):
+    """b21 runs two window functions over the same partitioning and
+    ordering — Catalyst must plan exactly one hashpartitioning exchange
+    on o_custkey, not one per window."""
+    plan = physical(QUERIES["b21_scd2_dimension"](spark, sf_dir))
+    n_custkey_exchanges = sum(
+        1
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning(o_custkey" in ln
+    )
+    assert n_custkey_exchanges == 1, plan
+
+
+def test_source_overlap_is_inverted_index_join(spark, sf_dir):
+    """ll27's intersection join keys on the shingle (inverted index),
+    never sources × sources, and the size lookups broadcast."""
+    plan = physical(QUERIES["ll27_source_overlap"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
