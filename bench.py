@@ -43,6 +43,8 @@ HEADLINE = [
     "ll13_chunk_documents",
     "ll16_ngram_vocab",
     "b4_cube_agg",
+    "b21_scd2_dimension",
+    "j10_interval_overlap_join",
     "s9_bucketed_colocated_join",
     "ss1_tumbling_window",
 ]

@@ -154,3 +154,42 @@ def pagerank(
             .localCheckpoint()
         )
     return ranks
+
+
+def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-vertex triangle counts on an undirected graph.
+
+    Standard oriented-wedge enumeration: canonicalize every edge to
+    (lo, hi), dedup, then wedge-join (lo→mid→hi) and close each wedge
+    against the edge set. Orientation means each triangle {u<v<w} is
+    enumerated exactly once as u→v→w, so no over-count correction is
+    needed; the per-vertex attribution explodes each triangle to its
+    three corners and group-counts.
+
+    Scale: three equi-joins on vertex keys — no cartesian. Orienting by
+    vertex id is deterministic and SQL-reproducible; at 100 TB with
+    power-law degrees, orient by (degree, id) instead so high-degree
+    hubs become wedge *endpoints* rather than centers, which bounds
+    per-key wedge fan-out (the classic arboricity argument) — same
+    plan, one extra degree join.
+
+    Returns ``DataFrame[vertex, n_triangles]`` (vertices in ≥1 triangle).
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("lo"),
+            F.greatest(F.col(src), F.col(dst)).alias("hi"),
+        )
+        .where(F.col("lo") != F.col("hi"))
+        .distinct()
+    )
+    ab = e.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+    bc = e.select(F.col("lo").alias("v"), F.col("hi").alias("w"))
+    ac = e.select(F.col("lo").alias("u"), F.col("hi").alias("w"))
+    tri = ab.join(bc, "v").join(ac, ["u", "w"])
+    corners = tri.select(
+        F.explode(F.array("u", "v", "w")).alias("vertex")
+    )
+    return corners.groupBy("vertex").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    )

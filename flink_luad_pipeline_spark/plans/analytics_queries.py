@@ -230,3 +230,54 @@ def g1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "vertex", F.round("rank", 12).cast("decimal(20,14)").alias("rank")
     )
+
+
+_G2_ORACLE = (
+    "WITH base AS (SELECT p_partkey AS k FROM part),"
+    " raw AS (SELECT p_partkey AS src, p_partkey + d.d AS dst"
+    "   FROM part CROSS JOIN (VALUES (1), (2), (3)) d(d)"
+    "   WHERE p_partkey % 10 < 3"
+    "   AND (p_partkey + d.d) IN (SELECT k FROM base)),"
+    " e AS (SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi"
+    "   FROM raw WHERE src <> dst),"
+    " tri AS (SELECT ab.lo AS u, ab.hi AS v, bc.hi AS w"
+    "   FROM e ab JOIN e bc ON bc.lo = ab.hi"
+    "   JOIN e ac ON ac.lo = ab.lo AND ac.hi = bc.hi)"
+    " SELECT vertex, CAST(count(*) AS BIGINT) AS n_triangles FROM"
+    " (SELECT u AS vertex FROM tri UNION ALL SELECT v FROM tri"
+    "  UNION ALL SELECT w FROM tri)"
+    " GROUP BY vertex"
+)
+
+
+@query("g2_triangle_count", oracle=_G2_ORACLE)
+def g2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex triangle counts over a synthetic +1/+2/+3-hop graph
+    on part keys (the +2 hop is what closes wedges into triangles —
+    the CC/PageRank chain graph is triangle-free).
+
+    Spark side is operators/graph.triangle_counts — oriented-wedge
+    enumeration, each triangle found exactly once as u<v<w. The oracle
+    repeats the construction relationally in DuckDB, so the count,
+    the orientation dedup, and the 3-corner attribution are all
+    value-checked.
+    """
+    from ..operators.graph import triangle_counts
+
+    part = load(spark, sf_dir, "part").select("p_partkey")
+    keys = part.select(F.col("p_partkey").alias("k"))
+    edges = (
+        part.where(F.col("p_partkey") % 10 < 3)
+        .select(
+            F.col("p_partkey").alias("src"),
+            F.explode(
+                F.array(
+                    F.col("p_partkey") + 1,
+                    F.col("p_partkey") + 2,
+                    F.col("p_partkey") + 3,
+                )
+            ).alias("dst"),
+        )
+        .join(keys, F.col("dst") == F.col("k"), "left_semi")
+    )
+    return triangle_counts(edges)

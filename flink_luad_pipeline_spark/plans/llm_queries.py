@@ -937,3 +937,72 @@ def ll27_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ll28 — TF-IDF top terms per document
+# ---------------------------------------------------------------------------
+
+_LL28_ORACLE = (
+    f"WITH tok AS (SELECT doc_id, unnest({_TOKENS_SQL}) AS term FROM documents),"
+    " tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),"
+    " df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),"
+    " n AS (SELECT count(*) AS n FROM documents),"
+    " scored AS (SELECT doc_id, term,"
+    "   round(tf * ln(n.n * 1.0 / df.df), 6) AS tfidf"
+    "   FROM tf JOIN df USING (term) CROSS JOIN n),"
+    " ranked AS (SELECT doc_id, term, tfidf, row_number() OVER"
+    "   (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk FROM scored)"
+    " SELECT doc_id, CAST(rnk AS INT) AS rnk, term,"
+    " CAST(tfidf AS DECIMAL(18,6)) AS tfidf"
+    " FROM ranked WHERE rnk <= 3"
+)
+
+
+@query("ll28_tfidf_topterms", oracle=_LL28_ORACLE)
+def ll28_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document — the classic distinctive-term
+    extractor (keyword signals for corpus browsing, topic drift
+    monitoring, and retrieval indexing next to the embedding family).
+    tf is the raw in-doc count, idf = ln(N/df).
+
+    Determinism: tfidf is rounded to 6 decimals BEFORE ranking on both
+    engines, and ties break on the term string, so the libm ln()
+    low-bit difference between JVM and DuckDB can never flip an order.
+
+    Scale shape: explode -> two grouped aggs (doc×term, then term) ->
+    broadcast the corpus-size scalar -> one window partitioned by
+    doc_id. The df table is vocabulary-sized; the window's shuffle key
+    is the document — high cardinality, no skew. No collect: N joins
+    in as a 1-row broadcast crossJoin, keeping the whole thing one
+    Catalyst plan.
+    """
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(T.tokenize(F.col("text"))).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n") * F.lit(1.0) / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select(
+            "doc_id",
+            F.col("rnk").cast("int").alias("rnk"),
+            "term",
+            F.col("tfidf").cast("decimal(18,6)").alias("tfidf"),
+        )
+    )

@@ -198,6 +198,7 @@ INTENTIONAL_CARTESIAN = {
     "ll8_cosine_topk",        # brute-force baseline (scale path: ll9/ll12)
     "ll11_embedding_neardup",  # exact tier (scale path: ll9 + threshold)
     "ll12_ivf_ann_topk",      # query×centroid BNLJ: centroid side is tiny
+    "ll28_tfidf_topterms",    # 1-row corpus-size scalar broadcast attach
 }
 
 
