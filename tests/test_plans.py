@@ -244,3 +244,36 @@ def test_source_overlap_is_inverted_index_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
+    """At 100 TB the fact side of a selectively-filtered fact⋈fact join
+    should be pre-pruned by a runtime bloom filter built from the
+    filtered side (Spark's runtime row-level filtering). Pin that the
+    engine's session can plan it: with the feature enabled and the join
+    too big to broadcast, Catalyst must inject bloom_filter_might_contain
+    on the probe side."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load(spark, sf_dir, "lineitem")
+        orders = load(spark, sf_dir, "orders").where(
+            F.col("o_totalprice") > 400000
+        )
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+            "l_orderkey", "o_totalprice"
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
