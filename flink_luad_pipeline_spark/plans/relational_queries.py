@@ -1213,3 +1213,80 @@ def j10_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         iv, key="user_id", id_col="event_id", start="s", end="e",
         bucket_sec=512,
     )
+
+
+@query(
+    "p10_variant_json",
+    oracle=(
+        "SELECT event_type,"
+        " CAST(sum(json_extract(props, '$.k')::INT) AS BIGINT) AS sum_k,"
+        " CAST(count(*) AS BIGINT) AS n"
+        " FROM events WHERE json_extract(props, '$.k')::INT >= 50"
+        " GROUP BY event_type"
+    ),
+)
+def p10_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10 — semi-structured analytics via the VARIANT type (Spark 4):
+    ``parse_json`` once into an open-schema variant column, typed
+    ``variant_get`` extraction, filter + grouped agg downstream.
+
+    Vs p7's from_json: VARIANT needs no schema declared up front, and
+    when persisted (parquet shredding) repeated extractions skip
+    re-parsing the JSON string — the right default for 100 TB event
+    props whose schema drifts. The oracle is DuckDB's JSON extraction
+    over the same column.
+    """
+    ev = load(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .where(F.col("k") >= 50)
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+
+
+_CHAIN_EDGES_SQL = (
+    "SELECT p_partkey AS src, p_partkey + d.d AS dst"
+    " FROM part CROSS JOIN (VALUES (1), (3)) d(d)"
+    " WHERE p_partkey % 10 < 3"
+    " AND (p_partkey + d.d) IN (SELECT p_partkey FROM part)"
+)
+
+# one WITH-list, RECURSIVE applying to the whole list — the same text
+# parses on Spark 4 and DuckDB, chain_edges inlined as a plain CTE
+_B22_SQL = (
+    "WITH RECURSIVE"
+    f" chain_edges AS ({_CHAIN_EDGES_SQL}),"
+    " reach(v, hops) AS ("
+    " SELECT p_partkey AS v, 0 AS hops FROM part WHERE p_partkey % 100 = 0"
+    " UNION ALL"
+    " SELECT e.dst AS v, r.hops + 1 AS hops FROM reach r"
+    " JOIN chain_edges e ON e.src = r.v"
+    " WHERE r.hops < 6)"
+    " SELECT v, CAST(min(hops) AS INT) AS min_hops,"
+    " CAST(count(*) AS BIGINT) AS n_paths"
+    " FROM reach GROUP BY v"
+)
+
+
+@query("b22_recursive_cte", oracle=_B22_SQL)
+def b22_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B22 — SQL-native recursion (Spark 4 WITH RECURSIVE): bounded-hop
+    reachability (min hop count + path count) from every 100th part key
+    over the same +1/+3 chain graph the driver-loop operators (i1, g1)
+    use. Registers part as a temp view and runs the IDENTICAL
+    recursive SQL text on both engines — the declarative twin of i1's
+    imperative loop, proving the engine offers both routes.
+
+    Scale: each recursion level is one equi-join + the hop-bound
+    filter; UNION ALL levels materialize per step exactly like the
+    driver loop's supersteps, but planned by Catalyst in one query.
+    Path counts stay bounded because out-degree ≤ 2 and depth ≤ 6.
+    """
+    part = load(spark, sf_dir, "part").select("p_partkey")
+    part.createOrReplaceTempView("part")
+    return spark.sql(_B22_SQL)
