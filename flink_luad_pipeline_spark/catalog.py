@@ -34,13 +34,17 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark rejects by
-        # default (PARQUET_TYPE_ILLEGAL). Read it as epoch-nanos LONG and
-        # rebuild a microsecond timestamp with exact integer division
-        # (a double division would lose precision above 2^53 ns).
+        # events.ts may be parquet TIMESTAMP(NANOS), which Spark rejects
+        # by default (PARQUET_TYPE_ILLEGAL). With the legacy conf it reads
+        # as epoch-nanos LONG; rebuild a microsecond timestamp with exact
+        # integer division (a double division would lose precision above
+        # 2^53 ns). Newer testdata generations store MICROS and arrive as
+        # a native timestamp already — leave those untouched.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        return df
     return spark.read.parquet(table_path(sf_dir, name))
 
 
