@@ -21,12 +21,11 @@ SF0001 = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    from flink_luad_pipeline_spark.plans.relational_queries import (
-        flagship_revenue_by_nation,
-    )
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
-    return flagship_revenue_by_nation(spark, SF0001)
+    Goes through the registry (not the raw function) so the
+    DECIMAL->DOUBLE output convention applies here too."""
+    return plans.all_queries()["flagship_revenue_by_nation"](spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -85,9 +85,17 @@ def main() -> None:
             failed.append(name)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # A failed query must not shrink the headline number: with any
+    # failure the total is null (incomparable), never a better-looking
+    # partial sum.
+    total = (
+        None
+        if failed
+        else round(sum(v for v in per_query.values() if v is not None), 4)
+    )
     out = {
         "metric": "headline_queries_total_runtime",
-        "value": round(sum(v for v in per_query.values() if v is not None), 4),
+        "value": total,
         "unit": "sec",
         "queries": per_query,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

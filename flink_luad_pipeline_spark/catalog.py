@@ -28,6 +28,32 @@ def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir.rstrip('/')}/{name}.parquet"
 
 
+def events_ts_is_nanos(path: str) -> bool:
+    """True iff the events file stores ``ts`` as parquet TIMESTAMP(NANOS).
+
+    Probed from the parquet footer with pyarrow so the Spark session is
+    never reconfigured for the (current, MICROS) common case. Works on a
+    single file or a directory of part files.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    p = path
+    if os.path.isdir(p):
+        parts = sorted(
+            f for f in os.listdir(p) if f.endswith(".parquet")
+        )
+        if not parts:
+            return False
+        p = os.path.join(path, parts[0])
+    try:
+        t = pq.read_schema(p).field("ts").type
+    except Exception:
+        return False
+    return str(t).startswith("timestamp[ns")
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan — columnar, so Catalyst column pruning and predicate
     pushdown reach the file reader (``PushedFilters`` in .explain)."""
@@ -35,16 +61,23 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     if name == "events":
         # events.ts may be parquet TIMESTAMP(NANOS), which Spark rejects
-        # by default (PARQUET_TYPE_ILLEGAL). With the legacy conf it reads
-        # as epoch-nanos LONG; rebuild a microsecond timestamp with exact
-        # integer division (a double division would lose precision above
-        # 2^53 ns). Newer testdata generations store MICROS and arrive as
-        # a native timestamp already — leave those untouched.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(table_path(sf_dir, name))
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-        return df
+        # by default (PARQUET_TYPE_ILLEGAL). Probe the footer first so
+        # the common MICROS case never touches session conf; only NANOS
+        # files set the legacy conf (left set for the session: Spark
+        # reads confs at scan time, so a set/restore around the lazy
+        # definition would break the later action). The NANOS branch
+        # rebuilds a microsecond timestamp with exact integer division
+        # (double division loses precision above 2^53 ns) and casts to
+        # TIMESTAMP_NTZ so both branches yield the same type as native
+        # MICROS isAdjustedToUTC=false files.
+        path = table_path(sf_dir, name)
+        if events_ts_is_nanos(path):
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            return spark.read.parquet(path).withColumn(
+                "ts",
+                F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz"),
+            )
+        return spark.read.parquet(path)
     return spark.read.parquet(table_path(sf_dir, name))
 
 

@@ -70,13 +70,64 @@ def dict_encode(df: DataFrame, name_col: str, id_col: str = "id") -> DataFrame:
     Scale note: a single-partition window over the *distinct* names, not
     the data — dictionary cardinality (~21k probes in the reference) is
     tiny relative to the fact table, same trick as a broadcast dim build.
-    For >~100M distinct keys switch to zipWithIndex-style monotonic ids.
+    For >~100M distinct keys use ``dict_encode_distributed`` (same
+    contract, no single-partition stage).
     """
     w = Window.orderBy("name")
     return (
         df.select(F.col(name_col).alias("name"))
         .distinct()
         .withColumn(id_col, (F.row_number().over(w) - F.lit(1)).cast("bigint"))
+    )
+
+
+def dict_encode_distributed(
+    df: DataFrame, name_col: str, id_col: str = "id"
+) -> DataFrame:
+    """A2's huge-dictionary tier: dense 0-based ids with NO
+    single-partition stage, for dictionaries too large to funnel
+    through one task (>~100M distinct keys).
+
+    Two-phase rank stitching (the DataFrame equivalent of
+    ``sortBy.zipWithIndex``): sort-partition the distinct names by
+    range, row_number *within* each partition, then add each
+    partition's global offset computed from per-partition counts (a
+    tiny driver-side prefix sum over ≤#partitions rows — metadata, not
+    data). Ids are identical to dict_encode's (rank in global name
+    order): every partition boundary respects the range ordering.
+
+    Cost: one range shuffle of the distinct names + one broadcast join
+    of #partitions offset rows vs dict_encode's single-partition sort.
+    """
+    names = df.select(F.col(name_col).alias("name")).distinct()
+    parted = names.repartitionByRange(names.sparkSession.sparkContext.defaultParallelism, "name")
+    ranked = parted.select(
+        "name",
+        F.spark_partition_id().alias("__pid"),
+        (
+            F.row_number().over(
+                Window.partitionBy(F.spark_partition_id()).orderBy("name")
+            )
+        ).alias("__local_rank"),
+    )
+    # per-partition counts -> exclusive prefix sum = partition offsets.
+    # #partitions rows at most: driver-safe at any data scale.
+    counts = ranked.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
+    offsets = counts.select(
+        "__pid",
+        (
+            F.sum("__n").over(
+                Window.orderBy("__pid").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            )
+        ).alias("__offset"),
+    ).fillna({"__offset": 0})
+    return ranked.join(F.broadcast(offsets), "__pid").select(
+        "name",
+        (F.col("__offset") + F.col("__local_rank") - F.lit(1))
+        .cast("bigint")
+        .alias(id_col),
     )
 
 
@@ -376,9 +427,20 @@ def interval_overlap_pairs(
 
     Output: key, id_a < id_b, overlap_us (exact integer microseconds).
     """
+
+    # Epoch helpers must accept TIMESTAMP_NTZ (what parquet MICROS files
+    # with isAdjustedToUTC=false read as): unix_micros/unix_timestamp
+    # reject NTZ, so cast to session-TZ TIMESTAMP first. The session TZ
+    # is pinned to UTC (session.py), making the mapping deterministic.
+    def _epoch_sec(c):
+        return F.unix_timestamp(c.cast("timestamp"))
+
+    def _epoch_us(c):
+        return F.unix_micros(c.cast("timestamp"))
+
     w = F.lit(bucket_sec)
-    b_start = F.floor(F.unix_timestamp(F.col(start)) / w).cast("long")
-    b_end = F.floor(F.unix_timestamp(F.col(end)) / w).cast("long")
+    b_start = F.floor(_epoch_sec(F.col(start)) / w).cast("long")
+    b_end = F.floor(_epoch_sec(F.col(end)) / w).cast("long")
 
     probes = df.select(
         F.col(key).alias("k"),
@@ -406,8 +468,8 @@ def interval_overlap_pairs(
             F.least("id_a", "id_b").alias("id_a"),
             F.greatest("id_a", "id_b").alias("id_b"),
             (
-                F.unix_micros(F.least("ea", "eb"))
-                - F.unix_micros(F.greatest("sa", "sb"))
+                _epoch_us(F.least("ea", "eb"))
+                - _epoch_us(F.greatest("sa", "sb"))
             ).alias("overlap_us"),
         )
     )

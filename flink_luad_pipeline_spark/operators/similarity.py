@@ -83,15 +83,20 @@ def hyperplane_signs(n_planes: int, dim: int) -> list[list[float]]:
 
 
 def _hyperplane_bucket(vec, n_planes: int, dim: int):
-    """Sign-pattern bucket id from n deterministic hyperplanes:
+    """Sign-pattern bucket id from the first n deterministic
+    hyperplanes (see _bucket_from_planes)."""
+    return _bucket_from_planes(vec, hyperplane_signs(n_planes, dim))
+
+
+def _bucket_from_planes(vec, planes: list[list[float]]):
+    """Sign-pattern bucket id from explicit hyperplanes:
     bucket = Σ_p [dot(plane_p, v) > 0] * 2^p. Planes are literal ±1
     arrays (hyperplane_signs), so the projection is one zip_with +
     aggregate per plane, all codegen. The dot product is rounded to 6
     digits before the sign test so engine fp-order can't flip a bucket
     bit."""
-    planes = hyperplane_signs(n_planes, dim)
     bucket = F.lit(0)
-    for p in range(n_planes):
+    for p in range(len(planes)):
         signs = F.array(*[F.lit(s) for s in planes[p]])
         comp = F.aggregate(
             F.zip_with(vec, signs, lambda x, s: x.cast("double") * s),
@@ -143,6 +148,76 @@ def lsh_bucketed_topk(
         .where(F.col("sim").isNotNull())
     )
     return _ranked(scored, k)
+
+
+def lsh_neardup_pairs(
+    vectors: DataFrame,
+    threshold: float,
+    n_planes: int = 4,
+    n_tables: int = 6,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Embedding near-duplicate pairs via banded random-hyperplane LSH
+    (OR-amplification, the cosine analogue of minhash banding): each
+    vector hashes into ``n_tables`` independent sign-buckets of
+    ``n_planes`` planes each; a pair is a candidate if it collides in
+    ANY table. Recall for a pair at angle θ is
+    ``1 - (1 - (1-θ/π)^n_planes)^n_tables`` — with the 4×6 default
+    ≈60% at cos 0.35 and ≈99% at cos 0.9 (near-dup territory), versus
+    14% for a single table. Candidate generation stays a pure
+    shuffle-partitionable equi-join on (table, bucket) — the 100 TB
+    path; only the pair volume grows ~n_tables×, collapsed by the
+    final distinct. Table t uses planes [t*n_planes, (t+1)*n_planes) of
+    the deterministic md5 ±1 sequence, so an oracle can recompute every
+    bucket exactly; the brute-force all-pairs formulation stays in
+    tests as the recall baseline. Threshold compares the *rounded*
+    similarity so boundary pairs can't flip between engines.
+
+    ``n_planes=0`` degenerates to one all-pairs bucket (exact mode for
+    tests; single-partition join — small inputs only).
+
+    Output: doc_a < doc_b, sim (rounded to ``round_digits``).
+    """
+    all_planes = hyperplane_signs(n_planes * n_tables, dim)
+    keys = []
+    for t in range(n_tables):
+        planes = all_planes[t * n_planes : (t + 1) * n_planes]
+        keys.append(
+            F.struct(
+                F.lit(t).alias("tbl"),
+                _bucket_from_planes(F.col(vec_col), planes).alias("bucket"),
+            )
+        )
+    bck = vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.explode(F.array(*keys)).alias("k"),
+    ).select("id", "v", "k.tbl", "k.bucket")
+    a = bck.select(
+        F.col("id").alias("doc_a"), F.col("v").alias("va"), "tbl", "bucket"
+    )
+    b = bck.select(
+        F.col("id").alias("doc_b"), F.col("v").alias("vb"), "tbl", "bucket"
+    )
+    return (
+        a.join(b, ["tbl", "bucket"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(cosine_similarity(F.col("va"), F.col("vb")), round_digits)
+            .alias("sim"),
+        )
+        .where(F.col("sim") >= threshold)
+        # multi-table hits of the same pair carry the identical rounded
+        # sim (same deterministic computation), so distinct collapses
+        # them exactly. At extreme scale, dedup the (doc_a, doc_b) pair
+        # ids BEFORE scoring and re-join vectors instead.
+        .distinct()
+    )
 
 
 def ivf_topk(

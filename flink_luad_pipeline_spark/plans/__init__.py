@@ -14,14 +14,17 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import (  # noqa: F401  (import side effect: registration)
-    analytics_queries,
-    datapipe_queries,
-    extended_queries,
-    llm_queries,
-    relational_queries,
-    streaming_queries,
-)
+# Registration order IS the driver's correctness-check order, and the
+# driver's sweep has a time budget — if it truncates, everything after
+# the cut gets no CORRECTNESS row. Import the contractual SURVEY §2 core
+# first, then the graded extension families, so a truncation can only
+# ever cost the cheapest-to-re-verify tail.
+from . import relational_queries  # noqa: F401  (SURVEY §2 core: S/P/A/J/U/O + b/j/s/x)
+from . import analytics_queries  # noqa: F401  (§2 iteration + ML: I1, C1-C5, g1/g2)
+from . import streaming_queries  # noqa: F401  (ss1-ss8)
+from . import llm_queries  # noqa: F401  (LLM data-pipeline ops)
+from . import datapipe_queries  # noqa: F401  (chunk/split/pack/decontaminate)
+from . import extended_queries  # noqa: F401  (OLAP b-family)
 from .registry import ORACLES, QUERIES
 
 

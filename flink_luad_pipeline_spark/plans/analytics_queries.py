@@ -39,7 +39,8 @@ def _coo_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WITH m AS (SELECT l_orderkey AS s, l_linenumber AS p, l_quantity AS v"
         " FROM lineitem)"
         " SELECT a.p AS probe_i, b.p AS probe_j,"
-        " CAST(round(corr(a.v, b.v), 6) AS DECIMAL(18,6)) AS r"
+        " CAST(CAST(round(corr(a.v, b.v), 6) AS DECIMAL(18,6)) AS DOUBLE)"
+        "  AS r"
         " FROM m a JOIN m b ON a.s = b.s AND a.p > b.p"
         " GROUP BY a.p, b.p"
         " HAVING corr(a.v, b.v) IS NOT NULL AND NOT isnan(corr(a.v, b.v))"
@@ -199,7 +200,8 @@ def _pagerank_oracle(iterations: int = 10, damping: float = 0.85) -> str:
         )
     return (
         ", ".join(parts)
-        + f" SELECT v AS vertex, CAST(round(pr, 12) AS DECIMAL(20,14)) AS rank"
+        + f" SELECT v AS vertex,"
+        f" CAST(CAST(round(pr, 12) AS DECIMAL(20,14)) AS DOUBLE) AS rank"
         f" FROM pr{iterations}"
     )
 

@@ -37,7 +37,7 @@ B4_ORACLE = (
     "SELECT o_orderstatus AS status, o_orderpriority AS priority,"
     " CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,"
     " count(*) AS n_orders,"
-    " CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total"
+    " CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total"
     " FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)"
 )
 
@@ -152,10 +152,11 @@ def b6_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 B7_ORACLE = (
     "SELECT * FROM ("
     " SELECT c_nationkey AS nation, c_custkey AS custkey,"
-    " CAST(round(c_acctbal, 2) AS DECIMAL(18,2)) AS acctbal,"
+    " CAST(CAST(round(c_acctbal, 2) AS DECIMAL(18,2)) AS DOUBLE) AS acctbal,"
     " CAST(rank() OVER w AS BIGINT) AS rnk,"
     " CAST(dense_rank() OVER w AS BIGINT) AS drnk,"
-    " CAST(round(lag(c_acctbal) OVER w, 2) AS DECIMAL(18,2)) AS prev_bal"
+    " CAST(CAST(round(lag(c_acctbal) OVER w, 2) AS DECIMAL(18,2)) AS DOUBLE)"
+    "  AS prev_bal"
     " FROM customer"
     " WINDOW w AS (PARTITION BY c_nationkey"
     "              ORDER BY round(c_acctbal, 2) DESC, c_custkey)"
@@ -255,7 +256,8 @@ def x2_sketch_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 B9_SQL = (
     "SELECT c.c_custkey AS custkey, c.c_acctbal_r AS acctbal"
-    " FROM (SELECT c_custkey, CAST(round(c_acctbal, 2) AS DECIMAL(18,2))"
+    " FROM (SELECT c_custkey, CAST(CAST(round(c_acctbal, 2)"
+    "       AS DECIMAL(18,2)) AS DOUBLE)"
     "       AS c_acctbal_r, c_nationkey FROM customer) c"
     " WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"
     " AND c.c_acctbal_r > (SELECT CAST(round(avg(c_acctbal), 2) AS"
@@ -319,7 +321,7 @@ B11_ORACLE = (
     " count(DISTINCT l_suppkey) AS n_supps,"
     " count(DISTINCT l_partkey) AS n_parts,"
     " count(*) AS n_rows,"
-    " CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS qty"
+    " CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty"
     " FROM lineitem GROUP BY l_returnflag"
 )
 
@@ -354,7 +356,7 @@ B12_ORACLE = (
     " CAST(round(avg(CAST(o_totalprice AS DECIMAL(18,2)))"
     "  OVER (PARTITION BY o_custkey ORDER BY o_orderkey"
     "   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4)"
-    "  AS DECIMAL(18,4)) AS moving_avg"
+    "  AS DOUBLE) AS moving_avg"
     " FROM orders"
 )
 
@@ -484,8 +486,10 @@ def b14_lateral_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
 B15_ORACLE = (
     "SELECT c_custkey AS custkey,"
     " CAST(ntile(4) OVER w AS INT) AS quartile,"
-    " CAST(round(percent_rank() OVER w, 6) AS DECIMAL(18,6)) AS pct_rank,"
-    " CAST(round(cume_dist() OVER w, 6) AS DECIMAL(18,6)) AS cdist,"
+    " CAST(CAST(round(percent_rank() OVER w, 6) AS DECIMAL(18,6)) AS DOUBLE)"
+    "  AS pct_rank,"
+    " CAST(CAST(round(cume_dist() OVER w, 6) AS DECIMAL(18,6)) AS DOUBLE)"
+    "  AS cdist,"
     " first_value(c_custkey) OVER w AS poorest,"
     " last_value(c_custkey) OVER"
     "  (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey"
@@ -532,8 +536,8 @@ B16_ORACLE = (
     "  ORDER BY o_orderdate, o_orderkey) AS priority_seq,"
     " CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)"
     "  AS n_filled,"
-    " CAST(round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 2)"
-    "  AS DECIMAL(18,2)) AS open_total"
+    " CAST(CAST(round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O'),"
+    "  2) AS DECIMAL(18,2)) AS DOUBLE) AS open_total"
     " FROM orders GROUP BY o_custkey"
 )
 
@@ -589,7 +593,8 @@ B17_ORACLE = (
     " event_type,"
     " CAST(count(*) AS BIGINT) AS n,"
     " CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,"
-    " CAST(round(sum(value), 2) AS DECIMAL(18,2)) AS total_value"
+    " CAST(CAST(round(sum(value), 2) AS DECIMAL(18,2)) AS DOUBLE)"
+    "  AS total_value"
     " FROM events GROUP BY date_trunc('hour', ts), event_type"
 )
 
@@ -645,7 +650,8 @@ B18_ORACLE = (
     " latest AS (SELECT *, row_number() OVER"
     "   (PARTITION BY o_orderkey ORDER BY version DESC) AS rn FROM log)"
     " SELECT o_orderkey AS orderkey, o_orderstatus AS status,"
-    " CAST(round(o_totalprice, 2) AS DECIMAL(18,2)) AS totalprice,"
+    " CAST(CAST(round(o_totalprice, 2) AS DECIMAL(18,2)) AS DOUBLE)"
+    "  AS totalprice,"
     " CAST(version AS INT) AS version"
     " FROM latest WHERE rn = 1 AND NOT deleted"
 )
@@ -745,14 +751,14 @@ def b19_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 B20_ORACLE = (
     "SELECT vec_id,"
-    " CAST(round(list_sum(list_transform(embedding,"
+    " CAST(CAST(round(list_sum(list_transform(embedding,"
     "   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6)"
-    "  AS DECIMAL(18,6)) AS l2_sq,"
+    "  AS DECIMAL(18,6)) AS DOUBLE) AS l2_sq,"
     " CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,"
-    " CAST(round(list_sum(list_transform(range(1, len(embedding) + 1),"
+    " CAST(CAST(round(list_sum(list_transform(range(1, len(embedding) + 1),"
     "   i -> CAST(embedding[i] AS DOUBLE)"
     "    * CAST(embedding[len(embedding) + 1 - i] AS DOUBLE))), 6)"
-    "  AS DECIMAL(18,6)) AS rev_dot"
+    "  AS DECIMAL(18,6)) AS DOUBLE) AS rev_dot"
     " FROM embeddings"
 )
 

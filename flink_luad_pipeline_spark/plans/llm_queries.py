@@ -40,23 +40,23 @@ _HITS = "len(list_filter(tokens, x -> list_contains({words}, x)))"
         " SELECT doc_id,"
         " CAST(len(tokens) AS INT) AS n_tokens,"
         " CAST(length(text) AS INT) AS n_chars,"
-        " CAST(round(CASE WHEN length(text) = 0 THEN NULL ELSE"
+        " CAST(CAST(round(CASE WHEN length(text) = 0 THEN NULL ELSE"
         "   length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0 / length(text)"
-        "   END, 6) AS DECIMAL(18,6)) AS punct_ratio,"
-        f" CAST(round(CASE WHEN len(tokens) = 0 THEN NULL ELSE"
+        "   END, 6) AS DECIMAL(18,6)) AS DOUBLE) AS punct_ratio,"
+        f" CAST(CAST(round(CASE WHEN len(tokens) = 0 THEN NULL ELSE"
         f"   {_HITS.format(words=_EN)} * 1.0 / len(tokens) END, 6)"
-        "   AS DECIMAL(18,6)) AS stop_ratio,"
-        " CAST(round(CASE WHEN len(tokens) = 0 THEN NULL ELSE"
+        "   AS DECIMAL(18,6)) AS DOUBLE) AS stop_ratio,"
+        " CAST(CAST(round(CASE WHEN len(tokens) = 0 THEN NULL ELSE"
         "   list_sum(list_transform(tokens, x -> length(x))) * 1.0 / len(tokens)"
-        "   END, 6) AS DECIMAL(18,6)) AS mean_token_len,"
-        " CAST(round("
+        "   END, 6) AS DECIMAL(18,6)) AS DOUBLE) AS mean_token_len,"
+        " CAST(CAST(round("
         "   least(len(tokens) / 100.0, 1.0) * 0.4"
         f"  + coalesce(CASE WHEN len(tokens) = 0 THEN NULL ELSE"
         f"    {_HITS.format(words=_EN)} * 1.0 / len(tokens) END, 0.0) * 0.4"
         "   + (1.0 - least(coalesce(CASE WHEN length(text) = 0 THEN NULL ELSE"
         "     length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0 /"
         "     length(text) END, 1.0) * 5.0, 1.0)) * 0.2"
-        " , 6) AS DECIMAL(18,6)) AS quality_score"
+        " , 6) AS DECIMAL(18,6)) AS DOUBLE) AS quality_score"
         " FROM tok"
     ),
 )
@@ -136,13 +136,22 @@ _AUG_SQL = (
 )
 
 
+_AUG_CACHE: dict = {}
+
+
 def _augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus ∪ exact copies of every 10th doc (ids shifted +1e6)."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    copies = docs.where(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
-    )
-    return docs.unionAll(copies)
+    """Corpus ∪ exact copies of every 10th doc (ids shifted +1e6).
+    Cached per (session, sf_dir): ll4-ll7 and ll24 all start from this
+    frame, so one materialization serves the whole dedup family during
+    the driver's sequential correctness sweep."""
+    key = (id(spark), sf_dir)
+    if key not in _AUG_CACHE:
+        docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+        copies = docs.where(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+        _AUG_CACHE[key] = docs.unionAll(copies).cache()
+    return _AUG_CACHE[key]
 
 
 @query(
@@ -175,8 +184,8 @@ _JACCARD_ORACLE = (
     "   FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id"
     "   GROUP BY a.doc_id, b.doc_id)"
     " SELECT doc_a, doc_b,"
-    " CAST(round(i * 1.0 / (na.n_sh + nb.n_sh - i), 6) AS DECIMAL(18,6))"
-    " AS jaccard"
+    " CAST(CAST(round(i * 1.0 / (na.n_sh + nb.n_sh - i), 6)"
+    "  AS DECIMAL(18,6)) AS DOUBLE) AS jaccard"
     " FROM inter JOIN nz na ON na.doc_id = doc_a JOIN nz nb ON nb.doc_id = doc_b"
     " WHERE i * 1.0 / (na.n_sh + nb.n_sh - i) >= 0.4"
 )
@@ -240,8 +249,8 @@ _MINHASH_ORACLE = (
     "   JOIN inv b ON b.doc_id = c.doc_b AND b.shingle = a.shingle"
     "   GROUP BY c.doc_a, c.doc_b)"
     " SELECT doc_a, doc_b,"
-    " CAST(round(i * 1.0 / (na.n_sh + nb.n_sh - i), 6) AS DECIMAL(18,6))"
-    " AS jaccard"
+    " CAST(CAST(round(i * 1.0 / (na.n_sh + nb.n_sh - i), 6)"
+    "  AS DECIMAL(18,6)) AS DOUBLE) AS jaccard"
     " FROM inter JOIN nz na ON na.doc_id = doc_a"
     " JOIN nz nb ON nb.doc_id = doc_b"
     " WHERE i * 1.0 / (na.n_sh + nb.n_sh - i) >= 0.4"
@@ -329,7 +338,8 @@ _COS_SQL = _cos_sql("qv", "cv")
         " row_number() OVER (PARTITION BY query_id"
         " ORDER BY sim DESC, cand_id) AS rank"
         " FROM scored WHERE sim IS NOT NULL)"
-        " SELECT query_id, cand_id, CAST(sim AS DECIMAL(18,6)) AS sim,"
+        " SELECT query_id, cand_id, CAST(CAST(sim AS DECIMAL(18,6)) AS DOUBLE)"
+    "  AS sim,"
         " CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= 10"
     ),
 )
@@ -368,7 +378,8 @@ _IVF_ORACLE = (
     " ranked AS (SELECT query_id, cand_id, sim, row_number() OVER ("
     " PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rank"
     " FROM scored WHERE sim IS NOT NULL)"
-    " SELECT query_id, cand_id, CAST(sim AS DECIMAL(18,6)) AS sim,"
+    " SELECT query_id, cand_id, CAST(CAST(sim AS DECIMAL(18,6)) AS DOUBLE)"
+    "  AS sim,"
     " CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= 10"
 )
 
@@ -414,7 +425,8 @@ _LSH_ANN_ORACLE = (
     " ranked AS (SELECT query_id, cand_id, sim, row_number() OVER ("
     " PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rank"
     " FROM scored WHERE sim IS NOT NULL)"
-    " SELECT query_id, cand_id, CAST(sim AS DECIMAL(18,6)) AS sim,"
+    " SELECT query_id, cand_id, CAST(CAST(sim AS DECIMAL(18,6)) AS DOUBLE)"
+    "  AS sim,"
     " CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= 10"
 )
 
@@ -439,28 +451,78 @@ def ll9_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "ll11_embedding_neardup",
-    oracle=(
-        "WITH e AS (SELECT vec_id, embedding FROM embeddings),"
-        " p AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,"
-        " round(list_sum(list_transform(range(1, len(a.embedding) + 1),"
-        " k -> CAST(a.embedding[k] AS DOUBLE) * CAST(b.embedding[k] AS DOUBLE)))"
-        " / (sqrt(list_sum(list_transform(a.embedding,"
-        " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
-        " * sqrt(list_sum(list_transform(b.embedding,"
-        " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS sim"
-        " FROM e a JOIN e b ON a.vec_id < b.vec_id)"
-        " SELECT doc_a, doc_b, CAST(sim AS DECIMAL(18,6)) AS sim FROM p"
-        " WHERE sim >= 0.35"
-    ),
+_NEARDUP_EXACT_ORACLE = (
+    "WITH e AS (SELECT vec_id, embedding FROM embeddings),"
+    " p AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,"
+    " round(list_sum(list_transform(range(1, len(a.embedding) + 1),"
+    " k -> CAST(a.embedding[k] AS DOUBLE) * CAST(b.embedding[k] AS DOUBLE)))"
+    " / (sqrt(list_sum(list_transform(a.embedding,"
+    " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    " * sqrt(list_sum(list_transform(b.embedding,"
+    " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS sim"
+    " FROM e a JOIN e b ON a.vec_id < b.vec_id)"
+    " SELECT doc_a, doc_b, CAST(CAST(sim AS DECIMAL(18,6)) AS DOUBLE)"
+    "  AS sim FROM p"
+    " WHERE sim >= 0.35"
 )
+
+
+def _neardup_lsh_oracle(n_planes: int = 4, n_tables: int = 6) -> str:
+    """DuckDB twin of similarity.lsh_neardup_pairs: the identical
+    banded ±1-literal bucketing (table t = planes [t*b, (t+1)*b) of the
+    same md5 sequence), (table, bucket) equi-join, DISTINCT pair
+    collapse, rounded-sim threshold — the approximation itself is
+    value-checked, like ll6."""
+    cos = _cos_sql("va", "vb")
+    all_planes = similarity.hyperplane_signs(n_planes * n_tables, 64)
+    tables = []
+    for t in range(n_tables):
+        planes = all_planes[t * n_planes : (t + 1) * n_planes]
+        bits = []
+        for p, plane in enumerate(planes):
+            lits = "[" + ", ".join(f"{s:.1f}" for s in plane) + "]"
+            bits.append(
+                "CASE WHEN round(list_sum(list_transform(range(1, 65),"
+                f" j -> CAST(embedding[j] AS DOUBLE) * ({lits}[j]))), 6) > 0"
+                f" THEN {2**p} ELSE 0 END"
+            )
+        tables.append(
+            f"SELECT vec_id, embedding, {t} AS tbl,"
+            f" {' + '.join(bits)} AS bucket FROM embeddings"
+        )
+    union = " UNION ALL ".join(tables)
+    return (
+        f"WITH bck AS ({union}),"
+        " a AS (SELECT vec_id AS doc_a, embedding AS va, tbl, bucket"
+        "  FROM bck),"
+        " b AS (SELECT vec_id AS doc_b, embedding AS vb, tbl, bucket"
+        "  FROM bck),"
+        f" p AS (SELECT DISTINCT doc_a, doc_b, {cos} AS sim"
+        " FROM a JOIN b USING (tbl, bucket) WHERE doc_a < doc_b)"
+        " SELECT doc_a, doc_b, CAST(CAST(sim AS DECIMAL(18,6)) AS DOUBLE)"
+        "  AS sim FROM p"
+        " WHERE sim >= 0.35"
+    )
+
+
+@query("ll11_embedding_neardup", oracle=_neardup_lsh_oracle())
 def ll11_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (the fourth dedup tier):
-    all pairs with cosine >= 0.35, thresholded on the *rounded*
-    similarity on both sides so boundary pairs can't flip. Brute-force
-    pair join here (exact, oracle-checkable); the LSH-bucketed scale
-    path is ll9's machinery with a threshold filter."""
+    bucket-co-resident pairs with rounded cosine >= 0.35. This is the
+    product/scale path — a hyperplane-bucket equi-join (no all-pairs
+    BNLJ anywhere in the plan); the oracle recomputes the identical
+    deterministic bucketing so the approximation is value-checked, not
+    just shape-checked. The exact all-pairs tier stays registered as
+    ll11b_neardup_exact (recall baseline, small inputs only)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.lsh_neardup_pairs(emb, threshold=0.35)
+
+
+@query("ll11b_neardup_exact", oracle=_NEARDUP_EXACT_ORACLE)
+def ll11b_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs near-dup tier (ll11's recall baseline): a pure
+    inequality self-join, planned as BNLJ — O(n²) BY ROLE, acceptable
+    only on small/sampled inputs; the scale path is ll11."""
     from ..functions.vectors import cosine_similarity
 
     emb = load(spark, sf_dir, "embeddings")
@@ -490,9 +552,10 @@ _MM_ORACLE = (
     " + strpos('0123456789abcdef', substr(hx, 2 * i + 2, 1)) - 1)"
     " AS bytes FROM h)"
     " SELECT doc_id, CAST(64 AS INT) AS n_bytes,"
-    " CAST(round(list_sum(bytes) / 16.0, 6) AS DECIMAL(18,6)) AS byte_mean,"
-    " CAST(round(len(list_distinct(bytes)) / 256.0, 6) AS DECIMAL(18,6))"
-    " AS byte_entropy_proxy,"
+    " CAST(CAST(round(list_sum(bytes) / 16.0, 6) AS DECIMAL(18,6))"
+    "  AS DOUBLE) AS byte_mean,"
+    " CAST(CAST(round(len(list_distinct(bytes)) / 256.0, 6)"
+    "  AS DECIMAL(18,6)) AS DOUBLE) AS byte_entropy_proxy,"
     " 'fake/md5x4' AS format FROM b"
 )
 
@@ -568,7 +631,8 @@ LL21_ORACLE = (
     f"WITH tok AS (SELECT doc_id, text, {_TOKENS_SQL} AS tokens FROM documents),"
     f" scored AS (SELECT doc_id, len(tokens) AS n_tokens,"
     f"  {_SCORE_SQL} AS score FROM tok)"
-    " SELECT doc_id, CAST(round(score, 6) AS DECIMAL(18,6)) AS score,"
+    " SELECT doc_id, CAST(CAST(round(score, 6) AS DECIMAL(18,6)) AS DOUBLE)"
+    "  AS score,"
     " n_tokens < 20 OR score < 0.5 AS dropped,"
     " CASE WHEN n_tokens < 20 THEN 'too_short'"
     "  WHEN score < 0.5 THEN 'low_quality' ELSE 'kept' END AS verdict"
@@ -756,9 +820,9 @@ LL25_ORACLE = (
     " SELECT doc_id,"
     " CAST(len(toks) AS INT) AS n_bpe_tokens,"
     " CAST(len(ws_toks) AS INT) AS n_ws_tokens,"
-    " CAST(round(CASE WHEN len(ws_toks) = 0 THEN NULL"
+    " CAST(CAST(round(CASE WHEN len(ws_toks) = 0 THEN NULL"
     "  ELSE len(toks) * 1.0 / len(ws_toks) END, 6) AS DECIMAL(18,6))"
-    "  AS fertility"
+    "  AS DOUBLE) AS fertility"
     " FROM t"
 )
 
@@ -877,8 +941,8 @@ _LL27_ORACLE = (
     "   ON a.shingle = b.shingle AND a.source < b.source"
     "   GROUP BY a.source, b.source)"
     " SELECT src_a, src_b, CAST(n_common AS BIGINT) AS n_common,"
-    " CAST(round(n_common * 1.0 / (na.n + nb.n - n_common), 6)"
-    "   AS DECIMAL(18,6)) AS jaccard"
+    " CAST(CAST(round(n_common * 1.0 / (na.n + nb.n - n_common), 6)"
+    "   AS DECIMAL(18,6)) AS DOUBLE) AS jaccard"
     " FROM inter JOIN sz na ON na.source = src_a"
     " JOIN sz nb ON nb.source = src_b"
 )
@@ -954,7 +1018,7 @@ _LL28_ORACLE = (
     " ranked AS (SELECT doc_id, term, tfidf, row_number() OVER"
     "   (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk FROM scored)"
     " SELECT doc_id, CAST(rnk AS INT) AS rnk, term,"
-    " CAST(tfidf AS DECIMAL(18,6)) AS tfidf"
+    " CAST(CAST(tfidf AS DECIMAL(18,6)) AS DOUBLE) AS tfidf"
     " FROM ranked WHERE rnk <= 3"
 )
 

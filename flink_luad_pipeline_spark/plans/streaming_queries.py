@@ -41,7 +41,8 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=(
         "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')"
         " AS window_start, event_type, count(*) AS n,"
-        " CAST(round(max(value), 6) AS DECIMAL(18,6)) AS max_value"
+        " CAST(CAST(round(max(value), 6) AS DECIMAL(18,6)) AS DOUBLE)"
+        "  AS max_value"
         " FROM events GROUP BY 1, 2"
     ),
 )
@@ -118,7 +119,8 @@ def ss4_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ss5_stateful_totals",
     oracle=(
         "SELECT user_id, count(*) AS n_events,"
-        " CAST(round(max(value), 6) AS DECIMAL(18,6)) AS max_value"
+        " CAST(CAST(round(max(value), 6) AS DECIMAL(18,6)) AS DOUBLE)"
+        "  AS max_value"
         " FROM events GROUP BY user_id"
     ),
 )
@@ -160,8 +162,8 @@ def ss6_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ss7_stream_static_enrich",
     oracle=(
         "SELECT e.event_type, coalesce(c.c_mktsegment, 'Unknown') AS segment,"
-        " count(*) AS n, CAST(round(sum(e.value), 6) AS DECIMAL(18,6))"
-        " AS sum_value"
+        " count(*) AS n, CAST(CAST(round(sum(e.value), 6) AS DECIMAL(18,6))"
+        "  AS DOUBLE) AS sum_value"
         " FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey"
         " GROUP BY 1, 2"
     ),
@@ -186,7 +188,8 @@ def ss7_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ss8_foreach_batch_sink",
     oracle=(
         "SELECT user_id, count(*) AS n,"
-        " CAST(round(sum(value), 6) AS DECIMAL(18,6)) AS sum_value"
+        " CAST(CAST(round(sum(value), 6) AS DECIMAL(18,6)) AS DOUBLE)"
+        "  AS sum_value"
         " FROM events GROUP BY user_id"
     ),
 )

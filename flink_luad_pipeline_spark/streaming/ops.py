@@ -25,9 +25,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from ..catalog import events_ts_is_nanos
+
 #: parquet physical schema of events with TIMESTAMP(NANOS) read as long
-_EVENTS_RAW_SCHEMA = (
+_EVENTS_NANOS_SCHEMA = (
     "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING,"
+    " value DOUBLE, props STRING"
+)
+
+#: schema for native TIMESTAMP(MICROS, isAdjustedToUTC=false) files —
+#: the current testdata generation
+_EVENTS_MICROS_SCHEMA = (
+    "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, event_type STRING,"
     " value DOUBLE, props STRING"
 )
 
@@ -35,13 +44,20 @@ _EVENTS_RAW_SCHEMA = (
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-replay stream of the events table.
 
-    The file's ``ts`` is parquet TIMESTAMP(NANOS); streaming readers
-    need an explicit schema, so it is declared BIGINT (with the
-    nanosAsLong conf) and rebuilt as a microsecond timestamp via exact
-    integer division — same handling as catalog.load.
+    Streaming readers need an explicit schema, so the parquet footer is
+    probed (catalog.events_ts_is_nanos) to pick it — same branching as
+    catalog.load. NANOS files declare ``ts BIGINT`` (with the
+    nanosAsLong conf) and rebuild a microsecond timestamp via exact
+    integer division; MICROS files (the current testdata) declare
+    ``ts TIMESTAMP_NTZ`` directly. Both branches then cast to session-TZ
+    TIMESTAMP (pinned UTC, wall clock preserved): unlike batch, event
+    time for watermarks must be TIMESTAMP, not NTZ
+    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE).
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     src = f"{sf_dir.rstrip('/')}/events.parquet"
+    nanos = events_ts_is_nanos(src)
+    if nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # FileStreamSource wants a directory; the test data is a single
     # parquet file -> stage a symlink dir (read-only testdata untouched)
     tag = hashlib.md5(src.encode()).hexdigest()[:8]
@@ -51,11 +67,15 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(link):
         os.symlink(src, link)
     raw = (
-        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(
+            _EVENTS_NANOS_SCHEMA if nanos else _EVENTS_MICROS_SCHEMA
+        )
         .format("parquet")
         .load(stream_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if nanos:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 #: State-store partition count for streaming aggregations. Unlike batch

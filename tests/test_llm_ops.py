@@ -60,6 +60,26 @@ def test_lsh_ann_scores_match_brute_force(spark, sf_dir):
         assert bf[(r.query_id, r.cand_id)] == r.sim
 
 
+def test_lsh_neardup_subset_of_exact_with_identical_scores(spark, sf_dir):
+    """ll11's bucketed pairs must be a subset of the exact all-pairs
+    result with byte-identical similarities (bucketing only restricts
+    candidates, never changes a score), and recall must be useful."""
+    emb = load(spark, sf_dir, "embeddings")
+    exact = {
+        (r.doc_a, r.doc_b): r.sim
+        for r in similarity.lsh_neardup_pairs(
+            emb, threshold=0.35, n_planes=0, n_tables=1
+        ).collect()
+    }
+    lsh = similarity.lsh_neardup_pairs(emb, threshold=0.35).collect()
+    assert len(lsh) > 0
+    for r in lsh:
+        assert exact[(r.doc_a, r.doc_b)] == r.sim
+    # theoretical recall at cos≈0.35 with 6 tables × 4 planes is ~60%;
+    # floor set below that to absorb fixture-distribution noise
+    assert len(lsh) / len(exact) > 0.4
+
+
 def test_multimodal_features_match_python(spark, sf_dir):
     docs = load(spark, sf_dir, "documents").limit(20)
     binary = multimodal.attach_binary_payload(docs, "doc_id", "text")

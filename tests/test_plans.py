@@ -196,7 +196,7 @@ INTENTIONAL_CARTESIAN = {
     "a4_missing_cells",       # crossJoin MINUS observed (PreProcess.scala:102)
     "c1_als_completion",      # missing-grid crossJoin + mllib ALS internals
     "ll8_cosine_topk",        # brute-force baseline (scale path: ll9/ll12)
-    "ll11_embedding_neardup",  # exact tier (scale path: ll9 + threshold)
+    "ll11b_neardup_exact",    # exact recall baseline (scale path: ll11)
     "ll12_ivf_ann_topk",      # query×centroid BNLJ: centroid side is tiny
     "ll28_tfidf_topterms",    # 1-row corpus-size scalar broadcast attach
 }
@@ -219,6 +219,34 @@ def test_interval_overlap_is_banded_equi_join(spark, sf_dir):
     (user, bucket) — a BNLJ/cartesian inequality join would be O(n²)
     per user at scale."""
     plan = physical(QUERIES["j10_interval_overlap_join"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "bucket" in plan
+
+
+def test_dict_encode_distributed_matches_window_tier(spark, sf_dir):
+    """The >100M-keys tier must produce byte-identical (name, id) pairs
+    to the single-partition-window tier, with no single-partition sort
+    of the names in its plan."""
+    from flink_luad_pipeline_spark.operators import relational as rel
+
+    part = load(spark, sf_dir, "part").select("p_brand")
+    small = {(r.name, r.id) for r in rel.dict_encode(part, "p_brand").collect()}
+    big = {
+        (r.name, r.id)
+        for r in rel.dict_encode_distributed(part, "p_brand").collect()
+    }
+    assert small == big
+    plan = physical(rel.dict_encode_distributed(part, "p_brand"))
+    # the names shuffle must be a range exchange, not a single partition
+    assert "rangepartitioning" in plan.lower()
+
+
+def test_embedding_neardup_is_bucket_equi_join(spark, sf_dir):
+    """ll11's product path must be the hyperplane-bucket equi-join —
+    the all-pairs inequality join (BNLJ) lives only in ll11b, the
+    explicitly small-input recall baseline."""
+    plan = physical(QUERIES["ll11_embedding_neardup"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "bucket" in plan

@@ -14,7 +14,10 @@ def batch_sessions(events, gap_minutes=30):
     """Gaps-and-islands sessionization: a new session starts when the
     gap to the previous event of the same user exceeds the threshold."""
     w = Window.partitionBy("user_id").orderBy("ts")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # ts is TIMESTAMP_NTZ, which can't cast straight to long — go via
+    # session-TZ TIMESTAMP (pinned UTC) for the epoch-seconds gap.
+    sec = F.col("ts").cast("timestamp").cast("long")
+    gap = sec - F.lag(sec).over(w)
     marked = events.withColumn(
         "new_session",
         F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0),
