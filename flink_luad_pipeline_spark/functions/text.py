@@ -34,18 +34,22 @@ def tokenize(col: Column) -> Column:
     )
 
 
+def word_ngrams(tokens: Column, k: int = 3) -> Column:
+    """Positional word k-grams WITH repeats (the repetition-analysis
+    unit). Sequence+transform stays in codegen; docs shorter than k
+    yield an empty array."""
+    return F.when(
+        F.size(tokens) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tokens) - F.lit(k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(tokens, i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def word_shingles(tokens: Column, k: int = 3) -> Column:
-    """Distinct word k-grams (the dedup unit). Sequence+transform stays
-    in codegen; docs shorter than k yield an empty array."""
-    return F.array_distinct(
-        F.when(
-            F.size(tokens) >= k,
-            F.transform(
-                F.sequence(F.lit(1), F.size(tokens) - F.lit(k - 1)),
-                lambda i: F.concat_ws(" ", F.slice(tokens, i, k)),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-    )
+    """Distinct word k-grams (the dedup unit)."""
+    return F.array_distinct(word_ngrams(tokens, k))
 
 
 def quality_features(text: Column, tokens: Column) -> dict[str, Column]:

@@ -1070,3 +1070,108 @@ def ll28_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("tfidf").cast("decimal(18,6)").alias("tfidf"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# LL29 — repetition / boilerplate signals (Gopher/C4-style repetition
+# filters: share of duplicated 3-grams and most-frequent-gram share)
+# ---------------------------------------------------------------------------
+
+_REP_ORACLE = (
+    f"WITH tok AS (SELECT doc_id, {_TOKENS_SQL} AS tokens FROM documents),"
+    " grams AS (SELECT doc_id, unnest(list_transform(range(1, len(tokens) - 1),"
+    "   i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])) AS gram"
+    "  FROM tok WHERE len(tokens) >= 3),"
+    " counts AS (SELECT doc_id, gram, count(*) AS c FROM grams"
+    "  GROUP BY doc_id, gram)"
+    " SELECT doc_id,"
+    " CAST(sum(c) AS BIGINT) AS n_grams,"
+    " CAST(CAST(round(1.0 - count(*) * 1.0 / sum(c), 6) AS DECIMAL(18,6))"
+    "  AS DOUBLE) AS dup_gram_ratio,"
+    " CAST(CAST(round(max(c) * 1.0 / sum(c), 6) AS DECIMAL(18,6)) AS DOUBLE)"
+    "  AS top_gram_share"
+    " FROM counts GROUP BY doc_id"
+)
+
+
+@query("ll29_repetition_signals", oracle=_REP_ORACLE)
+def ll29_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition/boilerplate quality signals per document (the
+    C4/Gopher-family repetition filters): share of duplicated word
+    3-grams and the most-frequent-gram share. Docs with <3 tokens have
+    no 3-grams and drop out (same predicate in the oracle).
+
+    Scale shape: explode to (doc_id, gram) -> two grouped aggregations.
+    Both shuffle keys include doc_id, so skew is bounded by document
+    length and partial aggregation (map-side combine) collapses
+    within-partition repeats — the exact shape that survives a 100 TB
+    corpus. No sort, no window, no cross-doc state.
+    """
+    docs = load(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.explode(T.word_ngrams(T.tokenize(F.col("text")), 3)).alias("gram"),
+    )
+    counts = grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
+    return counts.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_grams"),
+        F.round(
+            F.lit(1.0) - F.count(F.lit(1)) * F.lit(1.0) / F.sum("c"), 6
+        ).alias("dup_gram_ratio"),
+        F.round(F.max("c") * F.lit(1.0) / F.sum("c"), 6).alias(
+            "top_gram_share"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# LL32 — corpus-unigram log-probability scoring (perplexity-proxy
+# quality filter: a doc of globally-rare tokens scores high surprise)
+# ---------------------------------------------------------------------------
+
+_ULM_ORACLE = (
+    f"WITH tok AS (SELECT doc_id, {_TOKENS_SQL} AS tokens FROM documents),"
+    " t AS (SELECT doc_id, unnest(tokens) AS token FROM tok),"
+    " vocab AS (SELECT token, count(*) AS c FROM t GROUP BY token),"
+    " n AS (SELECT sum(c) AS n FROM vocab)"
+    " SELECT doc_id,"
+    " CAST(count(*) AS BIGINT) AS n_tokens,"
+    " CAST(CAST(round(avg(-ln(c * 1.0 / n.n)), 6) AS DECIMAL(18,6))"
+    "  AS DOUBLE) AS avg_neg_logprob"
+    " FROM t JOIN vocab USING (token) CROSS JOIN n"
+    " GROUP BY doc_id"
+)
+
+
+@query("ll32_unigram_logprob", oracle=_ULM_ORACLE)
+def ll32_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score: train a corpus unigram model
+    (token -> count / N), then score each doc by its mean negative log
+    token probability — the cheap first-pass LM filter before a real
+    model. No smoothing needed: the model is trained on the same corpus
+    it scores, so every token has mass.
+
+    Scale shape: one token-keyed grouped count (the model), the corpus
+    total attached as a 1-row broadcast (ll28's trick), then a
+    token-keyed equi-join back to the exploded corpus and a doc-keyed
+    average. Vocabulary is bounded (sublinear in corpus size), so AQE
+    picks broadcast vs shuffle join on real statistics. Same ln parity
+    convention as ll28's idf (round 6 both sides).
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(T.tokenize(F.col("text"))).alias("token")
+    )
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    n = vocab.agg(F.sum("c").alias("n"))
+    return (
+        toks.join(vocab, "token")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.round(
+                F.avg(-F.log(F.col("c") * F.lit(1.0) / F.col("n"))), 6
+            ).alias("avg_neg_logprob"),
+        )
+    )

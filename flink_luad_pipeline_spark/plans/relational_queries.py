@@ -1143,6 +1143,80 @@ def x3_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x4_zorder_clustered_scan",
+    oracle=(
+        "SELECT l_returnflag AS flag, CAST(count(*) AS BIGINT) AS n,"
+        " CAST(CAST(round(sum(l_extendedprice), 2) AS DECIMAL(18,2))"
+        "  AS DOUBLE) AS total"
+        " FROM lineitem"
+        " WHERE l_shipdate >= TIMESTAMP '1996-01-01'"
+        "  AND l_shipdate < TIMESTAMP '1996-07-01'"
+        "  AND l_partkey BETWEEN 100 AND 1600"
+        " GROUP BY l_returnflag"
+    ),
+)
+def x4_zorder_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — Z-order (Morton-curve) clustered layout + two-dimension
+    data-skipping scan. s11 clusters on ONE column; real fact tables
+    get filtered on several (here ship date AND part key), and sorting
+    on one destroys locality in the other. Interleaving the bits of
+    both bucketed dimensions into one Morton key and range-sorting on
+    it gives every file/row group a compact min/max envelope in BOTH
+    columns, so the parquet reader skips on either predicate
+    (PushedFilters reach the scan for both; asserted in
+    tests/test_plans.py). This is the layout trick behind
+    "OPTIMIZE ZORDER BY" in lakehouse engines, built from plain
+    DataFrame ops: the Morton key is pure integer codegen arithmetic,
+    the write is one range shuffle, amortized over every later scan.
+
+    Correctness is layout-independent: the oracle runs the same
+    filter+agg over the raw table.
+    """
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_extendedprice", "l_returnflag"
+    )
+    # 8-bit buckets per dimension: days-since-epoch/16 (~7 years of
+    # dates -> <256) interleaved with partkey low bits
+    d8 = (
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.to_date(F.lit("1992-01-01"))
+        )
+        / F.lit(16)
+    ).cast("int")
+    p8 = (F.col("l_partkey") % 256).cast("int")
+    z = F.lit(0)
+    for b in range(8):
+        bit_d = F.shiftright(d8, b).bitwiseAND(F.lit(1))
+        bit_p = F.shiftright(p8, b).bitwiseAND(F.lit(1))
+        z = z + bit_d * F.lit(2 ** (2 * b + 1)) + bit_p * F.lit(2 ** (2 * b))
+    zli = li.withColumn("__z", z)
+    path = _sink_once(
+        "x4_lineitem_zorder",
+        sf_dir,
+        lambda p: zli.repartitionByRange(8, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(p),
+    )
+    back = spark.read.parquet(path)
+    return (
+        back.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp"))
+            & F.col("l_partkey").between(100, 1600)
+        )
+        .groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2)
+            .cast("decimal(18,2)")
+            .alias("total"),
+        )
+    )
+
+
+@query(
     "p9_try_cast",
     oracle=(
         "SELECT p_partkey,"

@@ -199,6 +199,7 @@ INTENTIONAL_CARTESIAN = {
     "ll11b_neardup_exact",    # exact recall baseline (scale path: ll11)
     "ll12_ivf_ann_topk",      # query×centroid BNLJ: centroid side is tiny
     "ll28_tfidf_topterms",    # 1-row corpus-size scalar broadcast attach
+    "ll32_unigram_logprob",   # 1-row corpus-total scalar broadcast attach
 }
 
 
@@ -222,6 +223,17 @@ def test_interval_overlap_is_banded_equi_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "bucket" in plan
+
+
+def test_zorder_scan_pushes_both_dimensions(spark, sf_dir):
+    """x4's read-back scan must push BOTH dimension predicates to the
+    parquet reader — that's the whole point of the Morton layout."""
+    plan = physical(QUERIES["x4_zorder_clustered_scan"](spark, sf_dir))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    zorder_scan = [
+        ln for ln in pushed if "l_shipdate" in ln and "l_partkey" in ln
+    ]
+    assert zorder_scan, plan
 
 
 def test_dict_encode_distributed_matches_window_tier(spark, sf_dir):
