@@ -853,3 +853,61 @@ def b21_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(valid_to, "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
         valid_to.isNull().alias("is_current"),
     )
+
+
+# ---------------------------------------------------------------------------
+# B23 — batch sessionization (gaps-and-islands)
+# ---------------------------------------------------------------------------
+
+B23_ORACLE = (
+    "WITH marked AS (SELECT user_id, ts,"
+    "  CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800"
+    "   OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session"
+    "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),"
+    " sess AS (SELECT user_id, ts,"
+    "  sum(new_session) OVER (PARTITION BY user_id ORDER BY ts"
+    "   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id"
+    "  FROM marked)"
+    " SELECT user_id, CAST(session_id AS BIGINT) AS session_id,"
+    " CAST(count(*) AS BIGINT) AS n_events,"
+    " strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,"
+    " strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end"
+    " FROM sess GROUP BY user_id, session_id"
+)
+
+
+@query("b23_sessionize", oracle=B23_ORACLE)
+def b23_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization via gaps-and-islands: a session breaks when
+    the same user pauses >30 min; cumulative sum of break flags numbers
+    the sessions. The batch twin of ss3's streaming session_window
+    (whose parity test uses this same shape), registered so the
+    warehouse-side pattern is oracle-checked in its own right.
+
+    Scale shape: both Window passes share ONE (user_id) hash shuffle +
+    one in-partition sort — same reuse Catalyst applies in b21 — then a
+    grouped agg on (user_id, session_id), which is a prefix of the
+    existing ordering. No global sort anywhere. Epoch math goes via
+    session-TZ TIMESTAMP (UTC-pinned) because events.ts is NTZ.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.col("ts").cast("timestamp").cast("long")
+    prev = F.lag(sec).over(w)
+    marked = ev.withColumn(
+        "new_session",
+        F.when(prev.isNull() | (sec - prev > 1800), 1).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "session_start"
+        ),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+    )

@@ -225,6 +225,17 @@ def test_interval_overlap_is_banded_equi_join(spark, sf_dir):
     assert "bucket" in plan
 
 
+def test_sessionize_shares_one_shuffle(spark, sf_dir):
+    """b23's two window passes AND the final (user_id, session_id)
+    grouped agg must all reuse the single user_id hash exchange —
+    partitioning by user_id co-locates every session."""
+    plan = physical(QUERIES["b23_sessionize"](spark, sf_dir))
+    n_exchanges = sum(
+        1 for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    )
+    assert n_exchanges == 1, plan
+
+
 def test_zorder_scan_pushes_both_dimensions(spark, sf_dir):
     """x4's read-back scan must push BOTH dimension predicates to the
     parquet reader — that's the whole point of the Morton layout."""
