@@ -107,3 +107,49 @@ def test_portable_hash40_matches_duckdb(spark, duck, texts):
             "SELECT CAST('0x' || substr(md5(?), 1, 10) AS BIGINT)", [t]
         ).fetchone()
         assert got[i] == expected, (t, got[i], expected)
+
+
+def py_ngrams(tokens: list[str], k: int = 3) -> list[str]:
+    return [
+        " ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)
+    ] if len(tokens) >= k else []
+
+
+@given(TEXTS)
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+def test_word_ngrams_matches_python(spark, texts):
+    df = spark.createDataFrame([(t,) for t in texts], "text STRING")
+    got = [
+        r.g
+        for r in df.select(
+            T.word_ngrams(T.tokenize(F.col("text")), 3).alias("g")
+        ).collect()
+    ]
+    want = [py_ngrams(py_tokenize(t)) for t in texts]
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=97, max_codepoint=122),
+            min_size=1,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_dict_encode_distributed_is_dense_rank_on_any_input(spark, names):
+    """Fuzz: for arbitrary name bags the distributed tier must produce
+    exactly the dense 0-based ids in sorted-distinct order."""
+    from flink_luad_pipeline_spark.operators import relational as rel
+
+    df = spark.createDataFrame([(n,) for n in names], "name STRING")
+    got = {
+        (r.name, r.id)
+        for r in rel.dict_encode_distributed(df, "name").collect()
+    }
+    want = {(n, i) for i, n in enumerate(sorted(set(names)))}
+    assert got == want
