@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from .. import ml
 from ..catalog import load
-from ..operators.graph import connected_components
+from ..operators.graph import connected_components, connected_components_star
 from .registry import query
 
 
@@ -95,6 +95,25 @@ def i1_c3_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vertices = part.select(F.col("p_partkey").alias("vertex"))
     return connected_components(edges, vertices)
+
+
+@query("i1b_cc_star", oracle=CC_ORACLE)
+def i1b_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I1's high-diameter scale tier: the same components on the same
+    chain graph via alternating large-star/small-star (O(log n) rounds
+    regardless of diameter, vs diameter-many min-label supersteps).
+    Checked against the identical recursive-CTE oracle as i1_c3, plus a
+    random-graph equivalence fuzz in tests/test_analytics.py."""
+    part = load(spark, sf_dir, "part").select("p_partkey")
+    chain = part.where(F.col("p_partkey") % 10 < 3).select(
+        F.col("p_partkey").alias("src"),
+        (F.col("p_partkey") + 1).alias("dst"),
+    )
+    edges = chain.join(
+        part.select(F.col("p_partkey").alias("dst")), "dst", "left_semi"
+    )
+    vertices = part.select(F.col("p_partkey").alias("vertex"))
+    return connected_components_star(edges, vertices)
 
 
 @query("c1_als_completion")  # rows-only: ALS values are optimizer-specific

@@ -911,3 +911,74 @@ def b23_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
     )
+
+
+# ---------------------------------------------------------------------------
+# B24 — incremental aggregate maintenance (mergeable partial states)
+# ---------------------------------------------------------------------------
+
+B24_ORACLE = (
+    "SELECT o_custkey AS custkey,"
+    " CAST(count(*) AS BIGINT) AS n_orders,"
+    " CAST(CAST(round(sum(o_totalprice), 2) AS DECIMAL(18,2)) AS DOUBLE)"
+    "  AS total,"
+    " CAST(CAST(round(max(o_totalprice), 2) AS DECIMAL(18,2)) AS DOUBLE)"
+    "  AS max_price"
+    " FROM orders GROUP BY o_custkey"
+)
+
+
+@query("b24_incremental_agg_merge", oracle=B24_ORACLE)
+def b24_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-aggregate refresh: the snapshot half of
+    orders is pre-aggregated into mergeable partial states
+    (count/sum/max per customer), the delta half is aggregated the same
+    way, and the refreshed aggregate is a FULL OUTER merge of the two
+    state tables — the snapshot's raw rows are never rescanned. The
+    oracle recomputes from scratch over all of orders, proving
+    merge(partial(A), partial(B)) == aggregate(A ∪ B).
+
+    This is how a 100 TB rolling aggregate stays cheap: the delta is
+    days, the snapshot is years, and refresh cost is O(delta) + one
+    key-aligned merge of two aggregate tables (both already grouped, so
+    AQE can broadcast the delta states when the delta is small).
+    count/sum/min/max compose this way; avg = merged sum / merged
+    count; for distinct counts swap in HLL sketch states (x2).
+    """
+    orders = load(spark, sf_dir, "orders")
+    cutoff = F.lit("1996-01-01").cast("timestamp")
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy(F.col("o_custkey").alias("custkey")).agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("s"),
+            F.max(F.col("o_totalprice").cast("decimal(18,2)")).alias("m"),
+        )
+
+    snap = partials(orders.where(F.col("o_orderdate") < cutoff))
+    delta = partials(orders.where(F.col("o_orderdate") >= cutoff))
+    merged = snap.alias("a").join(
+        delta.alias("b"), on="custkey", how="full_outer"
+    )
+    z = F.lit(0).cast("decimal(18,2)")
+    return merged.select(
+        "custkey",
+        (
+            F.coalesce(F.col("a.n_orders"), F.lit(0))
+            + F.coalesce(F.col("b.n_orders"), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("n_orders"),
+        F.round(F.coalesce(F.col("a.s"), z) + F.coalesce(F.col("b.s"), z), 2)
+        .cast("decimal(18,2)")
+        .alias("total"),
+        F.round(
+            F.greatest(
+                F.coalesce(F.col("a.m"), F.col("b.m")),
+                F.coalesce(F.col("b.m"), F.col("a.m")),
+            ),
+            2,
+        )
+        .cast("decimal(18,2)")
+        .alias("max_price"),
+    )

@@ -212,3 +212,51 @@ def test_sketch_agg_accuracy(spark, sf_dir):
         e = exact[flag]
         assert abs(a.approx_orders - e.n_orders) / e.n_orders <= 0.05
         assert e.band[0] <= a.approx_median_price <= e.band[1]
+
+
+def test_cc_star_matches_min_label_on_random_graphs(spark):
+    """large-star/small-star must agree with min-label propagation on
+    arbitrary random graphs (deterministic seeds), including a long
+    chain where diameter >> O(log n) rounds."""
+    import random
+
+    from flink_luad_pipeline_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    cases = []
+    for seed, n, m in [(1, 60, 40), (2, 80, 120), (3, 50, 10)]:
+        rng = random.Random(seed)
+        cases.append(
+            [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        )
+    for edges_py in cases:
+        edges_py = [(a, b) for a, b in edges_py if a != b]
+        edges = spark.createDataFrame(
+            [(int(a), int(b)) for a, b in edges_py],
+            "src BIGINT, dst BIGINT",
+        )
+        a = {
+            (r.vertex, r.component)
+            for r in connected_components(edges).collect()
+        }
+        b = {
+            (r.vertex, r.component)
+            for r in connected_components_star(edges).collect()
+        }
+        assert a == b
+
+    # 120-hop chain: diameter EXCEEDS min-label's 100-superstep cap
+    # (the reference's own limit, Report.pdf p.3 §3.3.2) — min-label
+    # truncates here, which is precisely why the O(log n) star tier
+    # exists. Check star against union-find ground truth instead.
+    chain = [(i, i + 1) for i in range(120)]
+    edges = spark.createDataFrame(chain, "src BIGINT, dst BIGINT")
+    want = _union_find_components(chain, list(range(121)))
+    got = {
+        r.vertex: r.component
+        for r in connected_components_star(edges).collect()
+    }
+    assert got == want
+    assert set(got.values()) == {0}  # one component, rooted at 0
