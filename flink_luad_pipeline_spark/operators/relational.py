@@ -474,3 +474,50 @@ def interval_overlap_pairs(
         )
     )
     return pairs.distinct()
+
+
+def grouped_ewma(
+    df: DataFrame,
+    key: str,
+    order_cols: list[str],
+    value_col: str,
+    alpha: float = 0.1,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-key exponentially-weighted moving average via grouped
+    ``applyInPandas`` — the genuinely custom grouped transform slot
+    (SURVEY §2.8): the EWMA recurrence ``s_i = α·x_i + (1-α)·s_{i-1}``
+    is order-dependent and recursive, which no built-in aggregate or
+    window frame expresses (the closed form needs ``(1-α)^-i`` weights
+    that overflow for long groups).
+
+    The fold is an explicit Python loop (not pandas ``ewm``) so the
+    float operation sequence is exactly ``α·x + (1-α)·s`` per step —
+    an oracle folding the same sequence (DuckDB ``list_reduce``)
+    produces bit-identical doubles.
+
+    Scale shape: one shuffle on the key; each group crosses to Python
+    once as an Arrow batch; state is O(1) per group. Groups = users,
+    so skew is bounded by per-user event counts.
+
+    Output: key, n_events, ewma (rounded).
+    """
+    import pandas as pd
+
+    a, b = float(alpha), 1.0 - float(alpha)
+    out_schema = f"{key} bigint, n_events bigint, ewma double"
+
+    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(order_cols)
+        s = None
+        for x in pdf[value_col]:
+            s = float(x) if s is None else a * float(x) + b * s
+        return pd.DataFrame(
+            {
+                key: [pdf[key].iloc[0]],
+                "n_events": [len(pdf)],
+                "ewma": [round(s, round_digits) if s is not None else None],
+            }
+        )
+
+    return df.groupBy(key).applyInPandas(fold, schema=out_schema)

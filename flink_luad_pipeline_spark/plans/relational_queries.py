@@ -1143,6 +1143,35 @@ def x3_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "o2_grouped_ewma",
+    oracle=(
+        "WITH ordered AS (SELECT user_id,"
+        "  list(value ORDER BY ts, event_id) AS xs"
+        "  FROM events GROUP BY user_id)"
+        " SELECT user_id,"
+        " CAST(len(xs) AS BIGINT) AS n_events,"
+        " round(list_reduce(xs, (acc, x) -> 0.1 * x + 0.9 * acc), 6)"
+        "  AS ewma"
+        " FROM ordered"
+    ),
+)
+def o2_grouped_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 — per-user EWMA of event values via grouped applyInPandas
+    (the custom grouped transform slot of SURVEY §2.8: the recurrence
+    s_i = 0.1*x_i + 0.9*s_{i-1} is order-dependent, inexpressible as a
+    built-in aggregate or window frame). The Python fold applies
+    exactly 0.1*x + 0.9*s per step; the oracle folds the identical
+    sequence with DuckDB list_reduce, so the doubles are bit-identical
+    before the 6-digit round. One shuffle on user_id; each group
+    crosses to Python once as an Arrow batch; O(1) state per group.
+    """
+    ev = load(spark, sf_dir, "events")
+    return R.grouped_ewma(
+        ev, key="user_id", order_cols=["ts", "event_id"], value_col="value"
+    )
+
+
+@query(
     "x4_zorder_clustered_scan",
     oracle=(
         "SELECT l_returnflag AS flag, CAST(count(*) AS BIGINT) AS n,"
