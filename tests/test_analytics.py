@@ -260,3 +260,29 @@ def test_cc_star_matches_min_label_on_random_graphs(spark):
     }
     assert got == want
     assert set(got.values()) == {0}  # one component, rooted at 0
+
+
+def test_grouped_ewma_fold_semantics(spark):
+    """EWMA fold: explicit recurrence vs hand-computed values,
+    including a single-event group (ewma == the value)."""
+    from flink_luad_pipeline_spark.operators.relational import grouped_ewma
+
+    rows = [
+        (1, 1, 10.0),
+        (1, 2, 20.0),
+        (1, 3, 30.0),
+        (2, 4, 7.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id BIGINT, event_id BIGINT, value DOUBLE")
+    df = df.withColumn("ts", F.col("event_id").cast("timestamp"))
+    got = {
+        r.user_id: (r.n_events, r.ewma)
+        for r in grouped_ewma(
+            df, key="user_id", order_cols=["ts", "event_id"], value_col="value"
+        ).collect()
+    }
+    s = 10.0
+    s = 0.1 * 20.0 + 0.9 * s
+    s = 0.1 * 30.0 + 0.9 * s
+    assert got[1] == (3, round(s, 6))
+    assert got[2] == (1, 7.0)

@@ -135,3 +135,23 @@ def test_ivf_ann_scores_exact_and_recall(spark, sf_dir):
     ]
     # training-free quantizer, nprobe=3 of ~20 cells: ~0.44 measured
     assert sum(recalls) / len(recalls) >= 0.3
+
+
+def test_lsh_neardup_empty_and_tiny_inputs(spark):
+    """Degenerate inputs must not error: empty table -> empty result;
+    a single vector -> no pairs; two identical vectors -> one pair with
+    sim 1.0 (identical vectors share every bucket)."""
+    empty = spark.createDataFrame(
+        [], "vec_id BIGINT, embedding ARRAY<FLOAT>"
+    )
+    assert similarity.lsh_neardup_pairs(empty, threshold=0.5).count() == 0
+    one = spark.createDataFrame(
+        [(1, [1.0] * 64)], "vec_id BIGINT, embedding ARRAY<FLOAT>"
+    )
+    assert similarity.lsh_neardup_pairs(one, threshold=0.5).count() == 0
+    twin = spark.createDataFrame(
+        [(1, [1.0] * 64), (2, [1.0] * 64)],
+        "vec_id BIGINT, embedding ARRAY<FLOAT>",
+    )
+    rows = similarity.lsh_neardup_pairs(twin, threshold=0.5).collect()
+    assert [(r.doc_a, r.doc_b, r.sim) for r in rows] == [(1, 2, 1.0)]
