@@ -1175,3 +1175,69 @@ def ll32_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_neg_logprob"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# LL34 — end-to-end corpus dedup materialization (the product op: feed
+# in a corpus, get back the cleaned corpus)
+# ---------------------------------------------------------------------------
+
+_DEDUPED_ORACLE = (
+    f"WITH RECURSIVE aug AS ({_AUG_SQL}),"
+    f" pairs AS ({_JACCARD_ORACLE}),"
+    " sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs"
+    "   UNION SELECT doc_b, doc_a FROM pairs),"
+    " nodes AS (SELECT DISTINCT src AS v FROM sym),"
+    " reach(v, lbl) AS ("
+    "   SELECT v, v FROM nodes"
+    "   UNION"
+    "   SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.v),"
+    " comp AS (SELECT v AS doc_id, min(lbl) AS canonical FROM reach"
+    "   GROUP BY v),"
+    " dropped AS (SELECT doc_id FROM comp WHERE doc_id <> canonical)"
+    " SELECT a.doc_id, md5(a.text) AS text_md5,"
+    " coalesce(c.doc_id IS NOT NULL, FALSE) AS had_neardups"
+    " FROM aug a"
+    " LEFT JOIN comp c ON c.doc_id = a.doc_id"
+    " WHERE a.doc_id NOT IN (SELECT doc_id FROM dropped)"
+)
+
+
+@query("ll34_deduped_corpus", oracle=_DEDUPED_ORACLE)
+def ll34_deduped_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end product operation every other dedup query feeds:
+    corpus in, cleaned corpus out. Near-dup pairs (ll5's inverted-index
+    Jaccard join) -> connected components on the pair graph (ll23) ->
+    anti-join the non-canonical cluster members out of the corpus.
+    Output keeps an md5 of the text (so the oracle value-checks content
+    survival without hashing megabytes of raw text through the driver)
+    and flags which survivors had near-dups.
+
+    Scale shape: the corpus-sized stages are one inverted-index
+    equi-join + one broadcast-able anti-join (dropped ids are the tiny
+    side); CC touches only the pair graph. This is the composition a
+    100 TB pretraining pipeline runs nightly.
+    """
+    from ..operators import graph
+
+    aug = _augmented(spark, sf_dir)
+    pairs = dedup.jaccard_pairs(aug, "doc_id", "text", k=3, threshold=0.4)
+    comp = graph.connected_components(
+        pairs, src="doc_a", dst="doc_b"
+    ).select(
+        F.col("vertex").alias("doc_id"), F.col("component").alias("canonical")
+    )
+    dropped = comp.where(F.col("doc_id") != F.col("canonical")).select("doc_id")
+    return (
+        aug.join(dropped, "doc_id", "left_anti")
+        .join(
+            comp.select("doc_id", F.lit(True).alias("had_neardups")),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.md5("text").alias("text_md5"),
+            F.coalesce("had_neardups", F.lit(False)).alias("had_neardups"),
+        )
+    )
