@@ -213,3 +213,30 @@ def ss8_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(path, exist_ok=True)
     final_dir = ops.foreach_batch_parquet_sink(agg, path)
     return spark.read.parquet(final_dir)
+
+
+@query(
+    "ss9_stateful_ewma",
+    oracle=(
+        "WITH ordered AS (SELECT user_id,"
+        "  list(value ORDER BY ts, event_id) AS xs"
+        "  FROM events GROUP BY user_id)"
+        " SELECT user_id,"
+        " CAST(len(xs) AS BIGINT) AS n_events,"
+        " round(list_reduce(xs, (acc, x) -> 0.1 * x + 0.9 * acc), 6)"
+        "  AS ewma"
+        " FROM ordered"
+    ),
+)
+def ss9_stateful_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive custom stateful streaming operator: per-user
+    EWMA via applyInPandasWithState (streaming twin of o2_grouped_ewma,
+    same bit-exact DuckDB list_reduce oracle). Update mode; n_events is
+    monotone per user, so max_by(ewma, n_events) picks the final
+    state's emission."""
+    ewma = ops.stateful_user_ewma(_events(spark, sf_dir))
+    sink = _drain(ewma, "ss9_ewma", "update")
+    return sink.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.round(F.max_by("ewma", "n_events"), 6).alias("ewma"),
+    )

@@ -387,3 +387,50 @@ def transform_with_state_totals(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+_EWMA_OUT_SCHEMA = "user_id BIGINT, n_events BIGINT, ewma DOUBLE"
+_EWMA_STATE_SCHEMA = "n BIGINT, s DOUBLE"
+
+
+def stateful_user_ewma(events: DataFrame, alpha: float = 0.1) -> DataFrame:
+    """Order-sensitive custom stateful operator: per-user EWMA of event
+    values (the streaming twin of operators.relational.grouped_ewma).
+    Each batch's rows are folded in (ts, event_id) order with exactly
+    ``α·x + (1-α)·s`` per step, so with AvailableNow single-batch file
+    replay the final emission is bit-identical to the batch fold — and
+    therefore to the DuckDB list_reduce oracle.
+
+    Production note: with multi-batch replay, cross-batch order is
+    arrival order; a strictly event-time-ordered EWMA then needs
+    watermark-delayed buffering (hold rows in state, fold on timer
+    past the watermark). The state/fold logic is unchanged — only the
+    flush trigger moves.
+    """
+    a, b = float(alpha), 1.0 - float(alpha)
+
+    def user_ewma(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, s = state.get if state.exists else (0, None)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for x in pdf["value"]:
+                s = float(x) if s is None else a * float(x) + b * s
+                n += 1
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "ewma": [s]}
+        )
+
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            user_ewma,
+            outputStructType=_EWMA_OUT_SCHEMA,
+            stateStructType=_EWMA_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
