@@ -57,18 +57,37 @@ def jaccard_pairs(
     text_col: str,
     k: int = 3,
     threshold: float = 0.5,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity join (inverted-index shape).
 
     explode shingles -> self-join on shingle -> |A∩B| per pair ->
     J = inter / (|A| + |B| - inter). The join key is the shingle, so
-    cost is Σ (docs-per-shingle)² — bounded by dropping ultra-common
-    shingles upstream if needed. Returns (doc_a, doc_b, jaccard) with
-    doc_a < doc_b, jaccard >= threshold.
+    cost is Σ (docs-per-shingle)².
+
+    ``max_shingle_df`` is the 100 TB skew guard: shingles appearing in
+    more than that many documents (boilerplate/stop-phrases — the hot
+    keys whose df² dominates the join) are dropped from the INDEX
+    before pair generation, while |A|/|B| keep counting them, so
+    surviving pairs' Jaccard only ever *under*-counts the intersection
+    (J is a lower bound; a pair sharing rare shingles still surfaces,
+    near-identical docs share plenty below any sane cutoff). None (the
+    default and the oracle-checked exact path) disables it.
+
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b,
+    jaccard >= threshold.
     """
     sh = _shingled(df, id_col, text_col, k)
     sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
     inv = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    if max_shingle_df is not None:
+        rare = (
+            inv.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") <= max_shingle_df)
+            .select("shingle")
+        )
+        inv = inv.join(rare, "shingle", "left_semi")
     a = inv.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = inv.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (

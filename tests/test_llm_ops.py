@@ -155,3 +155,28 @@ def test_lsh_neardup_empty_and_tiny_inputs(spark):
     )
     rows = similarity.lsh_neardup_pairs(twin, threshold=0.5).collect()
     assert [(r.doc_a, r.doc_b, r.sim) for r in rows] == [(1, 2, 1.0)]
+
+
+def test_jaccard_df_cutoff_is_conservative_subset(spark, sf_dir):
+    """With the skew cutoff, pairs must be a subset of the exact result
+    with jaccard <= the exact value (dropping index entries only ever
+    under-counts intersections), and planted identical copies must
+    still surface (they share rare shingles too)."""
+    aug = _augmented(spark, sf_dir)
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.jaccard_pairs(
+            aug, "doc_id", "text", threshold=0.4
+        ).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.jaccard_pairs(
+            aug, "doc_id", "text", threshold=0.4, max_shingle_df=20
+        ).collect()
+    }
+    assert set(capped) <= set(exact)
+    for pair, j in capped.items():
+        assert j <= exact[pair] + 1e-12
+    planted = {p for p, j in exact.items() if j == 1.0}
+    assert planted and planted <= set(capped)
