@@ -452,7 +452,8 @@ def ll9_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _NEARDUP_EXACT_ORACLE = (
-    "WITH e AS (SELECT vec_id, embedding FROM embeddings),"
+    "WITH e AS (SELECT vec_id, embedding FROM embeddings"
+    "  WHERE vec_id < 2000),"
     " p AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,"
     " round(list_sum(list_transform(range(1, len(a.embedding) + 1),"
     " k -> CAST(a.embedding[k] AS DOUBLE) * CAST(b.embedding[k] AS DOUBLE)))"
@@ -521,11 +522,13 @@ def ll11_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("ll11b_neardup_exact", oracle=_NEARDUP_EXACT_ORACLE)
 def ll11b_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs near-dup tier (ll11's recall baseline): a pure
-    inequality self-join, planned as BNLJ — O(n²) BY ROLE, acceptable
-    only on small/sampled inputs; the scale path is ll11."""
+    inequality self-join, planned as BNLJ — O(n²) BY ROLE, so the
+    input is pinned to a fixed id-prefix sample (vec_id < 2000, same
+    predicate in the oracle): a baseline needs a reference answer, not
+    full coverage. The scale path over the whole corpus is ll11."""
     from ..functions.vectors import cosine_similarity
 
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings").where(F.col("vec_id") < 2000)
     a = emb.select(F.col("vec_id").alias("doc_a"), F.col("embedding").alias("va"))
     b = emb.select(F.col("vec_id").alias("doc_b"), F.col("embedding").alias("vb"))
     return (
