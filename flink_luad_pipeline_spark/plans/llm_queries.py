@@ -711,7 +711,9 @@ def ll22_user_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _CLUSTER_ORACLE = (
-    f"WITH RECURSIVE pairs AS ({_JACCARD_ORACLE}),"
+    # pairs = the MinHash-LSH verified tier (ll6) — the composition a
+    # 100 TB pipeline actually runs; ll5 stays the exhaustive exact tier
+    f"WITH RECURSIVE pairs AS (SELECT * FROM ( {_MINHASH_ORACLE} ) mh),"
     " sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs"
     "   UNION SELECT doc_b, doc_a FROM pairs),"
     " nodes AS (SELECT DISTINCT src AS v FROM sym),"
@@ -732,8 +734,9 @@ _CLUSTER_ORACLE = (
 @query("ll23_dedup_clusters", oracle=_CLUSTER_ORACLE)
 def ll23_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster assembly — the step after pair generation that
-    actual corpus dedup needs: Jaccard pairs (ll5, J >= 0.4) become
-    edges, connected components (the reference's I1 delta iteration,
+    actual corpus dedup needs: MinHash-LSH verified pairs (ll6,
+    J >= 0.4; the scale tier — the exhaustive exact tier stays ll5)
+    become edges, connected components (the reference's I1 delta iteration,
     reused as a library operator) merge transitive near-dups into one
     cluster, and min-doc_id is the kept canonical per cluster.
 
@@ -746,7 +749,7 @@ def ll23_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators import graph
 
-    pairs = dedup.jaccard_pairs(
+    pairs = dedup.minhash_lsh_pairs(
         _augmented(spark, sf_dir), "doc_id", "text", k=3, threshold=0.4
     )
     comp = graph.connected_components(pairs, src="doc_a", dst="doc_b")
@@ -1187,7 +1190,7 @@ def ll32_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DEDUPED_ORACLE = (
     f"WITH RECURSIVE aug AS ({_AUG_SQL}),"
-    f" pairs AS ({_JACCARD_ORACLE}),"
+    f" pairs AS (SELECT * FROM ( {_MINHASH_ORACLE} ) mh),"
     " sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs"
     "   UNION SELECT doc_b, doc_a FROM pairs),"
     " nodes AS (SELECT DISTINCT src AS v FROM sym),"
@@ -1209,8 +1212,9 @@ _DEDUPED_ORACLE = (
 @query("ll34_deduped_corpus", oracle=_DEDUPED_ORACLE)
 def ll34_deduped_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end product operation every other dedup query feeds:
-    corpus in, cleaned corpus out. Near-dup pairs (ll5's inverted-index
-    Jaccard join) -> connected components on the pair graph (ll23) ->
+    corpus in, cleaned corpus out. MinHash-LSH verified near-dup pairs
+    (ll6's banded-LSH candidates + exact-Jaccard verify — the canonical
+    corpus-dedup tier) -> connected components on the pair graph (ll23) ->
     anti-join the non-canonical cluster members out of the corpus.
     Output keeps an md5 of the text (so the oracle value-checks content
     survival without hashing megabytes of raw text through the driver)
@@ -1224,7 +1228,7 @@ def ll34_deduped_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import graph
 
     aug = _augmented(spark, sf_dir)
-    pairs = dedup.jaccard_pairs(aug, "doc_id", "text", k=3, threshold=0.4)
+    pairs = dedup.minhash_lsh_pairs(aug, "doc_id", "text", k=3, threshold=0.4)
     comp = graph.connected_components(
         pairs, src="doc_a", dst="doc_b"
     ).select(
