@@ -982,3 +982,49 @@ def b24_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(18,2)")
         .alias("max_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL1 — TPC-H Q1 as ONE SQL text accepted verbatim by both engines
+# ---------------------------------------------------------------------------
+
+# The string below is passed UNCHANGED to spark.sql() and to DuckDB —
+# the portability contract a user migrating SQL between the engines
+# cares about. Constraints that keep it dual-dialect: ANSI date
+# literal, CAST(... AS DOUBLE) wrappers (no ::), count(*) cast to
+# BIGINT (DuckDB counts are HUGEINT-free but explicit is identical),
+# no engine-specific functions.
+SQL1_SHARED_TEXT = (
+    "SELECT l_returnflag, l_linestatus,"
+    " CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty,"
+    " CAST(round(sum(l_extendedprice), 2) AS DOUBLE) AS sum_base_price,"
+    " CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE)"
+    "  AS sum_disc_price,"
+    " CAST(round(avg(l_quantity), 6) AS DOUBLE) AS avg_qty,"
+    " CAST(round(avg(l_discount), 6) AS DOUBLE) AS avg_disc,"
+    " CAST(count(*) AS BIGINT) AS count_order"
+    " FROM lineitem"
+    " WHERE l_shipdate <= DATE '1998-09-02'"
+    " GROUP BY l_returnflag, l_linestatus"
+)
+
+
+@query("sql1_tpch_q1_shared_text", oracle=SQL1_SHARED_TEXT)
+def sql1_tpch_q1_shared_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 (pricing summary) with ONE SQL string executed verbatim
+    on both engines: Spark runs ``spark.sql(SQL1_SHARED_TEXT)`` over
+    registered views, DuckDB runs the identical text as the oracle —
+    like b22, the check is that the portable-SQL surface really is
+    portable, not a hand-matched pair of dialects.
+
+    Caveat honestly noted: double sums are order-dependent, so this
+    relies on round(x, 2) absorbing the accumulation-order noise of
+    these ~1e9-magnitude sums at check scale. The engine's own
+    flagship/b-family queries use exact DECIMAL accumulation instead —
+    that is the recommended pattern; this query's job is dialect
+    portability.
+    """
+    from ..catalog import register_all
+
+    register_all(spark, sf_dir)
+    return spark.sql(SQL1_SHARED_TEXT)
