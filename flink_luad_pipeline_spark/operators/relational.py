@@ -253,6 +253,7 @@ def asof_join(
     right_ts: str = "ts",
     value_col: str = "value",
     out_col: str = "asof_value",
+    tolerance_sec: int | None = None,
 ) -> DataFrame:
     """As-of join: attach to each left row the latest right row with
     ``right_ts <= left_ts`` for the same ``on`` key (left-outer: NULL
@@ -271,14 +272,25 @@ def asof_join(
 
     Right rows must be unique per (key, right_ts) for determinism —
     pre-aggregate if needed (the query wrapper does max()).
+
+    ``tolerance_sec`` bounds the staleness of the match (pandas
+    merge_asof semantics): a carried-forward right row older than
+    ``left_ts - tolerance_sec`` is nulled out. Implemented by carrying
+    the matched right TIMESTAMP forward next to the value — same
+    single-shuffle plan, one extra window column, no join.
     """
     from pyspark.sql.window import Window
+
+    def _num(c):
+        # epoch-seconds double for TIMESTAMP/NTZ/numeric time columns
+        return c.cast("timestamp").cast("double")
 
     l_tag = left.select(
         F.col(on).alias("k"),
         F.col(left_ts).alias("t"),
         F.lit(1).alias("side"),
         F.lit(None).cast("double").alias("rv"),
+        F.lit(None).cast("double").alias("rt"),
         F.struct(*[F.col(c) for c in left.columns]).alias("lrow"),
     )
     r_tag = right.select(
@@ -286,6 +298,7 @@ def asof_join(
         F.col(right_ts).alias("t"),
         F.lit(0).alias("side"),
         F.col(value_col).cast("double").alias("rv"),
+        _num(F.col(right_ts)).alias("rt"),
         F.lit(None)
         .cast(l_tag.schema["lrow"].dataType)
         .alias("lrow"),
@@ -298,6 +311,16 @@ def asof_join(
     merged = l_tag.unionByName(r_tag).withColumn(
         out_col, F.last("rv", ignorenulls=True).over(w)
     )
+    if tolerance_sec is not None:
+        merged = merged.withColumn(
+            "__mt", F.last("rt", ignorenulls=True).over(w)
+        ).withColumn(
+            out_col,
+            F.when(
+                _num(F.col("t")) - F.col("__mt") <= F.lit(float(tolerance_sec)),
+                F.col(out_col),
+            ),
+        )
     out = merged.where(F.col("side") == 1)
     return out.select([F.col(f"lrow.{c}").alias(c) for c in left.columns] + [F.col(out_col)])
 

@@ -649,6 +649,53 @@ def j8_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "j11_asof_tolerance_join",
+    oracle=(
+        "WITH r AS (SELECT user_id AS k, ts AS t, max(value) AS rv"
+        " FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),"
+        " l AS (SELECT event_id, user_id, ts FROM events"
+        " WHERE event_type = 'click')"
+        " SELECT l.event_id, l.user_id,"
+        " CAST(CAST(round(arg_max(r.rv, r.t) FILTER (WHERE r.t IS NOT"
+        " NULL), 2) AS DECIMAL(18,2)) AS DOUBLE) AS asof_value"
+        " FROM l LEFT JOIN r ON l.user_id = r.k"
+        "  AND r.t <= l.ts AND r.t >= l.ts - INTERVAL 30 MINUTE"
+        " GROUP BY l.event_id, l.user_id"
+    ),
+)
+def j11_asof_tolerance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J11 — as-of join with a staleness bound (pandas merge_asof
+    ``tolerance`` semantics): each click picks up the latest prior
+    purchase for the same user ONLY if it happened within the last
+    30 minutes; older matches become NULL.
+
+    Spark side is the same single-shuffle union+sort merge as j8 with
+    one extra carried-forward column (the matched right timestamp) —
+    no range join appears anywhere. The oracle is the naive bounded
+    range join + arg_max, so the merge formulation's tolerance
+    semantics are checked against an independent algorithm.
+    """
+    ev = load(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    right = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    out = R.asof_join(
+        left, right, on="user_id", left_ts="ts", right_ts="ts",
+        value_col="value", out_col="asof_value", tolerance_sec=1800,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("asof_value", 2).cast("decimal(18,2)").alias("asof_value"),
+    )
+
+
+@query(
     "j9_range_count_join",
     oracle=(
         "SELECT e.event_id, e.user_id,"

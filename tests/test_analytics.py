@@ -286,3 +286,25 @@ def test_grouped_ewma_fold_semantics(spark):
     s = 0.1 * 30.0 + 0.9 * s
     assert got[1] == (3, round(s, 6))
     assert got[2] == (1, 7.0)
+
+
+def test_asof_tolerance_semantics(spark):
+    """Tolerance nulls stale matches: inclusive exactly AT the bound,
+    null beyond it, untouched within it."""
+    from flink_luad_pipeline_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, "within"), (1, 130, "at_bound"), (1, 200, "beyond")],
+        "k int, ts int, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 100, 5.0)], "k int, ts int, value double"
+    )
+    out = {
+        r.tag: r.asof_value
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts",
+            tolerance_sec=30,
+        ).collect()
+    }
+    assert out == {"within": 5.0, "at_bound": 5.0, "beyond": None}
