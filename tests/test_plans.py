@@ -225,6 +225,18 @@ def test_interval_overlap_is_banded_equi_join(spark, sf_dir):
     assert "bucket" in plan
 
 
+def test_repetition_signals_two_bounded_shuffles(spark, sf_dir):
+    """ll29 must be exactly two hash shuffles, both keyed on doc_id
+    (skew bounded by document length) — no window, no sort, no join."""
+    plan = physical(QUERIES["ll29_repetition_signals"](spark, sf_dir))
+    exchanges = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert len(exchanges) == 2, plan
+    assert all("doc_id" in ln for ln in exchanges), plan
+    assert "SortMergeJoin" not in plan and "Window" not in plan
+
+
 def test_sessionize_shares_one_shuffle(spark, sf_dir):
     """b23's two window passes AND the final (user_id, session_id)
     grouped agg must all reuse the single user_id hash exchange —
