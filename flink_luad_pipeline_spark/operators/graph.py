@@ -305,3 +305,69 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
     return corners.groupBy("vertex").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_triangles")
     )
+
+
+def shortest_paths(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_iterations: int = 100,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Single-source(-set) unweighted shortest paths (BFS) — the
+    distance-semiring sibling of min-label connected components: the
+    per-superstep recurrence is min(dist) over (frontier ⋈ edges)+1
+    instead of min(label), with the identical workset/solution-set
+    driver loop (frontier = vertices whose distance improved, shrinking
+    every round; localCheckpoint bounds lineage).
+
+    ``sources`` (single column) start at distance 0. Unreached vertices
+    are absent from the output (join back against a vertex table for
+    NULL-distance semantics). Iterations = eccentricity of the source
+    set, NOT graph size; for high-diameter graphs the same caveat as
+    min-label applies.
+
+    Returns ``DataFrame[vertex, dist]``.
+    """
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("w"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("w")))
+        .distinct()
+        .localCheckpoint()
+    )
+    dist = (
+        sources.select(F.col(sources.columns[0]).alias("vertex"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("bigint"))
+        .localCheckpoint()
+    )
+    frontier = dist
+    for _ in range(max_iterations):
+        cand = (
+            frontier.join(sym, frontier.vertex == sym.u)
+            .select(
+                F.col("w").alias("vertex"),
+                (F.col("dist") + F.lit(1)).alias("cand"),
+            )
+            .groupBy("vertex")
+            .agg(F.min("cand").alias("cand"))
+        )
+        improved = F.col("cand") < F.coalesce(
+            F.col("dist"), F.lit((1 << 62))
+        )
+        merged = (
+            dist.join(cand, "vertex", "full_outer")
+            .select(
+                "vertex",
+                F.when(improved, F.col("cand"))
+                .otherwise(F.col("dist"))
+                .alias("dist"),
+                F.coalesce(improved, F.lit(False)).alias("changed"),
+            )
+            .localCheckpoint()
+        )
+        frontier = merged.where("changed").select("vertex", "dist")
+        dist = merged.select("vertex", "dist")
+        if frontier.isEmpty():
+            break
+    return dist

@@ -19,7 +19,11 @@ from pyspark.sql import functions as F
 
 from .. import ml
 from ..catalog import load
-from ..operators.graph import connected_components, connected_components_star
+from ..operators.graph import (
+    connected_components,
+    connected_components_star,
+    shortest_paths,
+)
 from .registry import query
 
 
@@ -114,6 +118,43 @@ def i1b_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vertices = part.select(F.col("p_partkey").alias("vertex"))
     return connected_components_star(edges, vertices)
+
+
+@query(
+    "g4_bfs_distances",
+    oracle=(
+        "WITH RECURSIVE"
+        " e AS (SELECT p.p_partkey AS src, p.p_partkey + 1 AS dst FROM part p"
+        "   WHERE p.p_partkey % 10 < 3"
+        "   AND EXISTS (SELECT 1 FROM part q WHERE q.p_partkey = p.p_partkey + 1)),"
+        " sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),"
+        " srcs AS (SELECT p_partkey AS v FROM part WHERE p_partkey % 100 = 0),"
+        " walk(v, d) AS ("
+        "   SELECT v, CAST(0 AS BIGINT) FROM srcs"
+        "   UNION"
+        "   SELECT s.dst, w.d + 1 FROM walk w JOIN sym s ON s.src = w.v"
+        "   WHERE w.d < 50)"
+        " SELECT v AS vertex, min(d) AS dist FROM walk GROUP BY v"
+    ),
+)
+def g4_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4 — multi-source unweighted shortest paths over the i1 chain
+    graph (sources: every 100th part key): the distance-semiring
+    iterative operator next to CC's min-label and g1's PageRank.
+    Chains are length <= 4, so the recursion bound (50) never binds.
+    Oracle: recursive min-distance closure."""
+    part = load(spark, sf_dir, "part").select("p_partkey")
+    chain = part.where(F.col("p_partkey") % 10 < 3).select(
+        F.col("p_partkey").alias("src"),
+        (F.col("p_partkey") + 1).alias("dst"),
+    )
+    edges = chain.join(
+        part.select(F.col("p_partkey").alias("dst")), "dst", "left_semi"
+    )
+    sources = part.where(F.col("p_partkey") % 100 == 0).select(
+        F.col("p_partkey").alias("vertex")
+    )
+    return shortest_paths(edges, sources)
 
 
 @query("c1_als_completion")  # rows-only: ALS values are optimizer-specific

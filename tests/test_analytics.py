@@ -308,3 +308,32 @@ def test_asof_tolerance_semantics(spark):
         ).collect()
     }
     assert out == {"within": 5.0, "at_bound": 5.0, "beyond": None}
+
+
+def test_shortest_paths_vs_python_bfs(spark):
+    """Random graph: driver-loop BFS distances == pure-Python BFS from
+    the same multi-source set; unreached vertices absent."""
+    from collections import deque
+
+    from flink_luad_pipeline_spark.operators.graph import shortest_paths
+
+    rng = random.Random(23)
+    n = 80
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(70)]
+    edges = [(a, b) for a, b in edges if a != b]
+    sources = [0, 40]
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want, q = {s: 0 for s in sources}, deque(sources)
+    while q:
+        v = q.popleft()
+        for w in adj.get(v, ()):
+            if w not in want:
+                want[w] = want[v] + 1
+                q.append(w)
+    e_df = spark.createDataFrame(edges, "src INT, dst INT")
+    s_df = spark.createDataFrame([(s,) for s in sources], "vertex INT")
+    got = {r.vertex: r.dist for r in shortest_paths(e_df, s_df).collect()}
+    assert got == want
