@@ -1248,3 +1248,100 @@ def ll34_deduped_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("had_neardups", F.lit(False)).alias("had_neardups"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# LL35 — deterministic mixture sampling (per-source target rates)
+# ---------------------------------------------------------------------------
+
+#: training-mixture rates: upsample-by-keeping-everything for the best
+#: source, progressively downsample the rest (illustrative weights)
+_MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+_MIX_DEFAULT = 0.1
+
+
+def _mixture_oracle() -> str:
+    cases = " ".join(
+        f"WHEN source = '{s}' THEN {r}" for s, r in _MIX_RATES.items()
+    )
+    h = _hex10("CAST(doc_id AS VARCHAR)")
+    return (
+        "WITH rated AS (SELECT doc_id, source,"
+        f" CASE {cases} ELSE {_MIX_DEFAULT} END AS rate,"
+        f" {h} AS h FROM documents)"
+        " SELECT doc_id, source,"
+        " CAST(CAST(rate AS DECIMAL(18,6)) AS DOUBLE) AS rate"
+        " FROM rated"
+        f" WHERE h % 1000000 < CAST(round(rate * 1000000, 0) AS BIGINT)"
+    )
+
+
+@query("ll35_mixture_sample", oracle=_mixture_oracle())
+def ll35_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture construction: each source is downsampled to a
+    target rate (the 'data mixing' step between dedup/quality and
+    tokenization). The keep decision is a pure function of the doc id —
+    the portable 40-bit md5 hash modulo 1e6 against rate*1e6 — so the
+    sample is reproducible across runs, engines, and re-partitioning
+    (no RNG, no per-partition state), and the oracle recomputes the
+    identical decisions. A narrow map + filter: zero shuffles at any
+    corpus size; rates change by editing a literal map, or join a
+    rates dimension for per-(source, lang, quality-bucket) mixtures.
+    """
+    docs = load(spark, sf_dir, "documents")
+    rate = F.lit(_MIX_DEFAULT)
+    for s, r in reversed(list(_MIX_RATES.items())):
+        rate = F.when(F.col("source") == s, F.lit(r)).otherwise(rate)
+    h = dedup.portable_hash40(F.col("doc_id").cast("string"))
+    return (
+        docs.withColumn("rate", rate)
+        .where(
+            h % F.lit(1000000)
+            < F.round(F.col("rate") * 1000000, 0).cast("bigint")
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.col("rate").cast("decimal(18,6)").alias("rate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# LL36 — reproducible epoch shuffle (training order without a global sort)
+# ---------------------------------------------------------------------------
+
+_EPOCH_KEY = "'ep1#' || CAST(doc_id AS VARCHAR)"
+_SHUFFLE_ORACLE = (
+    f"WITH h AS (SELECT doc_id, {_hex10(_EPOCH_KEY)}"
+    "  AS hv FROM documents),"
+    " sharded AS (SELECT doc_id, hv, CAST(hv % 8 AS BIGINT) AS shard FROM h)"
+    " SELECT doc_id, shard,"
+    " CAST(row_number() OVER (PARTITION BY shard ORDER BY hv, doc_id)"
+    "  AS BIGINT) AS pos"
+    " FROM sharded"
+)
+
+
+@query("ll36_epoch_shuffle", oracle=_SHUFFLE_ORACLE)
+def ll36_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible training-order shuffle: every doc gets a stable
+    pseudo-random (shard, pos) from the portable md5 hash of
+    (epoch_salt, doc_id) — readers stream shard 0..N-1 in pos order and
+    see a deterministic permutation; change the salt, get a fresh epoch
+    order. No RNG state and NO global sort: one hash shuffle on the
+    shard key + an in-partition rank, so the plan is identical at 5k
+    docs and 5B docs (shard count scales with the cluster; pos is
+    dense within each shard).
+    """
+    docs = load(spark, sf_dir, "documents")
+    hv = dedup.portable_hash40(
+        F.concat(F.lit("ep1#"), F.col("doc_id").cast("string"))
+    )
+    w = W.partitionBy("shard").orderBy("hv", "doc_id")
+    return (
+        docs.select("doc_id", hv.alias("hv"))
+        .withColumn("shard", (F.col("hv") % 8).cast("bigint"))
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .select("doc_id", "shard", "pos")
+    )
