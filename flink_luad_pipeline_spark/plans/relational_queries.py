@@ -784,6 +784,50 @@ def s8_sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "s13_dynamic_partition_overwrite",
+    oracle=(
+        "SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n,"
+        " CAST(CAST(round(sum(CASE WHEN o_orderstatus = 'O'"
+        "  THEN o_totalprice * 2 ELSE o_totalprice END), 2)"
+        "  AS DECIMAL(18,2)) AS DOUBLE) AS total"
+        " FROM orders GROUP BY o_orderstatus"
+    ),
+)
+def s13_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13 — dynamic partition overwrite: rewrite ONE hive partition in
+    place while the others stay untouched — the partition-level
+    maintenance primitive (backfills, late-data reprocessing) under a
+    plain parquet layout. Step 1 writes all of orders partitioned by
+    status; step 2 overwrites only the 'O' partition (prices doubled)
+    with partitionOverwriteMode=dynamic — scoped as a WRITER option,
+    not session conf, so concurrent writers keep static semantics. The
+    oracle computes the expected post-overwrite state from the base
+    table, so losing or duplicating ANY other partition would mismatch.
+
+    At 100 TB this is the difference between rewriting a day and
+    rewriting the table: the overwrite's cost is the one partition's
+    size, and readers of other partitions never see churn.
+    """
+    orders = load(spark, sf_dir, "orders")
+    path = _tmp("s13_orders_dynpart")
+    orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    fixed = orders.where(F.col("o_orderstatus") == "O").withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    (
+        fixed.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("o_orderstatus")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return back.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).cast("decimal(18,2)").alias("total"),
+    )
+
+
+@query(
     "p7_json_extract",
     oracle=(
         "SELECT event_id, CAST(props->>'$.k' AS INT) AS k FROM events"
