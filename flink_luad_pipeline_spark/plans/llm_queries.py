@@ -1345,3 +1345,99 @@ def ll36_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pos", F.row_number().over(w).cast("bigint"))
         .select("doc_id", "shard", "pos")
     )
+
+
+# ---------------------------------------------------------------------------
+# LL40 — the full pretraining-data pipeline as ONE declarative plan
+# ---------------------------------------------------------------------------
+
+
+def _pipeline_oracle() -> str:
+    """dedup (minhash tier) -> quality filter -> mixture sample, all in
+    one SQL statement mirroring the composed Spark plan."""
+    return (
+        "WITH RECURSIVE aug AS ("
+        "  SELECT doc_id, text, source FROM documents"
+        "  UNION ALL SELECT doc_id + 1000000, text, source"
+        "  FROM documents WHERE doc_id % 10 = 0),"
+        f" pairs AS (SELECT * FROM ( {_MINHASH_ORACLE} ) mh),"
+        " sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs"
+        "   UNION SELECT doc_b, doc_a FROM pairs),"
+        " nodes AS (SELECT DISTINCT src AS v FROM sym),"
+        " reach(v, lbl) AS ("
+        "   SELECT v, v FROM nodes"
+        "   UNION"
+        "   SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.v),"
+        " comp AS (SELECT v AS doc_id, min(lbl) AS canonical FROM reach"
+        "   GROUP BY v),"
+        " dropped AS (SELECT doc_id FROM comp WHERE doc_id <> canonical),"
+        " surv AS (SELECT a.doc_id, a.text, a.source FROM aug a"
+        "   WHERE a.doc_id NOT IN (SELECT doc_id FROM dropped)),"
+        f" tok AS (SELECT doc_id, source, text, {_TOKENS_SQL} AS tokens"
+        "   FROM surv),"
+        f" scored AS (SELECT doc_id, source, len(tokens) AS n_tokens,"
+        f"  {_SCORE_SQL} AS score FROM tok),"
+        " kept AS (SELECT doc_id, source, n_tokens FROM scored"
+        "   WHERE n_tokens >= 20 AND score >= 0.5)"
+        " SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens"
+        " FROM kept"
+        f" WHERE {_hex10('CAST(doc_id AS VARCHAR)')} % 1000000"
+        "  < CAST(round((CASE WHEN source = 'src0' THEN 1.0"
+        "     WHEN source = 'src1' THEN 0.5 WHEN source = 'src2' THEN 0.25"
+        "     ELSE 0.1 END) * 1000000, 0) AS BIGINT)"
+    )
+
+
+@query("ll40_pipeline_end2end", oracle=_pipeline_oracle())
+def ll40_pipeline_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole pretraining-data path as one lazy plan — near-dup
+    removal (ll34's minhash tier), quality filtering (ll21's signals),
+    and mixture sampling (ll35's hash rule) composed end to end, with
+    Catalyst free to pipeline the narrow stages and order the joins.
+    The point of an engine is that the composition stays declarative:
+    nothing is materialized between stages, and the single SQL oracle
+    value-checks the entire path (planted duplicates must be gone, low
+    quality docs dropped, mixture decisions reproduced exactly).
+
+    Scale shape = the union of its parts, all previously audited: the
+    only corpus-sized shuffles are the minhash band join and the
+    dropped-id anti-join; quality and mixture are narrow.
+    """
+    from ..operators import graph
+
+    # source is THREADED through every stage (never joined back from
+    # the corpus table — that join-back would be corpus x corpus at
+    # scale); the pair generation only reads (doc_id, text)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    copies = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text", "source"
+    )
+    aug = docs.unionAll(copies)
+    pairs = dedup.minhash_lsh_pairs(aug, "doc_id", "text", k=3, threshold=0.4)
+    comp = graph.connected_components(
+        pairs, src="doc_a", dst="doc_b"
+    ).select(
+        F.col("vertex").alias("doc_id"), F.col("component").alias("canonical")
+    )
+    dropped = comp.where(F.col("doc_id") != F.col("canonical")).select("doc_id")
+    surv = aug.join(dropped, "doc_id", "left_anti")
+
+    tokens = T.tokenize(F.col("text"))
+    q = T.quality_features(F.col("text"), tokens)
+    kept = surv.select(
+        "doc_id",
+        "source",
+        q["n_tokens"].alias("n_tokens"),
+        q["quality_score"].alias("score"),
+    ).where((F.col("n_tokens") >= 20) & (F.col("score") >= 0.5))
+
+    rate = (
+        F.when(F.col("source") == "src0", 1.0)
+        .when(F.col("source") == "src1", 0.5)
+        .when(F.col("source") == "src2", 0.25)
+        .otherwise(0.1)
+    )
+    h = dedup.portable_hash40(F.col("doc_id").cast("string"))
+    return kept.where(
+        h % F.lit(1000000) < F.round(rate * 1000000, 0).cast("bigint")
+    ).select("doc_id", "source", F.col("n_tokens").cast("bigint").alias("n_tokens"))
