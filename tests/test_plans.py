@@ -225,6 +225,22 @@ def test_interval_overlap_is_banded_equi_join(spark, sf_dir):
     assert "bucket" in plan
 
 
+def test_mixture_sample_is_narrow(spark, sf_dir):
+    """ll35's keep decision is a pure function of the row — the plan
+    must contain NO exchange of any kind (scan -> filter -> project)."""
+    plan = physical(QUERIES["ll35_mixture_sample"](spark, sf_dir))
+    assert "Exchange" not in plan, plan
+
+
+def test_epoch_shuffle_single_exchange_no_global_sort(spark, sf_dir):
+    """ll36 is one hash shuffle on the shard key plus an in-partition
+    sort — a global (range) sort would serialize the permutation."""
+    plan = physical(QUERIES["ll36_epoch_shuffle"](spark, sf_dir))
+    exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    assert len(exchanges) == 1 and "hashpartitioning" in exchanges[0], plan
+    assert "rangepartitioning" not in plan.lower()
+
+
 def test_repetition_signals_two_bounded_shuffles(spark, sf_dir):
     """ll29 must be exactly two hash shuffles, both keyed on doc_id
     (skew bounded by document length) — no window, no sort, no join."""
