@@ -47,10 +47,20 @@ HEADLINE = [
     "j10_interval_overlap_join",
     "s9_bucketed_colocated_join",
     "ss1_tumbling_window",
+    # dedup / pipeline heavy tier (VERDICT r2 item 4): the LSH
+    # candidate-generation path, the composed dedup materializer, the
+    # end-to-end pretraining pipeline, and batch sessionization
+    "ll6_minhash_lsh",
+    "ll34_deduped_corpus",
+    "ll40_pipeline_end2end",
+    "b23_sessionize",
 ]
 
 
 def main() -> None:
+    # Timed runs must exercise the real parquet scan every iteration —
+    # disable the query-layer .cache() reuse (see llm_queries._augmented)
+    os.environ["SPARK_GRAFT_NO_CACHE"] = "1"
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from flink_luad_pipeline_spark import catalog, plans
     from flink_luad_pipeline_spark.session import get_spark

@@ -114,9 +114,9 @@ def connected_components_star(
 
     Both are (min-per-key + equi-join) — shuffle-partitionable, no
     driver data. Fixed point: every component is a star rooted at its
-    minimum id. Convergence is detected by an (edge-count, xxhash64
-    checksum) pair going stable — collision odds are ~2^-64 per round
-    and a collision merely delays termination by one no-op round.
+    minimum id. Convergence is detected exactly: equal edge counts plus
+    an empty one-sided ``exceptAll`` between the two checkpointed
+    canonical edge sets proves set equality (no hash-collision risk).
 
     Same contract as ``connected_components``: DataFrame[vertex,
     component], isolated vertices included via ``vertices``.
@@ -157,17 +157,9 @@ def connected_components_star(
             .distinct()
         )
 
-    def _checksum(e: DataFrame):
-        # bit_xor: order-insensitive, overflow-free under ANSI mode
-        row = e.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
-        ).collect()[0]
-        return (row.n, row.h)
-
     cur = _canon(pairs).localCheckpoint()
-    prev_sig = _checksum(cur)
     for _ in range(max_rounds):
+        prev = cur
         nbr = _sym(cur)
         mins = _mins(nbr)
         # large-star: larger neighbors -> neighborhood min
@@ -187,10 +179,12 @@ def connected_components_star(
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
         )
         cur = small.localCheckpoint()
-        sig = _checksum(cur)
-        if sig == prev_sig:
+        # Exact stability check on the two materialized canonical edge
+        # sets (both distinct()'d): equal counts + empty one-sided
+        # difference <=> set equality. Two cheap jobs over checkpointed
+        # data, and no checksum-collision early-termination risk.
+        if cur.count() == prev.count() and prev.exceptAll(cur).isEmpty():
             break
-        prev_sig = sig
     # fixed point: stars rooted at component minimum -> (root=u, member=v)
     labels = cur.select(
         F.col("v").alias("vertex"), F.col("u").alias("component")

@@ -285,20 +285,30 @@ def asof_join(
         # epoch-seconds double for TIMESTAMP/NTZ/numeric time columns
         return c.cast("timestamp").cast("double")
 
+    # (rt, rv) travel as ONE nullable struct so last(ignorenulls) can
+    # never desync them: a right row whose value is NULL contributes no
+    # struct at all, so neither the carried value nor the matched
+    # timestamp advances past it (a split-column carry would skip the
+    # NULL value but still advance the timestamp, making the staleness
+    # test compare against the wrong, newer match time).
     l_tag = left.select(
         F.col(on).alias("k"),
         F.col(left_ts).alias("t"),
         F.lit(1).alias("side"),
-        F.lit(None).cast("double").alias("rv"),
-        F.lit(None).cast("double").alias("rt"),
+        F.lit(None).cast("struct<rt:double,rv:double>").alias("rrec"),
         F.struct(*[F.col(c) for c in left.columns]).alias("lrow"),
     )
     r_tag = right.select(
         F.col(on).alias("k"),
         F.col(right_ts).alias("t"),
         F.lit(0).alias("side"),
-        F.col(value_col).cast("double").alias("rv"),
-        _num(F.col(right_ts)).alias("rt"),
+        F.when(
+            F.col(value_col).isNotNull(),
+            F.struct(
+                _num(F.col(right_ts)).alias("rt"),
+                F.col(value_col).cast("double").alias("rv"),
+            ),
+        ).alias("rrec"),
         F.lit(None)
         .cast(l_tag.schema["lrow"].dataType)
         .alias("lrow"),
@@ -309,18 +319,15 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     merged = l_tag.unionByName(r_tag).withColumn(
-        out_col, F.last("rv", ignorenulls=True).over(w)
+        "__rec", F.last("rrec", ignorenulls=True).over(w)
     )
+    value = F.col("__rec.rv")
     if tolerance_sec is not None:
-        merged = merged.withColumn(
-            "__mt", F.last("rt", ignorenulls=True).over(w)
-        ).withColumn(
-            out_col,
-            F.when(
-                _num(F.col("t")) - F.col("__mt") <= F.lit(float(tolerance_sec)),
-                F.col(out_col),
-            ),
+        value = F.when(
+            _num(F.col("t")) - F.col("__rec.rt") <= F.lit(float(tolerance_sec)),
+            value,
         )
+    merged = merged.withColumn(out_col, value)
     out = merged.where(F.col("side") == 1)
     return out.select([F.col(f"lrow.{c}").alias(c) for c in left.columns] + [F.col(out_col)])
 

@@ -27,10 +27,58 @@ from . import datapipe_queries  # noqa: F401  (chunk/split/pack/decontaminate)
 from . import extended_queries  # noqa: F401  (OLAP b-family)
 from .registry import ORACLES, QUERIES
 
+# IDs with a green (hash_match) row in CORRECTNESS_r01/r02 — the driver
+# contract is already banked for these, so the round-3 rotation moves
+# them BEHIND the not-yet-driver-checked queries. The driver sweeps
+# ~50 queries per round in `queries()` dict order; rotating converts the
+# judge-verified-but-driver-unchecked majority into contractual rows
+# without re-spending window slots on banked ones (VERDICT r2, item 1).
+_BANKED_GREEN = frozenset(
+    {
+        "a1_defs_last_wins", "a2_dict_encode", "a3_probe_moments",
+        "a4_missing_cells", "a5_grouped_min", "a6_component_representative",
+        "a7_vector_assemble", "a8_distinct", "a9_count",
+        "b10_exact_percentiles", "b13_grouping_sets", "b14_lateral_posexplode",
+        "b19_unpivot", "b1_topk", "b21_scd2_dimension", "b2_rollup",
+        "b3_window_running_sum", "b5_intersect_except", "b6_full_outer_join",
+        "b8_pivot_counts", "flagship_revenue_by_nation", "g2_triangle_count",
+        "i1_c3_connected_components", "j11_asof_tolerance_join",
+        "j1_equi_join_flat", "j2_join_filter", "j3_join_on_array",
+        "j4_cross_join", "j5_broadcast_nested_loop", "j6_semi_join",
+        "j7_anti_join", "j8_asof_join", "j9_range_count_join",
+        "ll13_chunk_documents", "ll14_redact_pii", "ll15_train_test_split",
+        "ll16_ngram_vocab", "ll17_window_byte_stats", "ll18_stratified_sample",
+        "ll19_sequence_packing", "ll20_decontaminate", "ll22_user_sequences",
+        "ll23_dedup_clusters", "ll2_lang_id", "ll3_fingerprint",
+        "ll4_dedup_exact", "ll7_simhash_pairs", "o1_sort_in_group",
+        "o2_grouped_ewma", "p1_project_tuple", "p2_filter_semi",
+        "p3_filter_split", "p4_flatmap_symmetrize", "p5_dict_decode",
+        "p6_scalar_funcs", "p7_json_extract", "p8_null_safe_join",
+        "p9_try_cast", "s10_schema_merge_scan", "s11_sorted_clustered_write",
+        "s13_dynamic_partition_overwrite", "s1_scan_csv_defs",
+        "s2_scan_csv_projected", "s3_from_collection", "s4_sink_print",
+        "s5_sink_csv_roundtrip", "s6_sink_path_template",
+        "s7_scan_json_roundtrip", "s8_sink_parquet_partitioned",
+        "s9_bucketed_colocated_join", "u1_union_all", "u2_rebalance",
+        "x1_salted_agg", "x3_salted_skew_join", "x4_zorder_clustered_scan",
+    }
+)
+
+
+def _rotated() -> list[str]:
+    """Driver-sweep order: unchecked oracle-backed queries first (in
+    registration order), then banked-green ones, then the no-oracle
+    queries last (they can never be hash-green, so they must not spend
+    window slots)."""
+    front = [k for k in QUERIES if k not in _BANKED_GREEN and k in ORACLES]
+    banked = [k for k in QUERIES if k in _BANKED_GREEN]
+    no_oracle = [k for k in QUERIES if k not in ORACLES]
+    return front + banked + no_oracle
+
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(QUERIES)
+    return {k: QUERIES[k] for k in _rotated()}
 
 
 def all_oracles() -> dict[str, str]:
-    return dict(ORACLES)
+    return {k: ORACLES[k] for k in _rotated() if k in ORACLES}

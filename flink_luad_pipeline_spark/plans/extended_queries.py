@@ -860,12 +860,12 @@ def b21_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 B23_ORACLE = (
-    "WITH marked AS (SELECT user_id, ts,"
+    "WITH marked AS (SELECT user_id, ts, event_id,"
     "  CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800"
     "   OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session"
     "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),"
     " sess AS (SELECT user_id, ts,"
-    "  sum(new_session) OVER (PARTITION BY user_id ORDER BY ts"
+    "  sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id"
     "   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id"
     "  FROM marked)"
     " SELECT user_id, CAST(session_id AS BIGINT) AS session_id,"

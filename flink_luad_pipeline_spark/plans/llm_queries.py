@@ -13,6 +13,8 @@ DuckDB oracle, so the checks stay exact.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
@@ -141,16 +143,26 @@ _AUG_CACHE: dict = {}
 
 def _augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus ∪ exact copies of every 10th doc (ids shifted +1e6).
-    Cached per (session, sf_dir): ll4-ll7 and ll24 all start from this
-    frame, so one materialization serves the whole dedup family during
-    the driver's sequential correctness sweep."""
-    key = (id(spark), sf_dir)
+    Cached per (applicationId, sf_dir): ll4-ll7 and ll24 all start from
+    this frame, so one materialization serves the whole dedup family
+    during the driver's sequential correctness sweep. applicationId is
+    stable for a live session and never aliases across stop/recreate
+    (unlike id(spark)), so a cached frame can't outlive its session.
+
+    Under the bench harness (SPARK_GRAFT_NO_CACHE=1) the cache is
+    bypassed entirely so timed runs exercise the real parquet scan —
+    the stated end-to-end protocol — rather than an in-memory table
+    warmed by a previous headline query."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    aug = docs.unionAll(copies)
+    if os.environ.get("SPARK_GRAFT_NO_CACHE"):
+        return aug
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _AUG_CACHE:
-        docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-        copies = docs.where(F.col("doc_id") % 10 == 0).select(
-            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
-        )
-        _AUG_CACHE[key] = docs.unionAll(copies).cache()
+        _AUG_CACHE[key] = aug.cache()
     return _AUG_CACHE[key]
 
 
@@ -545,41 +557,57 @@ def ll11b_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MM_ORACLE = (
-    # the fake payload is md5(text) bytes x4: n_bytes = 64, byte stats
-    # reduce to stats over the 16 digest bytes (repetition preserves
-    # mean; distinct-set unchanged). Divisions are by powers of two, so
-    # the doubles are exact in both engines.
-    "WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents),"
-    " b AS (SELECT doc_id, list_transform(range(0, 16), i ->"
+    # The payload is a REAL binary PPM: "P6\n4 4\n255\n" + 48 pixel
+    # bytes = digest(text) ++ digest(text||'a') ++ digest(text||'b').
+    # The Spark side decodes the actual image; the oracle recomputes
+    # the same pixel statistics straight from the md5 hex digits.
+    # Channel c = every 3rd byte starting at c (RGB interleaved).
+    "WITH h AS (SELECT doc_id,"
+    " md5(text) || md5(text || 'a') || md5(text || 'b') AS hx"
+    " FROM documents),"
+    " b AS (SELECT doc_id, list_transform(range(0, 48), i ->"
     " (strpos('0123456789abcdef', substr(hx, 2 * i + 1, 1)) - 1) * 16"
     " + strpos('0123456789abcdef', substr(hx, 2 * i + 2, 1)) - 1)"
-    " AS bytes FROM h)"
-    " SELECT doc_id, CAST(64 AS INT) AS n_bytes,"
-    " CAST(CAST(round(list_sum(bytes) / 16.0, 6) AS DECIMAL(18,6))"
-    "  AS DOUBLE) AS byte_mean,"
-    " CAST(CAST(round(len(list_distinct(bytes)) / 256.0, 6)"
-    "  AS DECIMAL(18,6)) AS DOUBLE) AS byte_entropy_proxy,"
-    " 'fake/md5x4' AS format FROM b"
+    " AS px FROM h)"
+    " SELECT doc_id, CAST(4 AS INT) AS width, CAST(4 AS INT) AS height,"
+    " CAST(3 AS INT) AS channels,"
+    " CAST(CAST(round(list_sum(px) / 48.0, 6) AS DECIMAL(18,6))"
+    "  AS DOUBLE) AS pix_mean,"
+    " CAST(CAST(round(list_sum(list_where(px,"
+    "   list_transform(range(0, 48), i -> i % 3 = 0))) / 16.0, 6)"
+    "  AS DECIMAL(18,6)) AS DOUBLE) AS r_mean,"
+    " CAST(CAST(round(list_sum(list_where(px,"
+    "   list_transform(range(0, 48), i -> i % 3 = 1))) / 16.0, 6)"
+    "  AS DECIMAL(18,6)) AS DOUBLE) AS g_mean,"
+    " CAST(CAST(round(list_sum(list_where(px,"
+    "   list_transform(range(0, 48), i -> i % 3 = 2))) / 16.0, 6)"
+    "  AS DECIMAL(18,6)) AS DOUBLE) AS b_mean,"
+    " 'ppm' AS format FROM b"
 )
 
 
 @query("ll10_multimodal_features", oracle=_MM_ORACLE)
 def ll10_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-column plumbing: deterministic fake payloads -> Arrow-
-    batched mapInPandas feature extraction (byte stats standing in for
-    the stubbed media decode). The fake payload is md5-derived, so the
-    oracle recomputes the identical byte statistics in SQL — the whole
-    Python/Arrow path is value-checked end to end."""
+    """Multimodal image pipeline with a REAL decode step: per-document
+    binary PPM payloads (md5-derived pixels, so deterministic) decoded
+    by the pure-Python netpbm/BMP codecs in
+    ``operators.multimodal.decode_image`` inside Arrow-batched
+    mapInPandas; features (dimensions, channel count, global and
+    per-channel pixel means) come from the decoded raster. The oracle
+    recomputes the identical statistics from the md5 hex in SQL, so the
+    whole encode->Arrow->decode->stats path is value-checked."""
     docs = load(spark, sf_dir, "documents")
-    binary = multimodal.attach_binary_payload(docs, "doc_id", "text")
-    feats = multimodal.extract_features(binary)
+    binary = multimodal.attach_image_payload(docs, "doc_id", "text")
+    feats = multimodal.extract_image_features(binary)
     return feats.select(
         "doc_id",
-        "n_bytes",
-        F.round("byte_mean", 6).cast("decimal(18,6)").alias("byte_mean"),
-        F.round("byte_entropy_proxy", 6)
-        .cast("decimal(18,6)")
-        .alias("byte_entropy_proxy"),
+        "width",
+        "height",
+        "channels",
+        F.round("pix_mean", 6).cast("decimal(18,6)").alias("pix_mean"),
+        F.round("r_mean", 6).cast("decimal(18,6)").alias("r_mean"),
+        F.round("g_mean", 6).cast("decimal(18,6)").alias("g_mean"),
+        F.round("b_mean", 6).cast("decimal(18,6)").alias("b_mean"),
         "format",
     )
 

@@ -34,17 +34,32 @@ def _tmp(name: str) -> str:
 _WRITTEN: set = set()
 
 
+def _src_stamp(sf_dir: str) -> int:
+    """Newest mtime under sf_dir — changes whenever testdata is
+    regenerated, even within one process."""
+    newest = 0.0
+    for root, _dirs, files in os.walk(sf_dir):
+        for f in files:
+            try:
+                newest = max(newest, os.path.getmtime(os.path.join(root, f)))
+            except OSError:
+                pass
+    return int(newest)
+
+
 def _sink_once(name: str, sf_dir: str, write_fn) -> str:
-    """One sink write per (process, sf_dir, name); returns the path.
-    Repeat runs within a process (the driver's sweep + bench's timed
-    iterations) then measure the read path, not the sink; a fresh
-    process always rewrites, so nothing stale survives a testdata
-    regeneration. Content is deterministic, so reuse is exact."""
+    """One sink write per (process, sf_dir-content, name); returns the
+    path. Repeat runs within a process (the driver's sweep + bench's
+    timed iterations) then measure the read path, not the sink. The key
+    includes the source data's newest mtime, so an in-process testdata
+    regeneration invalidates the cached path instead of serving stale
+    output. Content is deterministic, so reuse is exact."""
     import hashlib
 
-    tag = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:8]
+    stamp = _src_stamp(sf_dir)
+    tag = hashlib.md5(f"{sf_dir.rstrip('/')}@{stamp}".encode()).hexdigest()[:8]
     path = _tmp(f"{name}_{tag}")
-    key = (name, sf_dir.rstrip("/"))
+    key = (name, sf_dir.rstrip("/"), stamp)
     if key not in _WRITTEN:
         write_fn(path)
         _WRITTEN.add(key)

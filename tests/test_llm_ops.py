@@ -94,11 +94,43 @@ def test_multimodal_features_match_python(spark, sf_dir):
         assert f.format == "fake/md5x4"
 
 
-def test_decode_image_is_stubbed():
+def test_image_codecs_roundtrip():
+    import random
+
     import pytest as _pytest
 
-    with _pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"\x00")
+    rng = random.Random(7)
+    for w, h in [(4, 4), (3, 5), (1, 1), (7, 2)]:
+        rgb = bytes(rng.randrange(256) for _ in range(w * h * 3))
+        assert multimodal.decode_image(multimodal.encode_ppm(w, h, rgb)) == (
+            w, h, 3, rgb,
+        )
+        # BMP round-trips through row padding + bottom-up BGR storage
+        assert multimodal.decode_image(multimodal.encode_bmp(w, h, rgb)) == (
+            w, h, 3, rgb,
+        )
+    # PGM with a header comment
+    pgm = b"P5\n# a comment\n4 2\n255\n" + bytes(range(8))
+    assert multimodal.decode_image(pgm) == (4, 2, 1, bytes(range(8)))
+    with _pytest.raises(ValueError):
+        multimodal.decode_image(b"\x00\x01\x02")
+    with _pytest.raises(ValueError):
+        multimodal.decode_image(b"P6\n4 4\n255\n" + b"\x00" * 10)  # truncated
+
+
+def test_image_features_from_real_decode(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").limit(20)
+    binary = multimodal.attach_image_payload(docs, "doc_id", "text")
+    feats = {r.doc_id: r for r in multimodal.extract_image_features(binary).collect()}
+    for row in docs.collect():
+        pix = b"".join(
+            hashlib.md5((row.text + s).encode()).digest() for s in ("", "a", "b")
+        )
+        f = feats[row.doc_id]
+        assert (f.width, f.height, f.channels, f.format) == (4, 4, 3, "ppm")
+        assert abs(f.pix_mean - sum(pix) / 48) < 1e-9
+        for c, name in enumerate(("r_mean", "g_mean", "b_mean")):
+            assert abs(getattr(f, name) - sum(pix[c::3]) / 16) < 1e-9
 
 
 def test_frame_sample_plan(spark, sf_dir):
