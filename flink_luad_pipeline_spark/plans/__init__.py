@@ -65,15 +65,30 @@ _BANKED_GREEN = frozenset(
 )
 
 
+# Queries NEW this round — ahead even of the round-2 front, so the
+# driver window can't miss them (the front is slightly wider than the
+# ~50-query window; the overflow converts next round).
+_NEW_THIS_ROUND = (
+    "sql2_tpch_q3_shared_text",
+    "sql3_tpch_q5_shared_text",
+    "sql4_tpch_q10_shared_text",
+)
+
+
 def _rotated() -> list[str]:
-    """Driver-sweep order: unchecked oracle-backed queries first (in
-    registration order), then banked-green ones, then the no-oracle
-    queries last (they can never be hash-green, so they must not spend
-    window slots)."""
-    front = [k for k in QUERIES if k not in _BANKED_GREEN and k in ORACLES]
+    """Driver-sweep order: this round's new queries, then unchecked
+    oracle-backed queries (in registration order), then banked-green
+    ones, then the no-oracle queries last (they can never be
+    hash-green, so they must not spend window slots)."""
+    new = [k for k in _NEW_THIS_ROUND if k in QUERIES]
+    front = [
+        k
+        for k in QUERIES
+        if k not in _BANKED_GREEN and k in ORACLES and k not in _NEW_THIS_ROUND
+    ]
     banked = [k for k in QUERIES if k in _BANKED_GREEN]
     no_oracle = [k for k in QUERIES if k not in ORACLES]
-    return front + banked + no_oracle
+    return new + front + banked + no_oracle
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1028,3 +1028,103 @@ def sql1_tpch_q1_shared_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_all(spark, sf_dir)
     return spark.sql(SQL1_SHARED_TEXT)
+
+
+# ---------------------------------------------------------------------------
+# SQL2-4 — TPC-H Q3/Q5/Q10 shapes, same shared-text contract as SQL1
+# ---------------------------------------------------------------------------
+
+# Adaptations to the synthetic schema, noted per query; date constants
+# sit inside the generated o_orderdate range (1995..2001). No ORDER BY/
+# LIMIT — top-N with ties is nondeterministic across engines and the
+# driver's comparison is order-insensitive anyway.
+
+# Q3 (shipping priority): o_shippriority doesn't exist in the synthetic
+# orders table; o_orderpriority stands in. Same join/filter/agg shape.
+SQL2_SHARED_TEXT = (
+    "SELECT l_orderkey, o_orderdate, o_orderpriority,"
+    " CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE)"
+    "  AS revenue"
+    " FROM customer"
+    " JOIN orders ON c_custkey = o_custkey"
+    " JOIN lineitem ON l_orderkey = o_orderkey"
+    " WHERE c_mktsegment = 'BUILDING'"
+    " AND o_orderdate < DATE '1997-03-15'"
+    " AND l_shipdate > DATE '1997-03-15'"
+    " GROUP BY l_orderkey, o_orderdate, o_orderpriority"
+)
+
+# Q5 (local supplier volume): verbatim shape incl. the c_nationkey =
+# s_nationkey "local supplier" condition.
+SQL3_SHARED_TEXT = (
+    "SELECT n_name,"
+    " CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE)"
+    "  AS revenue"
+    " FROM customer"
+    " JOIN orders ON c_custkey = o_custkey"
+    " JOIN lineitem ON l_orderkey = o_orderkey"
+    " JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey"
+    " JOIN nation ON s_nationkey = n_nationkey"
+    " JOIN region ON n_regionkey = r_regionkey"
+    " WHERE r_name = 'ASIA'"
+    " AND o_orderdate >= DATE '1996-01-01'"
+    " AND o_orderdate < DATE '1997-01-01'"
+    " GROUP BY n_name"
+)
+
+# Q10 (returned-item reporting): c_phone/c_address/c_comment don't
+# exist in the synthetic customer table; the remaining output columns
+# and the R-flag quarter window are verbatim.
+SQL4_SHARED_TEXT = (
+    "SELECT c_custkey, c_name,"
+    " CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE)"
+    "  AS revenue,"
+    " CAST(round(c_acctbal, 2) AS DOUBLE) AS acctbal, n_name"
+    " FROM customer"
+    " JOIN orders ON c_custkey = o_custkey"
+    " JOIN lineitem ON l_orderkey = o_orderkey"
+    " JOIN nation ON c_nationkey = n_nationkey"
+    " WHERE o_orderdate >= DATE '1997-10-01'"
+    " AND o_orderdate < DATE '1998-01-01'"
+    " AND l_returnflag = 'R'"
+    " GROUP BY c_custkey, c_name, c_acctbal, n_name"
+)
+
+
+def _shared_text_query(sql: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..catalog import register_all
+
+        register_all(spark, sf_dir)
+        return spark.sql(sql)
+
+    return run
+
+
+@query("sql2_tpch_q3_shared_text", oracle=SQL2_SHARED_TEXT)
+def sql2_tpch_q3_shared_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority) as one SQL string executed verbatim
+    by Spark and DuckDB (see SQL1 for the portability contract). Plan:
+    customer is the small side (broadcast), orders⋈lineitem is the
+    fact⋈fact edge with both date filters pushed to the scans."""
+    return _shared_text_query(SQL2_SHARED_TEXT)(spark, sf_dir)
+
+
+@query("sql3_tpch_q5_shared_text", oracle=SQL3_SHARED_TEXT)
+def sql3_tpch_q5_shared_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume), shared-text contract. The
+    six-table join exercises Catalyst's join reordering: region/nation/
+    supplier broadcast, the year filter prunes orders at the scan, and
+    the c_nationkey = s_nationkey condition rides the supplier join."""
+    return _shared_text_query(SQL3_SHARED_TEXT)(spark, sf_dir)
+
+
+@query("sql4_tpch_q10_shared_text", oracle=SQL4_SHARED_TEXT)
+def sql4_tpch_q10_shared_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned items), shared-text contract. Quarter window
+    + R-flag filters pushed down; nation broadcast; the wide customer
+    grouping keys flow through one hash aggregate."""
+    return _shared_text_query(SQL4_SHARED_TEXT)(spark, sf_dir)

@@ -356,3 +356,23 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_tpch_shared_text_pushdown_no_cartesian(spark, sf_dir):
+    """sql2-4 are raw SQL texts — Catalyst must still push every
+    selective predicate into the parquet scans and plan only equi-joins
+    (strategy itself is left to stats/AQE, so not asserted)."""
+    expected = {
+        "sql2_tpch_q3_shared_text": ["EqualTo(c_mktsegment,BUILDING)",
+                                     "LessThan(o_orderdate,", "GreaterThan(l_shipdate,"],
+        "sql3_tpch_q5_shared_text": ["EqualTo(r_name,ASIA)",
+                                     "GreaterThanOrEqual(o_orderdate,"],
+        "sql4_tpch_q10_shared_text": ["EqualTo(l_returnflag,R)",
+                                      "GreaterThanOrEqual(o_orderdate,"],
+    }
+    for name, preds in expected.items():
+        plan = physical(QUERIES[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        for p in preds:
+            assert p in plan, f"{name}: {p} not pushed\n{plan}"
