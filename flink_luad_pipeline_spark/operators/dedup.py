@@ -160,6 +160,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
+    max_shingle_df: int | float | None = None,
 ) -> DataFrame:
     """MinHash + banded LSH near-duplicate pairs, exact-verified.
 
@@ -174,10 +175,51 @@ def minhash_lsh_pairs(
     (dropped) and the returned pairs exact; only false *negatives* are
     possible, the standard MinHash recall trade-off.
 
+    ``max_shingle_df`` is the boilerplate-skew guard (the minhash
+    analog of jaccard_pairs'): shingles whose document frequency
+    exceeds the cutoff — an int, or a float fraction of the corpus row
+    count — are removed from each document's shingle SET before
+    signatures are computed. Corpus-wide boilerplate (license headers,
+    nav chrome) otherwise makes thousands of unrelated documents share
+    band hashes, and one such bucket costs |bucket|² candidates.
+    Signatures, sizes, and the Jaccard verify all use the filtered
+    sets, so the returned jaccard is the exact Jaccard of the
+    rare-shingle sets (deterministic — an oracle applying the same
+    cutoff reproduces it); documents with no surviving shingles drop
+    out. None disables the guard.
+
     Returns (doc_a, doc_b, jaccard).
     """
     rows_per_band = num_hashes // bands
-    base = _shingled(df, id_col, text_col, k).select(
+    sh0 = _shingled(df, id_col, text_col, k)
+    if max_shingle_df is not None:
+        inv0 = sh0.select("doc_id", F.explode("shingles").alias("shingle"))
+        dfs = inv0.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
+        if isinstance(max_shingle_df, float):
+            # fraction-of-corpus cutoff: one broadcast row, no collect.
+            # Plans as a BNLJ whose build side is the single count row —
+            # O(n)·1, not O(n²); the registry-wide no-BNLJ audit
+            # recognizes this exact pattern (condition references
+            # n_docs) and still rejects any other nested-loop join.
+            total = df.agg(F.count(F.lit(1)).alias("n_docs"))
+            keep = (
+                dfs.crossJoin(F.broadcast(total))
+                .where(F.col("sdf") <= F.col("n_docs") * F.lit(max_shingle_df))
+                .select("shingle")
+            )
+        else:
+            keep = dfs.where(
+                F.col("sdf") <= F.lit(int(max_shingle_df))
+            ).select("shingle")
+        # the df-cutoff semi-join: partial-agged df counts, then hot
+        # shingles never re-enter the index (shingle arrays may come
+        # back in any order — every consumer below is order-insensitive)
+        sh0 = (
+            inv0.join(keep, "shingle", "left_semi")
+            .groupBy("doc_id")
+            .agg(F.collect_list("shingle").alias("shingles"))
+        )
+    base = sh0.select(
         "doc_id",
         "shingles",
         F.transform(F.col("shingles"), portable_hash40).alias("base"),

@@ -214,9 +214,79 @@ def lsh_neardup_pairs(
         .where(F.col("sim") >= threshold)
         # multi-table hits of the same pair carry the identical rounded
         # sim (same deterministic computation), so distinct collapses
-        # them exactly. At extreme scale, dedup the (doc_a, doc_b) pair
-        # ids BEFORE scoring and re-join vectors instead.
+        # them exactly. At extreme scale, use
+        # lsh_neardup_pairs_compact: it dedups the (doc_a, doc_b) pair
+        # ids BEFORE scoring and re-joins vectors, scoring each pair
+        # exactly once.
         .distinct()
+    )
+
+
+def lsh_neardup_pairs_compact(
+    vectors: DataFrame,
+    threshold: float,
+    n_planes: int = 4,
+    n_tables: int = 6,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Extreme-scale variant of ``lsh_neardup_pairs`` — identical
+    output, different dataflow: candidate (doc_a, doc_b) ID pairs are
+    generated from an ids-only bucket table and deduped across tables
+    BEFORE any cosine is computed; vectors then re-join by id and each
+    surviving pair is scored exactly once.
+
+    Trade-off vs the direct path: two extra shuffles (the id-pair
+    distinct + the two vector re-joins) in exchange for (a) the bucket
+    self-join shuffling rows of (id, tbl, bucket) instead of rows
+    carrying a dim-wide vector — n_tables copies of every vector never
+    cross the wire — and (b) the cosine evaluated once per unique pair
+    instead of once per bucket collision. The right choice when vectors
+    are wide or collision multiplicity is high; equivalence to the
+    direct path is pinned by test."""
+    all_planes = hyperplane_signs(n_planes * n_tables, dim)
+    keys = []
+    for t in range(n_tables):
+        planes = all_planes[t * n_planes : (t + 1) * n_planes]
+        keys.append(
+            F.struct(
+                F.lit(t).alias("tbl"),
+                _bucket_from_planes(F.col(vec_col), planes).alias("bucket"),
+            )
+        )
+    # ids-only bucket table: the wide vector is dropped before the
+    # self-join, so the candidate shuffle carries 3 small columns
+    bck = (
+        vectors.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array(*keys)).alias("k"),
+        )
+        .select("id", "k.tbl", "k.bucket")
+    )
+    cand = (
+        bck.select(F.col("id").alias("doc_a"), "tbl", "bucket")
+        .join(
+            bck.select(F.col("id").alias("doc_b"), "tbl", "bucket"),
+            ["tbl", "bucket"],
+        )
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    va = vectors.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("va"))
+    vb = vectors.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("vb"))
+    return (
+        cand.join(va, "doc_a")
+        .join(vb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(cosine_similarity(F.col("va"), F.col("vb")), round_digits)
+            .alias("sim"),
+        )
+        .where(F.col("sim") >= threshold)
     )
 
 

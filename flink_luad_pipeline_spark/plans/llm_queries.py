@@ -235,14 +235,23 @@ def _hex10(expr: str) -> str:
 
 
 _MINHASH_ORACLE = (
+    # Mirrors minhash_lsh_pairs(..., max_shingle_df=0.5) exactly, incl.
+    # the boilerplate df-cutoff: shingles in more than half the corpus
+    # are dropped from every document's set BEFORE signatures.
     f"WITH aug AS ({_AUG_SQL}),"
     f" tok AS (SELECT doc_id, {_TOKENS_SQL} AS tokens FROM aug),"
-    " sh AS (SELECT doc_id, list_distinct(CASE WHEN len(tokens) >= 3 THEN"
+    " sh0 AS (SELECT doc_id, list_distinct(CASE WHEN len(tokens) >= 3 THEN"
     "   list_transform(range(1, len(tokens) - 1),"
     "     i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])"
     "   ELSE [] END) AS shingles FROM tok),"
-    " nz AS (SELECT doc_id, shingles, len(shingles) AS n_sh FROM sh"
+    " inv0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh0"
     "   WHERE len(shingles) > 0),"
+    " keep AS (SELECT shingle FROM inv0 GROUP BY shingle"
+    "   HAVING count(*) <= 0.5 * (SELECT count(*) FROM aug)),"
+    " invf AS (SELECT doc_id, shingle FROM inv0"
+    "   WHERE shingle IN (SELECT shingle FROM keep)),"
+    " nz AS (SELECT doc_id, list(shingle) AS shingles,"
+    "   count(*) AS n_sh FROM invf GROUP BY doc_id),"
     f" based AS (SELECT doc_id, list_transform(shingles, s -> {_hex10('s')})"
     "   AS base FROM nz),"
     " sigs AS (SELECT doc_id, list_transform(range(0, 64), i ->"
@@ -280,7 +289,8 @@ def ll6_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproduced verbatim by the DuckDB oracle. Recall vs the exact join
     (ll5) is additionally asserted in tests/test_llm_ops.py."""
     pairs = dedup.minhash_lsh_pairs(
-        _augmented(spark, sf_dir), "doc_id", "text", k=3, threshold=0.4
+        _augmented(spark, sf_dir), "doc_id", "text", k=3, threshold=0.4,
+        max_shingle_df=0.5,
     )
     return pairs.select(
         "doc_a",
@@ -778,7 +788,8 @@ def ll23_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import graph
 
     pairs = dedup.minhash_lsh_pairs(
-        _augmented(spark, sf_dir), "doc_id", "text", k=3, threshold=0.4
+        _augmented(spark, sf_dir), "doc_id", "text", k=3, threshold=0.4,
+        max_shingle_df=0.5,
     )
     comp = graph.connected_components(pairs, src="doc_a", dst="doc_b")
     w = W.partitionBy("canonical")
@@ -1256,7 +1267,9 @@ def ll34_deduped_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import graph
 
     aug = _augmented(spark, sf_dir)
-    pairs = dedup.minhash_lsh_pairs(aug, "doc_id", "text", k=3, threshold=0.4)
+    pairs = dedup.minhash_lsh_pairs(
+        aug, "doc_id", "text", k=3, threshold=0.4, max_shingle_df=0.5
+    )
     comp = graph.connected_components(
         pairs, src="doc_a", dst="doc_b"
     ).select(
@@ -1441,7 +1454,9 @@ def ll40_pipeline_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 1000000).alias("doc_id"), "text", "source"
     )
     aug = docs.unionAll(copies)
-    pairs = dedup.minhash_lsh_pairs(aug, "doc_id", "text", k=3, threshold=0.4)
+    pairs = dedup.minhash_lsh_pairs(
+        aug, "doc_id", "text", k=3, threshold=0.4, max_shingle_df=0.5
+    )
     comp = graph.connected_components(
         pairs, src="doc_a", dst="doc_b"
     ).select(

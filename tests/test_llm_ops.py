@@ -212,3 +212,59 @@ def test_jaccard_df_cutoff_is_conservative_subset(spark, sf_dir):
         assert j <= exact[pair] + 1e-12
     planted = {p for p, j in exact.items() if j == 1.0}
     assert planted and planted <= set(capped)
+
+
+def test_minhash_df_cutoff_kills_boilerplate_buckets(spark):
+    """Boilerplate-heavy fixture: every doc shares a large license
+    header; each doc body is unique except two planted near-dups.
+    Without the cutoff the shared header makes many unrelated docs
+    collide; with it, only the planted pair survives at the threshold,
+    and the pair's Jaccard equals the exact Jaccard of the
+    rare-shingle sets."""
+    header = " ".join(f"license clause {i} all rights reserved" for i in range(12))
+    docs = [
+        (i, f"{header} body{i} " + " ".join(f"w{i}x{j} token{j}" for j in range(15)))
+        for i in range(20)
+    ]
+    # planted near-dup: doc 100/101 share their (unique) body
+    body = "the quick brown fox jumps over the lazy dog " * 5
+    docs += [(100, f"{header} {body}"), (101, f"{header} {body} extra")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    with_guard = dedup.minhash_lsh_pairs(
+        df, "doc_id", "text", threshold=0.5, max_shingle_df=0.5
+    ).collect()
+    got = {(r.doc_a, r.doc_b) for r in with_guard}
+    assert (100, 101) in got, got
+    # unrelated docs share ONLY boilerplate -> no surviving pairs
+    assert got == {(100, 101)}, got
+    # guard dropped the header shingles (df = 22 > 11 = 0.5*22), so the
+    # reported jaccard is over rare-shingle sets — high for the pair
+    j = {(r.doc_a, r.doc_b): r.jaccard for r in with_guard}[(100, 101)]
+    assert j > 0.5
+
+    # without the guard, boilerplate-only pairs appear at low J but the
+    # candidate volume explodes: every doc collides with every other
+    unguarded = dedup.minhash_lsh_pairs(
+        df, "doc_id", "text", threshold=0.0, max_shingle_df=None
+    ).count()
+    guarded = dedup.minhash_lsh_pairs(
+        df, "doc_id", "text", threshold=0.0, max_shingle_df=0.5
+    ).count()
+    assert guarded < unguarded
+
+
+def test_lsh_neardup_compact_equals_direct(spark, sf_dir):
+    """The pair-dedup-before-scoring variant must produce the exact
+    same (doc_a, doc_b, sim) set as the direct path — same buckets,
+    same rounded cosine, different shuffle plan."""
+    emb = load(spark, sf_dir, "embeddings")
+    direct = {
+        (r.doc_a, r.doc_b, r.sim)
+        for r in similarity.lsh_neardup_pairs(emb, threshold=0.35).collect()
+    }
+    compact = {
+        (r.doc_a, r.doc_b, r.sim)
+        for r in similarity.lsh_neardup_pairs_compact(emb, threshold=0.35).collect()
+    }
+    assert direct == compact and len(direct) > 0

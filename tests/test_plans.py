@@ -212,7 +212,12 @@ def test_no_accidental_cartesians_anywhere(spark, sf_dir):
     for name in sorted(set(QUERIES) - streaming - INTENTIONAL_CARTESIAN):
         plan = physical(QUERIES[name](spark, sf_dir))
         assert "CartesianProduct" not in plan, name
-        assert "BroadcastNestedLoopJoin" not in plan, name
+        # Exactly one BNLJ shape is sanctioned: the minhash df-cutoff's
+        # broadcast of the single corpus-count row (condition references
+        # n_docs) — O(n)·1. Anything else nested-loop is a scale bug.
+        for line in plan.splitlines():
+            if "BroadcastNestedLoopJoin" in line:
+                assert "n_docs" in line, f"{name}: {line.strip()}"
 
 
 def test_interval_overlap_is_banded_equi_join(spark, sf_dir):
@@ -376,3 +381,40 @@ def test_tpch_shared_text_pushdown_no_cartesian(spark, sf_dir):
         assert "BroadcastNestedLoopJoin" not in plan, name
         for p in preds:
             assert p in plan, f"{name}: {p} not pushed\n{plan}"
+
+
+def test_minhash_df_cutoff_semi_join_in_dedup_plans(spark, sf_dir):
+    """ll6/ll23/ll34/ll40 run the LSH tier with max_shingle_df=0.5 —
+    the boilerplate guard's semi-join against the rare-shingle set must
+    be in the physical plan. ll34/ll40's own final plans start at the
+    checkpointed CC labels (the pair stage materializes inside the
+    connected-components driver loop), so the guard is asserted on the
+    pair stage they consume, plus end-to-end on ll6 whose single plan
+    shows it directly."""
+    from flink_luad_pipeline_spark.plans.llm_queries import _augmented
+
+    plan = physical(QUERIES["ll6_minhash_lsh"](spark, sf_dir))
+    assert "LeftSemi" in plan
+    pairs = dedup.minhash_lsh_pairs(
+        _augmented(spark, sf_dir), "doc_id", "text", k=3, threshold=0.4,
+        max_shingle_df=0.5,
+    )
+    assert "LeftSemi" in physical(pairs)
+
+
+def test_lsh_neardup_compact_candidate_join_is_ids_only(spark, sf_dir):
+    """In the compact variant the bucket self-join must not carry the
+    embedding vectors — only the final re-join does."""
+    from flink_luad_pipeline_spark.operators import similarity
+
+    emb = load(spark, sf_dir, "embeddings")
+    plan = physical(similarity.lsh_neardup_pairs_compact(emb, threshold=0.35))
+    # HashAggregate for the id-pair distinct runs on exactly
+    # (doc_a, doc_b) keys with no vector column in its schema
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+    import re
+
+    agg_lines = [
+        line for line in plan.splitlines() if "HashAggregate" in line and "doc_a" in line
+    ]
+    assert agg_lines and all("embedding" not in line for line in agg_lines)
