@@ -54,11 +54,55 @@ def events_ts_is_nanos(path: str) -> bool:
     return str(t).startswith("timestamp[ns")
 
 
+_PYFILES_SHIPPED: set[str] = set()
+
+
+def ensure_package_on_executors(spark: SparkSession) -> None:
+    """Ship this package to the Python workers via ``addPyFile``.
+
+    Arrow-batched UDF closures (multimodal, dedup, streaming state)
+    reference module-level functions, so workers must be able to import
+    ``flink_luad_pipeline_spark``. When the driver process imports the
+    package from a directory that is on the *driver's* ``sys.path`` only
+    (e.g. an external harness running from another cwd), worker
+    deserialization raises ModuleNotFoundError. Zipping the package once
+    per session and registering it with ``addPyFile`` makes every query
+    self-contained regardless of the driver's environment — the cluster
+    analogue is exactly this: ship the code with the job, don't assume
+    it is pre-installed on executors.
+    """
+    import os
+    import zipfile
+
+    app_id = spark.sparkContext.applicationId
+    if app_id in _PYFILES_SHIPPED:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    pkg_name = os.path.basename(pkg_dir)
+    zip_path = os.path.join(
+        os.environ.get("TMPDIR", "/tmp"), f"flps_pkg_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fn in files:
+                    if not fn.endswith(".py"):
+                        continue
+                    full = os.path.join(root, fn)
+                    rel = os.path.join(
+                        pkg_name, os.path.relpath(full, pkg_dir)
+                    )
+                    zf.write(full, rel)
+    spark.sparkContext.addPyFile(zip_path)
+    _PYFILES_SHIPPED.add(app_id)
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan — columnar, so Catalyst column pruning and predicate
     pushdown reach the file reader (``PushedFilters`` in .explain)."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    ensure_package_on_executors(spark)
     if name == "events":
         # events.ts may be parquet TIMESTAMP(NANOS), which Spark rejects
         # by default (PARQUET_TYPE_ILLEGAL). Probe the footer first so

@@ -72,6 +72,12 @@ _NEW_THIS_ROUND = (
     "sql2_tpch_q3_shared_text",
     "sql3_tpch_q5_shared_text",
     "sql4_tpch_q10_shared_text",
+    "sql5_tpch_q6_shared_text",
+    "sql6_tpch_q14_shared_text",
+    "sql7_tpch_q17_shared_text",
+    "sql8_tpch_q18_shared_text",
+    "sql9_tpch_q19_shared_text",
+    "sql10_tpch_q22_shared_text",
 )
 
 

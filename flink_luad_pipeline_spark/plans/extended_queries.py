@@ -1128,3 +1128,155 @@ def sql4_tpch_q10_shared_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     + R-flag filters pushed down; nation broadcast; the wide customer
     grouping keys flow through one hash aggregate."""
     return _shared_text_query(SQL4_SHARED_TEXT)(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# SQL5-10 — TPC-H Q6/Q14/Q17/Q18/Q19/Q22 shapes, shared-text contract
+# ---------------------------------------------------------------------------
+
+# Adaptations to the synthetic schema: the tables lack l_commitdate/
+# l_receiptdate/l_shipmode/partsupp, so Q4/Q12 and the partsupp family
+# are not expressible; the six below are, with noted tweaks. Ratio
+# queries (Q14) cast the exact DECIMAL sums to DOUBLE before dividing —
+# decimal-division result scale is an engine-specific choice, IEEE
+# double division is not.
+
+# Q6 (forecasting revenue change): verbatim shape; the synthetic
+# discounts carry 2 decimals, so DECIMAL(18,2) is exact.
+SQL5_SHARED_TEXT = (
+    "SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * CAST(l_discount AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue,"
+    " CAST(count(*) AS BIGINT) AS n_items"
+    " FROM lineitem"
+    " WHERE l_shipdate >= DATE '1996-01-01'"
+    " AND l_shipdate < DATE '1997-01-01'"
+    " AND l_discount BETWEEN 0.05 AND 0.07"
+    " AND l_quantity < 24"
+)
+
+# Q14 (promotion effect): synthetic p_type is a flat category, so
+# p_type = 'PROMO' replaces LIKE 'PROMO%'. One month's window.
+SQL6_SHARED_TEXT = (
+    "SELECT CAST(round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'"
+    " THEN CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * (1 - CAST(l_discount AS DECIMAL(18,2))) ELSE 0 END) AS DOUBLE)"
+    " / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 6)"
+    " AS DOUBLE) AS promo_revenue_pct"
+    " FROM lineitem JOIN part ON l_partkey = p_partkey"
+    " WHERE l_shipdate >= DATE '1997-09-01'"
+    " AND l_shipdate < DATE '1997-10-01'"
+)
+
+# Q17 (small-quantity-order revenue): the correlated scalar aggregate
+# subquery is the point. Synthetic quantities are uniform 1..50, so the
+# original 0.2*avg cutoff selects nothing; 0.5*avg keeps the shape with
+# a non-trivial answer.
+SQL7_SHARED_TEXT = (
+    "SELECT CAST(round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))"
+    " AS DOUBLE) / 7.0, 2) AS DOUBLE) AS avg_yearly"
+    " FROM lineitem JOIN part ON p_partkey = l_partkey"
+    " WHERE p_brand = 'Brand#1'"
+    " AND l_quantity < (SELECT 0.5 * avg(l_quantity)"
+    "  FROM lineitem l2 WHERE l2.l_partkey = p_partkey)"
+)
+
+# Q18 (large-volume customers): IN over a GROUP BY/HAVING subquery.
+# Threshold 200 keeps ~1.5% of orders at every SF (sum of ~12 uniform
+# 1..50 quantities). No ORDER BY/LIMIT — order-insensitive contract.
+SQL8_SHARED_TEXT = (
+    "SELECT c_custkey, c_name, o_orderkey, o_orderdate,"
+    " CAST(round(o_totalprice, 2) AS DOUBLE) AS totalprice,"
+    " CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty"
+    " FROM customer"
+    " JOIN orders ON c_custkey = o_custkey"
+    " JOIN lineitem ON o_orderkey = l_orderkey"
+    " WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem"
+    "  GROUP BY l_orderkey HAVING sum(l_quantity) > 200)"
+    " GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice"
+)
+
+# Q19 (discounted revenue): disjunction of brand/size/quantity bands —
+# the OR-of-ANDs must stay a single join with a residual predicate, not
+# three unioned scans. Brands picked from the synthetic domain.
+SQL9_SHARED_TEXT = (
+    "SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE)"
+    "  AS revenue"
+    " FROM lineitem JOIN part ON p_partkey = l_partkey"
+    " WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15"
+    "   AND l_quantity BETWEEN 1 AND 11)"
+    " OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 25"
+    "   AND l_quantity BETWEEN 10 AND 20)"
+    " OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 35"
+    "   AND l_quantity BETWEEN 20 AND 30)"
+)
+
+# Q22 (global sales opportunity): synthetic customers all have orders
+# and no phone column, so "dormant high-balance customers" keeps both
+# interesting shapes — an uncorrelated scalar subquery threshold and a
+# correlated NOT EXISTS (anti-join) — with non-trivial output.
+SQL10_SHARED_TEXT = (
+    "SELECT n_name, CAST(count(*) AS BIGINT) AS numcust,"
+    " CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE)"
+    "  AS totacctbal"
+    " FROM customer JOIN nation ON c_nationkey = n_nationkey"
+    " WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer"
+    "  WHERE c_acctbal > 0)"
+    " AND NOT EXISTS (SELECT 1 FROM orders"
+    "  WHERE o_custkey = c_custkey"
+    "  AND o_orderdate >= DATE '2000-01-01')"
+    " GROUP BY n_name"
+)
+
+
+@query("sql5_tpch_q6_shared_text", oracle=SQL5_SHARED_TEXT)
+def sql5_tpch_q6_shared_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change), shared-text contract.
+    Single-table scan-heavy probe: all three predicates reach the
+    parquet reader as PushedFilters; the aggregate is a one-row global
+    partial+final sum — at 100 TB this query is pure scan bandwidth."""
+    return _shared_text_query(SQL5_SHARED_TEXT)(spark, sf_dir)
+
+
+@query("sql6_tpch_q14_shared_text", oracle=SQL6_SHARED_TEXT)
+def sql6_tpch_q14_shared_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect), shared-text contract. part is
+    broadcast; the month filter prunes lineitem at the scan; the
+    conditional/unconditional sums ride one aggregate pass."""
+    return _shared_text_query(SQL6_SHARED_TEXT)(spark, sf_dir)
+
+
+@query("sql7_tpch_q17_shared_text", oracle=SQL7_SHARED_TEXT)
+def sql7_tpch_q17_shared_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity orders), shared-text contract. The
+    correlated scalar subquery decorrelates to an aggregate-then-join
+    in both engines: per-part avg quantity built once, joined back —
+    never a per-row re-scan of lineitem."""
+    return _shared_text_query(SQL7_SHARED_TEXT)(spark, sf_dir)
+
+
+@query("sql8_tpch_q18_shared_text", oracle=SQL8_SHARED_TEXT)
+def sql8_tpch_q18_shared_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers), shared-text contract. The
+    HAVING subquery becomes a semi-join of orders against pre-aggregated
+    lineitem quantities; the surviving ~1.5% of orders then drive the
+    customer join — filter-early order is Catalyst's, not hand-coded."""
+    return _shared_text_query(SQL8_SHARED_TEXT)(spark, sf_dir)
+
+
+@query("sql9_tpch_q19_shared_text", oracle=SQL9_SHARED_TEXT)
+def sql9_tpch_q19_shared_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue), shared-text contract. One
+    broadcast hash join on p_partkey with the OR-of-ANDs as a residual
+    filter — the disjunction must not triplicate the lineitem scan."""
+    return _shared_text_query(SQL9_SHARED_TEXT)(spark, sf_dir)
+
+
+@query("sql10_tpch_q22_shared_text", oracle=SQL10_SHARED_TEXT)
+def sql10_tpch_q22_shared_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (dormant high-balance customers), shared-text
+    contract: an uncorrelated scalar-subquery threshold (computed once,
+    broadcast as a literal) plus a correlated NOT EXISTS that plans as
+    a left-anti join against the date-pruned orders scan."""
+    return _shared_text_query(SQL10_SHARED_TEXT)(spark, sf_dir)

@@ -47,6 +47,18 @@ def _src_stamp(sf_dir: str) -> int:
     return int(newest)
 
 
+def sink_path(name: str, sf_dir: str) -> str:
+    """Deterministic sink path for ``_sink_once`` writes: the name is
+    tagged with the source data's newest mtime so an in-process
+    testdata regeneration lands on a fresh path. Public so plan tests
+    can locate a query's output without re-deriving the scheme."""
+    import hashlib
+
+    stamp = _src_stamp(sf_dir)
+    tag = hashlib.md5(f"{sf_dir.rstrip('/')}@{stamp}".encode()).hexdigest()[:8]
+    return _tmp(f"{name}_{tag}")
+
+
 def _sink_once(name: str, sf_dir: str, write_fn) -> str:
     """One sink write per (process, sf_dir-content, name); returns the
     path. Repeat runs within a process (the driver's sweep + bench's
@@ -54,12 +66,8 @@ def _sink_once(name: str, sf_dir: str, write_fn) -> str:
     includes the source data's newest mtime, so an in-process testdata
     regeneration invalidates the cached path instead of serving stale
     output. Content is deterministic, so reuse is exact."""
-    import hashlib
-
-    stamp = _src_stamp(sf_dir)
-    tag = hashlib.md5(f"{sf_dir.rstrip('/')}@{stamp}".encode()).hexdigest()[:8]
-    path = _tmp(f"{name}_{tag}")
-    key = (name, sf_dir.rstrip("/"), stamp)
+    path = sink_path(name, sf_dir)
+    key = (name, sf_dir.rstrip("/"), _src_stamp(sf_dir))
     if key not in _WRITTEN:
         write_fn(path)
         _WRITTEN.add(key)

@@ -102,8 +102,8 @@ def test_partitioned_sink_readback_prunes_partitions(spark, sf_dir):
     """s8's read-back filter must prune to one partition directory at
     planning time, not scan-then-filter."""
     QUERIES["s8_sink_parquet_partitioned"](spark, sf_dir).collect()  # write
-    import os, tempfile
-    path = os.path.join(tempfile.gettempdir(), "flps_io", "s8_orders_part")
+    from flink_luad_pipeline_spark.plans.relational_queries import sink_path
+    path = sink_path("s8_orders_part", sf_dir)
     back = spark.read.parquet(path).where(F.col("o_orderstatus") == "F")
     plan = physical(back)
     assert "PartitionFilters: [isnotnull(o_orderstatus" in plan
