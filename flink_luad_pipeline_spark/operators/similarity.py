@@ -290,6 +290,90 @@ def lsh_neardup_pairs_compact(
     )
 
 
+def semantic_dedup(
+    vectors: DataFrame,
+    threshold: float = 0.35,
+    centroid_mod: int = 25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """SemDeDup-style cluster-scoped semantic dedup: coarse-cluster the
+    embeddings, compare pairs only WITHIN a cluster, and drop every
+    vector that has a lower-id neighbor above the similarity threshold
+    (one survivor per duplicate neighborhood, deterministically the
+    smallest id — a single-pass greedy rule, not a transitive closure,
+    so no iteration is needed and SQL can reproduce it exactly).
+
+    Clustering reuses the training-free IVF quantizer (every
+    ``centroid_mod``-th vector is a centroid, broadcast; rounded cosine
+    with (sim desc, id asc) tie-break picks each vector's single cell),
+    keeping the operator closed-form for the oracle; swapping in k-means
+    centroids changes grouping quality, not the dataflow.
+
+    Scale shape: this is the point of SemDeDup — the quadratic pair
+    comparison is confined to one cluster at a time. The cell equi-join
+    shuffles on centroid_id; with M centroids the expected per-cell
+    cost is (N/M)^2, and a skewed cell is split by AQE skew-join
+    handling. Zero-norm vectors have no defined cosine and are excluded
+    (same convention as the ANN tiers).
+
+    Returns (id, cell, dropped, dup_of) — dup_of is the surviving
+    duplicate's id, NULL for kept vectors.
+    """
+    cents = vectors.where(F.col(id_col) % centroid_mod == 0).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centv")
+    )
+    w = Window.partitionBy("m_id").orderBy(
+        F.col("csim").desc(), F.col("centroid_id")
+    )
+    members = (
+        vectors.select(F.col(id_col).alias("m_id"), F.col(vec_col).alias("v"))
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "m_id",
+            "v",
+            "centroid_id",
+            F.round(
+                cosine_similarity(F.col("v"), F.col("centv")), round_digits
+            ).alias("csim"),
+        )
+        .where(F.col("csim").isNotNull())
+        .withColumn("crank", F.row_number().over(w))
+        .where(F.col("crank") == 1)
+        .select("m_id", "v", "centroid_id")
+    )
+    a = members.select(
+        "centroid_id", F.col("m_id").alias("doc_a"), F.col("v").alias("va")
+    )
+    b = members.select(
+        "centroid_id", F.col("m_id").alias("doc_b"), F.col("v").alias("vb")
+    )
+    dups = (
+        a.join(b, "centroid_id")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                cosine_similarity(F.col("va"), F.col("vb")), round_digits
+            ).alias("sim"),
+        )
+        .where(F.col("sim") >= threshold)
+        .groupBy(F.col("doc_b").alias("m_id"))
+        .agg(F.min("doc_a").alias("dup_of"))
+    )
+    return (
+        members.join(dups, "m_id", "left")
+        .select(
+            F.col("m_id").alias(id_col),
+            F.col("centroid_id").alias("cell"),
+            F.col("dup_of").isNotNull().alias("dropped"),
+            "dup_of",
+        )
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     candidates: DataFrame,

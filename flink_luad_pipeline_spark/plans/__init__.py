@@ -78,6 +78,8 @@ _NEW_THIS_ROUND = (
     "sql8_tpch_q18_shared_text",
     "sql9_tpch_q19_shared_text",
     "sql10_tpch_q22_shared_text",
+    "ll41_audio_features",
+    "ll42_semantic_dedup",
 )
 
 

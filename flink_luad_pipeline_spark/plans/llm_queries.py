@@ -622,6 +622,105 @@ def ll10_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _semdedup_oracle(threshold: float = 0.35, centroid_mod: int = 25) -> str:
+    """DuckDB twin of similarity.semantic_dedup: identical training-free
+    quantizer (every Nth vector is a centroid, rounded cosine, (sim
+    desc, id asc) tie-break), identical within-cell pair rule."""
+    asg_cos = _cos_sql("e.embedding", "c.centv")
+    pair_cos = _cos_sql("a.v", "b.v")
+    return (
+        "WITH cents AS (SELECT vec_id AS centroid_id, embedding AS centv"
+        f" FROM embeddings WHERE vec_id % {centroid_mod} = 0),"
+        " scored AS (SELECT e.vec_id AS m_id, e.embedding AS v,"
+        f" c.centroid_id, {asg_cos} AS csim"
+        " FROM embeddings e CROSS JOIN cents c),"
+        " asg AS (SELECT m_id, v, centroid_id FROM ("
+        "  SELECT m_id, v, centroid_id, row_number() OVER ("
+        "   PARTITION BY m_id ORDER BY csim DESC, centroid_id) AS crank"
+        "  FROM scored WHERE csim IS NOT NULL) WHERE crank = 1),"
+        " p AS (SELECT a.m_id AS doc_a, b.m_id AS doc_b,"
+        f" {pair_cos} AS sim"
+        " FROM asg a JOIN asg b USING (centroid_id)"
+        " WHERE a.m_id < b.m_id),"
+        " dups AS (SELECT doc_b AS m_id, min(doc_a) AS dup_of FROM p"
+        f" WHERE sim >= {threshold} GROUP BY doc_b)"
+        " SELECT asg.m_id AS vec_id, asg.centroid_id AS cell,"
+        " dups.dup_of IS NOT NULL AS dropped, dups.dup_of"
+        " FROM asg LEFT JOIN dups ON asg.m_id = dups.m_id"
+    )
+
+
+@query("ll42_semantic_dedup", oracle=_semdedup_oracle())
+def ll42_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-space) dedup, SemDeDup-style: coarse-cluster
+    the corpus embeddings, compare only within clusters, keep the
+    lowest-id member of each duplicate neighborhood. Complements the
+    lexical tiers (exact ll4, MinHash ll6, SimHash ll7) with the tier
+    that catches paraphrases sharing no n-grams — and confines the
+    quadratic comparison to one cluster at a time, which is what makes
+    embedding dedup feasible at corpus scale. Oracle recomputes the
+    identical closed-form pipeline, so the verdict (dropped + dup_of)
+    is value-checked per vector."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup(emb, threshold=0.35, centroid_mod=25)
+
+
+_AUDIO_ORACLE = (
+    # The payload is a REAL RIFF/WAVE file: 44-byte header + 32 PCM
+    # bytes = digest(text) ++ digest(text||'s'), read as little-endian
+    # int16. The Spark side walks the RIFF chunks and decodes the
+    # samples; the oracle recomputes them straight from the md5 hex
+    # (sample i = byte(2i) + 256*byte(2i+1), two's complement).
+    "WITH h AS (SELECT doc_id, md5(text) || md5(text || 's') AS hx"
+    " FROM documents),"
+    " b AS (SELECT doc_id, list_transform(range(0, 16), i ->"
+    "  (strpos('0123456789abcdef', substr(hx, 4 * i + 1, 1)) - 1) * 16"
+    "  + strpos('0123456789abcdef', substr(hx, 4 * i + 2, 1)) - 1"
+    "  + 256 * ((strpos('0123456789abcdef', substr(hx, 4 * i + 3, 1)) - 1)"
+    "   * 16"
+    "   + strpos('0123456789abcdef', substr(hx, 4 * i + 4, 1)) - 1)) AS v"
+    "  FROM h),"
+    " s AS (SELECT doc_id, list_transform(v, x ->"
+    "  CASE WHEN x >= 32768 THEN x - 65536 ELSE x END) AS smp FROM b)"
+    " SELECT doc_id, CAST(8000 AS INT) AS sample_rate,"
+    " CAST(1 AS INT) AS n_channels, CAST(16 AS INT) AS n_samples,"
+    " CAST(2.0 AS DOUBLE) AS duration_ms,"
+    " CAST(list_max(list_transform(smp, x -> abs(x))) AS INT) AS peak,"
+    " CAST(CAST(round(sqrt(list_sum(list_transform(smp,"
+    "  x -> CAST(x AS DOUBLE) * x)) / 16.0), 6) AS DECIMAL(18,6))"
+    "  AS DOUBLE) AS rms"
+    " FROM s"
+)
+
+
+@query("ll41_audio_features", oracle=_AUDIO_ORACLE)
+def ll41_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal audio pipeline with a REAL decode step: per-document
+    RIFF/WAVE payloads (md5-derived 16-bit PCM, so deterministic)
+    decoded by the pure-Python chunk-walking parser in
+    ``operators.multimodal.decode_wav`` inside Arrow-batched
+    mapInPandas; features (rate, channels, sample count, duration, peak
+    amplitude, RMS energy) come from the decoded samples. The oracle
+    recomputes every sample from the md5 hex in SQL, so the whole
+    encode->Arrow->decode->signal-stats path is value-checked.
+
+    RMS determinism: the sum of squares is exact (integer < 2^53 on
+    both sides), /16.0 and sqrt are single IEEE-double ops, so both
+    engines land on the same double before the shared round(x, 6)."""
+    docs = load(spark, sf_dir, "documents")
+    binary = multimodal.attach_audio_payload(docs, "doc_id", "text")
+    feats = multimodal.extract_audio_features(binary)
+    return feats.select(
+        "doc_id",
+        "sample_rate",
+        "n_channels",
+        "n_samples",
+        "duration_ms",
+        "peak",
+        F.round("rms", 6).cast("decimal(18,6)").alias("rms"),
+    )
+
+
 LL17_ORACLE = (
     "WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),"
     " wins AS (SELECT doc_id, w, md5(text || ['','a','b','c'][w + 1]) AS h"

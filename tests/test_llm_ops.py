@@ -118,6 +118,64 @@ def test_image_codecs_roundtrip():
         multimodal.decode_image(b"P6\n4 4\n255\n" + b"\x00" * 10)  # truncated
 
 
+def test_wav_codec_roundtrip():
+    import random
+    import struct
+
+    import pytest as _pytest
+
+    rng = random.Random(11)
+    for sr, ch, n in [(8000, 1, 16), (44100, 2, 64), (16000, 1, 1)]:
+        samples = [rng.randrange(-32768, 32768) for _ in range(n * ch)]
+        payload = multimodal.encode_wav(sr, ch, samples)
+        assert multimodal.decode_wav(payload) == (sr, ch, samples)
+    # chunk walk must skip unknown chunks (e.g. LIST/INFO) before data
+    base = multimodal.encode_wav(8000, 1, [1, -2, 3])
+    fmt_chunk = base[12:36]  # "fmt " + size + 16-byte body
+    data_chunk = base[36:]
+    junk = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # odd size, padded
+    reordered = base[:12] + fmt_chunk + junk + data_chunk
+    assert multimodal.decode_wav(reordered) == (8000, 1, [1, -2, 3])
+    with _pytest.raises(ValueError):
+        multimodal.decode_wav(b"RIFX" + base[4:])  # bad magic
+    with _pytest.raises(ValueError):
+        multimodal.decode_wav(base[:20])  # truncated
+    with _pytest.raises(ValueError):  # 8-bit PCM refused
+        bad = bytearray(base)
+        bad[34] = 8
+        multimodal.decode_wav(bytes(bad))
+
+
+def test_audio_features_from_real_decode(spark, sf_dir):
+    """ll41's Spark-side features must equal a driver-side decode of the
+    same payloads — catches Arrow/pandas conversion slips the SQL
+    oracle (which recomputes from md5 hex, not from the payload) would
+    mask."""
+    import math
+
+    docs = load(spark, sf_dir, "documents").limit(20)
+    binary = multimodal.attach_audio_payload(docs, "doc_id", "text")
+    feats = {
+        r["doc_id"]: r
+        for r in multimodal.extract_audio_features(binary).collect()
+    }
+    for row in binary.collect():
+        sr, ch, samples = multimodal.decode_wav(row["payload"])
+        got = feats[row["doc_id"]]
+        assert (sr, ch) == (8000, 1)
+        assert got["n_samples"] == len(samples) == 16
+        assert got["peak"] == max(abs(s) for s in samples)
+        assert got["rms"] == _pytest_approx(
+            math.sqrt(sum(s * s for s in samples) / len(samples))
+        )
+
+
+def _pytest_approx(x):
+    import pytest as _pytest
+
+    return _pytest.approx(x, rel=1e-12)
+
+
 def test_image_features_from_real_decode(spark, sf_dir):
     docs = load(spark, sf_dir, "documents").limit(20)
     binary = multimodal.attach_image_payload(docs, "doc_id", "text")

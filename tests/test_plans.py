@@ -308,6 +308,21 @@ def test_embedding_neardup_is_bucket_equi_join(spark, sf_dir):
     assert "bucket" in plan
 
 
+def test_semantic_dedup_pairs_confined_to_cells(spark, sf_dir):
+    """ll42's pair comparison must be an equi-join on centroid_id — the
+    quadratic cost confined to one cluster at a time. The only
+    nested-loop allowed is the broadcast centroid-assignment cross join
+    (tiny build side); an unkeyed CartesianProduct anywhere means the
+    cluster scoping was lost."""
+    plan = physical(QUERIES["ll42_semantic_dedup"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "centroid_id" in plan
+    # pair join keyed on the cell id (either shuffle- or broadcast-hash)
+    assert any(
+        j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )
+
+
 def test_scd2_windows_share_one_shuffle(spark, sf_dir):
     """b21 runs two window functions over the same partitioning and
     ordering — Catalyst must plan exactly one hashpartitioning exchange
