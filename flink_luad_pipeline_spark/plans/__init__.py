@@ -80,6 +80,7 @@ _NEW_THIS_ROUND = (
     "sql10_tpch_q22_shared_text",
     "ll41_audio_features",
     "ll42_semantic_dedup",
+    "ll43_gopher_quality_rules",
 )
 
 

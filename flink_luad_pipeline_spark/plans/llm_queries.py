@@ -806,6 +806,142 @@ def ll21_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# LL43 — Gopher-style repetition/format quality rules
+# ---------------------------------------------------------------------------
+
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+_GOPHER_ORACLE = (
+    "WITH d AS (SELECT doc_id, text,"
+    " regexp_split_to_array(trim(text), '\\s+') AS words,"
+    " string_split(text, chr(10)) AS lines FROM documents),"
+    " m AS (SELECT doc_id, len(words) AS n_words,"
+    " CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)"
+    "  / len(words) AS mwl,"
+    " CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE)"
+    "  / len(words) AS symr,"
+    " CAST(len(list_filter(lines, l -> regexp_matches(l, '^\\s*[-*]')))"
+    "  AS DOUBLE) / len(lines) AS bulf,"
+    " CAST(len(list_filter(lines, l -> regexp_matches(l, '\\.\\.\\.\\s*$')))"
+    "  AS DOUBLE) / len(lines) AS ellf,"
+    " CAST(len(list_filter(words, w -> regexp_matches(w, '[a-zA-Z]')))"
+    "  AS DOUBLE) / len(words) AS alpf,"
+    " len(list_intersect(words,"
+    " ['the','be','to','of','and','that','have','with'])) AS sw"
+    " FROM d)"
+    " SELECT doc_id, CAST(n_words AS INT) AS n_words,"
+    " CAST(CAST(round(mwl, 6) AS DECIMAL(18,6)) AS DOUBLE)"
+    "  AS mean_word_len,"
+    " CAST(CAST(round(symr, 6) AS DECIMAL(18,6)) AS DOUBLE)"
+    "  AS symbol_ratio,"
+    " CAST(CAST(round(bulf, 6) AS DECIMAL(18,6)) AS DOUBLE)"
+    "  AS bullet_line_frac,"
+    " CAST(CAST(round(ellf, 6) AS DECIMAL(18,6)) AS DOUBLE)"
+    "  AS ellipsis_line_frac,"
+    " CAST(CAST(round(alpf, 6) AS DECIMAL(18,6)) AS DOUBLE)"
+    "  AS alpha_word_frac,"
+    " CAST(sw AS INT) AS stopword_hits,"
+    " (n_words BETWEEN 30 AND 100000) AND mwl BETWEEN 3 AND 10"
+    "  AND symr < 0.1 AND bulf < 0.9 AND ellf < 0.3 AND alpf > 0.8"
+    "  AND sw >= 1 AS kept,"
+    " CASE WHEN NOT (n_words BETWEEN 30 AND 100000) THEN 'word_count'"
+    " WHEN NOT (mwl BETWEEN 3 AND 10) THEN 'mean_word_len'"
+    " WHEN NOT (symr < 0.1) THEN 'symbol_ratio'"
+    " WHEN NOT (bulf < 0.9) THEN 'bullet_lines'"
+    " WHEN NOT (ellf < 0.3) THEN 'ellipsis_lines'"
+    " WHEN NOT (alpf > 0.8) THEN 'alpha_words'"
+    " WHEN NOT (sw >= 1) THEN 'stopwords' ELSE 'ok' END AS fail_reason"
+    " FROM m"
+)
+
+
+@query("ll43_gopher_quality_rules", oracle=_GOPHER_ORACLE)
+def ll43_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style (Rae et al. 2021, arXiv:2112.11446 Table A1) format
+    and repetition quality rules — the named rule-set complement to
+    ll21's scalar score: word-count bounds, mean word length 3..10,
+    symbol-to-word ratio, bullet-/ellipsis-line fractions, alphabetic
+    word fraction, and required-stopword presence, each applied in a
+    fixed precedence so every drop carries its first failing rule.
+
+    All signals are native expressions (split / filter lambdas /
+    regexp_count / array_intersect) — whole-stage codegen end to end,
+    no Python in the hot path. One narrow pass over the corpus; the
+    rule constants live in one place on each side, and every
+    intermediate signal is emitted and value-checked, so a rule that
+    never fires on this corpus is still verified as computed."""
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "text",
+        F.split(F.trim(F.col("text")), r"\s+").alias("words"),
+        F.split(F.col("text"), "\n").alias("lines"),
+    )
+    n_words = F.size("words")
+    n_lines = F.size("lines")
+    mwl = (
+        F.length(F.regexp_replace("text", r"\s+", "")).cast("double") / n_words
+    )
+    symr = (
+        F.regexp_count("text", F.lit(r"#|\.\.\.")).cast("double") / n_words
+    )
+    bulf = (
+        F.size(F.filter("lines", lambda l: l.rlike(r"^\s*[-*]"))).cast("double")
+        / n_lines
+    )
+    ellf = (
+        F.size(F.filter("lines", lambda l: l.rlike(r"\.\.\.\s*$"))).cast(
+            "double"
+        )
+        / n_lines
+    )
+    alpf = (
+        F.size(F.filter("words", lambda w: w.rlike("[a-zA-Z]"))).cast("double")
+        / n_words
+    )
+    sw = F.size(
+        F.array_intersect("words", F.array(*[F.lit(s) for s in _GOPHER_STOPS]))
+    )
+    m = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mwl.alias("mwl"),
+        symr.alias("symr"),
+        bulf.alias("bulf"),
+        ellf.alias("ellf"),
+        alpf.alias("alpf"),
+        sw.alias("sw"),
+    )
+    rules = [
+        ("word_count", F.col("n_words").between(30, 100000)),
+        ("mean_word_len", F.col("mwl").between(3, 10)),
+        ("symbol_ratio", F.col("symr") < 0.1),
+        ("bullet_lines", F.col("bulf") < 0.9),
+        ("ellipsis_lines", F.col("ellf") < 0.3),
+        ("alpha_words", F.col("alpf") > 0.8),
+        ("stopwords", F.col("sw") >= 1),
+    ]
+    kept = rules[0][1]
+    for _, ok in rules[1:]:
+        kept = kept & ok
+    reason = F.lit("ok")
+    for name, ok in reversed(rules):
+        reason = F.when(~ok, name).otherwise(reason)
+    return m.select(
+        "doc_id",
+        "n_words",
+        F.round("mwl", 6).cast("decimal(18,6)").alias("mean_word_len"),
+        F.round("symr", 6).cast("decimal(18,6)").alias("symbol_ratio"),
+        F.round("bulf", 6).cast("decimal(18,6)").alias("bullet_line_frac"),
+        F.round("ellf", 6).cast("decimal(18,6)").alias("ellipsis_line_frac"),
+        F.round("alpf", 6).cast("decimal(18,6)").alias("alpha_word_frac"),
+        F.col("sw").alias("stopword_hits"),
+        kept.alias("kept"),
+        reason.alias("fail_reason"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # LL22 — user event-sequence assembly (behavioral training data)
 # ---------------------------------------------------------------------------
 
