@@ -54,6 +54,11 @@ HEADLINE = [
     "ll34_deduped_corpus",
     "ll40_pipeline_end2end",
     "b23_sessionize",
+    # round 3: the embedding-space dedup tier (cluster-scoped pair
+    # join over the full embeddings table) and the heaviest shared-text
+    # TPC-H shape (Q5's six-table join)
+    "ll42_semantic_dedup",
+    "sql3_tpch_q5_shared_text",
 ]
 
 

@@ -190,6 +190,36 @@ def minhash_lsh_pairs(
 
     Returns (doc_a, doc_b, jaccard).
     """
+    sh, banded = _minhash_index(
+        df, id_col, text_col, k, num_hashes, bands, max_shingle_df
+    )
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "bhash"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    return _pair_jaccard(cand, sh).where(F.col("jaccard") >= F.lit(threshold))
+
+
+def _minhash_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    num_hashes: int,
+    bands: int,
+    max_shingle_df: int | float | None,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared signature/band index for the MinHash tiers: returns
+    (sh, banded) where sh = (doc_id, shingles, sig) — cached, see the
+    load-bearing-cache note below — and banded = (doc_id, band, bhash),
+    one row per (doc, band). Both the full self-join tier and the
+    incremental delta-probe tier build on exactly this index, which is
+    what makes their verified pairs consistent with each other."""
     rows_per_band = num_hashes // bands
     sh0 = _shingled(df, id_col, text_col, k)
     if max_shingle_df is not None:
@@ -259,18 +289,14 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.bhash")
+    return sh, banded
 
-    cand = (
-        banded.alias("x")
-        .join(banded.alias("y"), ["band", "bhash"])
-        .where(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(
-            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
 
-    # exact-Jaccard verification on candidates only
+def _pair_jaccard(cand: DataFrame, sh: DataFrame) -> DataFrame:
+    """Exact-Jaccard verification of candidate (doc_a, doc_b) pairs
+    against the filtered shingle sets in ``sh`` — candidates only, the
+    corpus is never pairwise-compared. Returns (doc_a, doc_b, jaccard)
+    unfiltered; callers apply their threshold."""
     sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
     inv = sh.select("doc_id", F.explode("shingles").alias("shingle"))
     inter = (
@@ -297,7 +323,79 @@ def minhash_lsh_pairs(
                 (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
             ).alias("jaccard"),
         )
-        .where(F.col("jaccard") >= F.lit(threshold))
+    )
+
+
+def minhash_dedup_incremental(
+    snapshot: DataFrame,
+    delta: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    max_shingle_df: int | float | None = None,
+) -> DataFrame:
+    """Incremental near-dup dedup: a verdict per DELTA document against
+    the snapshot corpus plus the delta batch itself — WITHOUT ever
+    generating snapshot x snapshot candidates. This is how a 100 TB
+    corpus absorbs a daily batch: the snapshot's band index is a
+    materialized table probed by the delta's bands (an equi-join on
+    (band, bhash) whose left side is only the batch), so per-batch cost
+    is O(delta signatures + bucket collisions), not O(corpus²).
+
+    A delta doc is dropped iff it has a verified near-dup in the
+    snapshot, or an earlier (lower-id) near-dup within its own batch —
+    the same greedy keep-lowest rule as the semantic tier, so no
+    iteration. dup_of is the smallest such neighbor, NULL for kept
+    docs. Signatures (and the boilerplate df-cutoff, when enabled) are
+    computed over snapshot ∪ delta, so the verdicts agree exactly with
+    what the full self-join tier would decide about these pairs; in
+    production the snapshot's index and df-stats are frozen
+    materializations and only the delta side is computed per batch.
+
+    Returns (doc_id, dropped, dup_of) — one row per delta document.
+    """
+    sid = snapshot.select(F.col(id_col), F.col(text_col))
+    did = delta.select(F.col(id_col), F.col(text_col))
+    sh, banded = _minhash_index(
+        sid.unionAll(did), id_col, text_col, k, num_hashes, bands,
+        max_shingle_df,
+    )
+    delta_ids = did.select(F.col(id_col).alias("doc_id"))
+    banded_delta = banded.join(delta_ids, "doc_id", "left_semi")
+    cand = (
+        banded_delta.alias("x")
+        .join(banded.alias("y"), ["band", "bhash"])
+        .where(F.col("x.doc_id") != F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    pairs = _pair_jaccard(cand, sh).where(F.col("jaccard") >= F.lit(threshold))
+    # doc_b disqualifies doc_a iff it's a snapshot doc or an earlier
+    # batch-mate; delta-delta candidates exist in both directions, so
+    # no pair is lost to the asymmetry
+    is_delta_b = pairs.join(
+        delta_ids.select(F.col("doc_id").alias("doc_b")).withColumn(
+            "b_in_delta", F.lit(True)
+        ),
+        "doc_b",
+        "left",
+    )
+    verdicts = (
+        is_delta_b.where(
+            F.col("b_in_delta").isNull() | (F.col("doc_b") < F.col("doc_a"))
+        )
+        .groupBy(F.col("doc_a").alias("doc_id"))
+        .agg(F.min("doc_b").alias("dup_of"))
+    )
+    return delta_ids.join(verdicts, "doc_id", "left").select(
+        "doc_id",
+        F.col("dup_of").isNotNull().alias("dropped"),
+        "dup_of",
     )
 
 

@@ -398,6 +398,46 @@ def frame_sample_plan(binary_df: DataFrame, every_n: int = 10) -> DataFrame:
     )
 
 
+FRAME_STATS_SCHEMA = (
+    "doc_id BIGINT, frame_idx INT, frame_mean DOUBLE, frame_max BIGINT"
+)
+
+
+def sample_frame_stats(
+    binary_df: DataFrame, frame_bytes: int = 4, every_n: int = 5
+) -> DataFrame:
+    """Video-style frame sampling + per-frame feature extraction: treat
+    the payload as a sequence of fixed-size frames, decode every
+    ``every_n``-th frame, and emit its byte stats. The *sampling* is
+    the point — only 1/every_n of the frames are touched, which is how
+    a video pipeline keeps decode cost sublinear in footage length; a
+    real codec would replace the byte-slice "decode" behind the same
+    (doc_id, frame_idx) -> features contract.
+
+    Arrow ships payload batches to Python once; each batch fans out to
+    its sampled frames only. Narrow, no shuffle."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "doc_id": [],
+                "frame_idx": [],
+                "frame_mean": [],
+                "frame_max": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = len(payload) // frame_bytes
+                for i in range(0, n_frames, every_n):
+                    frame = payload[i * frame_bytes : (i + 1) * frame_bytes]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_mean"].append(sum(frame) / len(frame))
+                    out["frame_max"].append(max(frame))
+            yield pd.DataFrame(out)
+
+    return binary_df.mapInPandas(batches, FRAME_STATS_SCHEMA)
+
+
 def payload_checksum(binary_df: DataFrame) -> DataFrame:
     """Driver-verifiable checksum of payload bytes (md5 hex) — lets an
     oracle validate the binary plumbing end-to-end in pure SQL."""

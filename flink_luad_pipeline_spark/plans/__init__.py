@@ -81,6 +81,8 @@ _NEW_THIS_ROUND = (
     "ll41_audio_features",
     "ll42_semantic_dedup",
     "ll43_gopher_quality_rules",
+    "ll44_video_frame_stats",
+    "ll45_incremental_dedup",
 )
 
 

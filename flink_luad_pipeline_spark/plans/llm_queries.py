@@ -299,6 +299,44 @@ def ll6_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_INCR_DEDUP_ORACLE = (
+    # The incremental tier's contract: its per-delta-doc verdicts must
+    # equal what the FULL self-join tier (the _MINHASH_ORACLE pair
+    # list) implies about pairs touching the delta — so the oracle is
+    # literally built on that pair list. Delta = doc_id % 5 = 0 (a 20%
+    # "daily batch"); a delta doc is dropped iff it near-dups a
+    # snapshot doc or an earlier batch-mate.
+    f"WITH p AS ({_MINHASH_ORACLE}),"
+    f" aug AS ({_AUG_SQL}),"
+    " delta AS (SELECT doc_id FROM aug WHERE doc_id % 5 = 0),"
+    " both_dirs AS (SELECT doc_a AS d, doc_b AS o FROM p"
+    "  UNION ALL SELECT doc_b AS d, doc_a AS o FROM p),"
+    " m AS (SELECT d AS doc_id, min(o) AS dup_of FROM both_dirs"
+    "  WHERE d % 5 = 0 AND (o % 5 <> 0 OR o < d) GROUP BY d)"
+    " SELECT delta.doc_id, m.dup_of IS NOT NULL AS dropped, m.dup_of"
+    " FROM delta LEFT JOIN m USING (doc_id)"
+)
+
+
+@query("ll45_incremental_dedup", oracle=_INCR_DEDUP_ORACLE)
+def ll45_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup: the 20% 'daily batch' (doc_id % 5 = 0)
+    is deduped against the 80% snapshot AND itself by probing the
+    MinHash band index with only the delta's bands — snapshot x
+    snapshot candidates are never generated, which is the difference
+    between absorbing a batch in O(batch) and re-deduping 100 TB. The
+    oracle derives the expected verdicts from the FULL tier's pair
+    list, proving the incremental path decides each delta doc exactly
+    as a from-scratch dedup would."""
+    corpus = _augmented(spark, sf_dir)
+    snapshot = corpus.where(F.col("doc_id") % 5 != 0)
+    delta = corpus.where(F.col("doc_id") % 5 == 0)
+    return dedup.minhash_dedup_incremental(
+        snapshot, delta, "doc_id", "text", k=3, threshold=0.4,
+        max_shingle_df=0.5,
+    )
+
+
 _SIMHASH_ORACLE = (
     f"WITH aug AS ({_AUG_SQL}),"
     f" tok AS (SELECT doc_id, {_TOKENS_SQL} AS tokens FROM aug),"
@@ -802,6 +840,50 @@ def ll21_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(low_q, "low_quality")
         .otherwise("kept")
         .alias("verdict"),
+    )
+
+
+_FRAME_ORACLE = (
+    # payload = md5(text) ++ md5(text||'a') ++ md5(text||'b') ++
+    # md5(text||'c') = 64 bytes = 16 4-byte frames; every 5th frame
+    # (0,5,10,15) is sampled. Byte j of the payload is hex pair
+    # (2j+1, 2j+2) of the 128-char concatenated digest.
+    "WITH d AS (SELECT doc_id,"
+    " md5(text) || md5(text || 'a') || md5(text || 'b') || md5(text || 'c')"
+    "  AS hx FROM documents WHERE doc_id < 100),"
+    " fr AS (SELECT doc_id, i AS frame_idx, list_transform(range(0, 4), k ->"
+    " (strpos('0123456789abcdef', substr(hx, 8 * i + 2 * k + 1, 1)) - 1)"
+    "  * 16"
+    " + strpos('0123456789abcdef', substr(hx, 8 * i + 2 * k + 2, 1)) - 1)"
+    "  AS fb"
+    " FROM d, unnest([0, 5, 10, 15]) t(i))"
+    " SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,"
+    " CAST(CAST(round(list_sum(fb) / 4.0, 6) AS DECIMAL(18,6)) AS DOUBLE)"
+    "  AS frame_mean,"
+    " CAST(list_max(fb) AS BIGINT) AS frame_max"
+    " FROM fr"
+)
+
+
+@query("ll44_video_frame_stats", oracle=_FRAME_ORACLE)
+def ll44_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-pipeline plumbing: fixed-size frames inside a binary
+    payload, every 5th frame sampled and feature-extracted in
+    Arrow-batched mapInPandas (``multimodal.sample_frame_stats``) —
+    decode cost sublinear in footage length because unsampled frames
+    are never touched. The byte-slice decode stands in for a codec (no
+    video library in this environment) behind the same (doc_id,
+    frame_idx) -> features contract; the oracle recomputes each sampled
+    frame's bytes from the md5 hex, so the sampling arithmetic and the
+    fan-out path are value-checked."""
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    binary = multimodal.attach_multiwindow_payload(docs, "doc_id", "text")
+    stats = multimodal.sample_frame_stats(binary, frame_bytes=4, every_n=5)
+    return stats.select(
+        "doc_id",
+        "frame_idx",
+        F.round("frame_mean", 6).cast("decimal(18,6)").alias("frame_mean"),
+        "frame_max",
     )
 
 

@@ -323,6 +323,16 @@ def test_semantic_dedup_pairs_confined_to_cells(spark, sf_dir):
     )
 
 
+def test_incremental_dedup_probes_only_delta_bands(spark, sf_dir):
+    """ll45's candidate join must probe the band index with the DELTA
+    side only — a left-semi restriction on delta ids feeding the
+    (band, bhash) equi-join. Without it the plan degenerates into the
+    full self-join and the incremental tier's O(batch) claim is false."""
+    plan = physical(QUERIES["ll45_incremental_dedup"](spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_scd2_windows_share_one_shuffle(spark, sf_dir):
     """b21 runs two window functions over the same partitioning and
     ordering — Catalyst must plan exactly one hashpartitioning exchange
