@@ -19,10 +19,15 @@ Everything is native pyspark.sql.functions — no Python UDFs.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import text_fingerprint, tokenize, word_shingles
+from ..functions.text import (
+    text_fingerprint,
+    tokenize,
+    word_ngrams,
+    word_shingles,
+)
 
 
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -491,3 +496,89 @@ def simhash_pairs(
         .distinct()
     )
     return pairs.where(F.col("hamming") <= max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# Winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03) — substring-level
+# fingerprints for containment/plagiarism-style overlap detection
+# ---------------------------------------------------------------------------
+
+_WIN_POS_CAP = 1 << 20  # > max token position in any sane document
+_WIN_SHIFT = 1 << 21
+
+
+def winnowing_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, k: int = 4, window: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints: hash every word k-gram, slide a
+    window of ``window`` consecutive hashes, select the minimum of each
+    window (rightmost on ties — the canonical choice, so a shared
+    substring yields the same selections in both documents), and dedup.
+    Guarantees any shared run of ~window+k-1 tokens contributes at
+    least one common fingerprint, at an expected density of 2/(window+1)
+    fingerprints per token — the sublinear substring-dedup signal the
+    full-text tiers (ll4-ll7) can't provide.
+
+    The rightmost-min argmin is encoded arithmetically —
+    hash * 2^21 + (2^20 - pos) minimized over the frame — so the whole
+    selection is one codegen'd window aggregate over a (doc_id, pos)
+    frame: one shuffle on doc_id, no UDFs, and an oracle can replay the
+    identical integers. Returns (doc_id, fp_hash, fp_pos) distinct.
+    """
+    grams = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(word_ngrams(tokenize(F.col(text_col)), k)).alias(
+            "pos", "gram"
+        ),
+    )
+    combined = portable_hash40(F.col("gram")) * F.lit(_WIN_SHIFT) + (
+        F.lit(_WIN_POS_CAP) - F.col("pos")
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(window - 1), 0)
+    )
+    return (
+        grams.select("doc_id", "pos", combined.alias("c"))
+        .withColumn("selc", F.min("c").over(w))
+        .where(F.col("pos") >= window - 1)  # complete windows only
+        .select(
+            "doc_id",
+            F.shiftright("selc", 21).alias("fp_hash"),
+            (F.lit(_WIN_POS_CAP) - F.col("selc") % F.lit(_WIN_SHIFT)).alias(
+                "fp_pos"
+            ),
+        )
+        .distinct()
+    )
+
+
+def winnowing_overlap_pairs(
+    fps: DataFrame, min_shared: int = 2, max_fp_df: int | None = 50
+) -> DataFrame:
+    """Cross-document overlap from winnowing fingerprints: documents
+    sharing >= ``min_shared`` distinct fingerprint hashes, with the
+    shared count. ``max_fp_df`` is the familiar hot-key guard (cf. the
+    Jaccard/MinHash tiers): a fingerprint present in more than that
+    many documents (ubiquitous boilerplate) is excluded from pairing,
+    bounding any bucket's contribution at max_fp_df². Returns
+    (doc_a, doc_b, n_shared)."""
+    fp = fps.select("doc_id", "fp_hash").distinct()
+    if max_fp_df is not None:
+        keep = (
+            fp.groupBy("fp_hash")
+            .agg(F.count(F.lit(1)).alias("fdf"))
+            .where(F.col("fdf") <= F.lit(int(max_fp_df)))
+            .select("fp_hash")
+        )
+        fp = fp.join(keep, "fp_hash", "left_semi")
+    a = fp.select(F.col("doc_id").alias("doc_a"), "fp_hash")
+    b = fp.select(F.col("doc_id").alias("doc_b"), "fp_hash")
+    return (
+        a.join(b, "fp_hash")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= F.lit(int(min_shared)))
+    )

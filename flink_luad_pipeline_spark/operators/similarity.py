@@ -342,6 +342,12 @@ def semantic_dedup(
         .withColumn("crank", F.row_number().over(w))
         .where(F.col("crank") == 1)
         .select("m_id", "v", "centroid_id")
+        # load-bearing cache (cf. the MinHash tier): the assignment
+        # subtree — N×M cosines + a per-vector window — feeds BOTH pair
+        # sides and the final left join; without a materialization
+        # boundary Catalyst re-executes it three times (measured 3-4x
+        # on the bench corpus)
+        .cache()
     )
     a = members.select(
         "centroid_id", F.col("m_id").alias("doc_a"), F.col("v").alias("va")

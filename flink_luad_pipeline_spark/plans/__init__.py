@@ -83,6 +83,7 @@ _NEW_THIS_ROUND = (
     "ll43_gopher_quality_rules",
     "ll44_video_frame_stats",
     "ll45_incremental_dedup",
+    "ll46_winnowing_overlap",
 )
 
 

@@ -337,6 +337,54 @@ def ll45_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WINNOW_ORACLE = (
+    # Mirrors dedup.winnowing_fingerprints(k=4, window=4) +
+    # winnowing_overlap_pairs(min_shared=2, max_fp_df=50): the
+    # rightmost-min window selection is replayed via the identical
+    # integer encoding hash*2^21 + (2^20 - pos).
+    f"WITH aug AS ({_AUG_SQL}),"
+    f" tok AS (SELECT doc_id, {_TOKENS_SQL} AS tokens FROM aug),"
+    " g AS (SELECT doc_id, CASE WHEN len(tokens) >= 4 THEN"
+    "   list_transform(range(0, len(tokens) - 3), i ->"
+    "    tokens[i+1] || ' ' || tokens[i+2] || ' ' || tokens[i+3]"
+    "     || ' ' || tokens[i+4]) ELSE [] END AS grams FROM tok),"
+    " pg AS (SELECT doc_id, unnest(grams) AS gram,"
+    "   unnest(range(0, len(grams))) AS pos FROM g),"
+    f" enc AS (SELECT doc_id, pos, {_hex10('gram')} * 2097152"
+    "   + (1048576 - pos) AS c FROM pg),"
+    " sel AS (SELECT doc_id, pos, min(c) OVER (PARTITION BY doc_id"
+    "   ORDER BY pos ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS selc"
+    "   FROM enc),"
+    " fp AS (SELECT DISTINCT doc_id, selc // 2097152 AS fp_hash"
+    "   FROM sel WHERE pos >= 3),"
+    " keep AS (SELECT fp_hash FROM fp GROUP BY fp_hash"
+    "   HAVING count(*) <= 50),"
+    " fpk AS (SELECT doc_id, fp_hash FROM fp"
+    "   WHERE fp_hash IN (SELECT fp_hash FROM keep))"
+    " SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,"
+    " count(*) AS n_shared"
+    " FROM fpk a JOIN fpk b ON a.fp_hash = b.fp_hash"
+    " AND a.doc_id < b.doc_id"
+    " GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2"
+)
+
+
+@query("ll46_winnowing_overlap", oracle=_WINNOW_ORACLE)
+def ll46_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS-style) substring-overlap detection: per-document
+    fingerprints from rightmost-min window selection over word 4-gram
+    hashes, then pairs of documents sharing >= 2 fingerprint hashes,
+    with the ubiquitous-fingerprint df-guard bounding any inverted-
+    index bucket at 50². Catches long shared *passages* between
+    otherwise-different documents — the containment signal the
+    whole-document tiers (ll4-ll7, ll42) don't measure. The selection
+    arithmetic is one codegen'd window aggregate (no UDFs), replayed
+    exactly by the oracle."""
+    corpus = _augmented(spark, sf_dir)
+    fps = dedup.winnowing_fingerprints(corpus, "doc_id", "text", k=4, window=4)
+    return dedup.winnowing_overlap_pairs(fps, min_shared=2, max_fp_df=50)
+
+
 _SIMHASH_ORACLE = (
     f"WITH aug AS ({_AUG_SQL}),"
     f" tok AS (SELECT doc_id, {_TOKENS_SQL} AS tokens FROM aug),"
