@@ -1,14 +1,18 @@
 """Text-analysis column functions for LLM training-data pipelines.
 
 All pure ``pyspark.sql.functions`` compositions — JVM-side, inside
-whole-stage codegen, no Python in the hot path. Each has an exact ANSI
-SQL twin (see plans/llm_queries.py oracles), which is what makes these
-oracle-checkable. No analogue in the reference (its scalar surface is
+whole-stage codegen, no Python in the hot path — except the two
+Unicode functions at the bottom (nfc_normalize / strip_accents):
+Spark has no built-in Unicode normalizer, so those are documented
+Arrow-vectorized pandas UDF boundaries. Each function has an exact
+ANSI SQL twin (see plans/llm_queries.py oracles), which is what makes
+these oracle-checkable. No analogue in the reference (its scalar surface is
 §2.2 P6); these extend the engine per the north-star brief.
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -117,3 +121,50 @@ def text_fingerprint(col: Column) -> Column:
     """Document fingerprint: md5 of the normalized text. md5 (not
     xxhash64) so DuckDB computes the identical value."""
     return F.md5(normalize_text(col))
+
+
+def nfc_normalize(col: Column) -> Column:
+    """Unicode NFC normalization as an Arrow-vectorized pandas UDF.
+
+    The one text function here that is NOT a native composition: Spark
+    SQL has no Unicode normalizer, so this is a legitimate
+    (documented) Python boundary — batch-columnar via Arrow, stdlib
+    unicodedata, no per-row py4j. Canonical-equivalent byte sequences
+    (decomposed vs precomposed accents) must hash/dedup identically, so
+    this runs BEFORE fingerprinting in a real ingest path.
+    """
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+        )
+
+    return _nfc(col)
+
+
+def strip_accents(col: Column) -> Column:
+    """Diacritic removal (NFD -> drop combining marks), Arrow-batched.
+    Mirrors DuckDB's strip_accents for Latin text — the aggressive
+    folding used for match keys, not for stored text."""
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _strip(s: pd.Series) -> pd.Series:
+        def one(x):
+            if x is None:
+                return None
+            return "".join(
+                c
+                for c in unicodedata.normalize("NFD", x)
+                if not unicodedata.combining(c)
+            )
+
+        return s.map(one)
+
+    return _strip(col)

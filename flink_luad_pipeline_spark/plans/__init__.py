@@ -84,6 +84,7 @@ _NEW_THIS_ROUND = (
     "ll44_video_frame_stats",
     "ll45_incremental_dedup",
     "ll46_winnowing_overlap",
+    "ll47_unicode_normalize",
 )
 
 

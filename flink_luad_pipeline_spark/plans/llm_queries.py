@@ -337,6 +337,47 @@ def ll45_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_UNICODE_ORACLE = (
+    # Fixture: every 'a' decomposed to 'a' + U+0301 (combining acute),
+    # so NFC has real work (recompose to U+00E1) and accent-stripping
+    # has real marks to drop. Lengths and md5s pin both transforms.
+    "WITH d AS (SELECT doc_id,"
+    " regexp_replace(text, 'a', 'a' || chr(769), 'g') AS raw"
+    " FROM documents),"
+    " n AS (SELECT doc_id, raw, nfc_normalize(raw) AS nfc FROM d)"
+    " SELECT doc_id, CAST(length(raw) AS INT) AS n_raw,"
+    " CAST(length(nfc) AS INT) AS n_nfc,"
+    " md5(nfc) AS nfc_md5,"
+    " md5(strip_accents(nfc)) AS stripped_md5 FROM n"
+)
+
+
+@query("ll47_unicode_normalize", oracle=_UNICODE_ORACLE)
+def ll47_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode canonicalization for corpus ingest: NFC normalization
+    (decomposed accents recomposed — canonical-equivalent byte
+    sequences MUST fingerprint identically or every dedup tier leaks
+    duplicates) and accent-stripped match keys. Spark has no built-in
+    Unicode normalizer, so this is one of the few legitimate Python
+    boundaries in the engine: Arrow-vectorized pandas UDFs over stdlib
+    unicodedata, narrow, no shuffle. The fixture decomposes every 'a'
+    to 'a'+U+0301, and DuckDB's independent ICU implementations
+    (nfc_normalize / strip_accents) must agree on every length and
+    md5 — a cross-library conformance check, not a self-test."""
+    docs = load(spark, sf_dir, "documents")
+    raw = F.regexp_replace(F.col("text"), "a", "á")
+    d = docs.select("doc_id", raw.alias("raw"))
+    nfc = T.nfc_normalize(F.col("raw"))
+    d = d.select("doc_id", "raw", nfc.alias("nfc"))
+    return d.select(
+        "doc_id",
+        F.length("raw").alias("n_raw"),
+        F.length("nfc").alias("n_nfc"),
+        F.md5("nfc").alias("nfc_md5"),
+        F.md5(T.strip_accents(F.col("nfc"))).alias("stripped_md5"),
+    )
+
+
 _WINNOW_ORACLE = (
     # Mirrors dedup.winnowing_fingerprints(k=4, window=4) +
     # winnowing_overlap_pairs(min_shared=2, max_fp_df=50): the
