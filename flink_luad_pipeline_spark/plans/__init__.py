@@ -85,6 +85,7 @@ _NEW_THIS_ROUND = (
     "ll45_incremental_dedup",
     "ll46_winnowing_overlap",
     "ll47_unicode_normalize",
+    "ss10_snapshot_dedup_ingest",
 )
 
 

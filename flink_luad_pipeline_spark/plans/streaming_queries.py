@@ -240,3 +240,42 @@ def ss9_stateful_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_events").alias("n_events"),
         F.round(F.max_by("ewma", "n_events"), 6).alias("ewma"),
     )
+
+
+@query(
+    "ss10_snapshot_dedup_ingest",
+    oracle=(
+        "WITH fps AS (SELECT doc_id,"
+        " md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp"
+        " FROM documents),"
+        " snap AS (SELECT DISTINCT fp FROM fps WHERE doc_id < 250)"
+        " SELECT DISTINCT fp FROM fps"
+        " WHERE fp NOT IN (SELECT fp FROM snap)"
+    ),
+)
+def ss10_snapshot_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus ingestion with snapshot dedup — the streaming
+    twin of ll45: the documents feed is fingerprinted, anti-joined
+    against a static snapshot fingerprint table (docs with id < 250,
+    standing in for the materialized corpus index), and deduped within
+    the feed. The emitted fingerprint set is deterministic (which doc
+    carries a fp first is not, so only keys are emitted — same contract
+    as ss4) and equals the batch DISTINCT-minus-snapshot, hence
+    oracle-checked."""
+    from ..catalog import load
+
+    snap = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 250)
+        .select(
+            F.md5(
+                F.trim(
+                    F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+                )
+            ).alias("fp")
+        )
+        .distinct()
+    )
+    stream = ops.read_documents_stream(spark, sf_dir)
+    kept = ops.snapshot_dedup_stream(stream, snap)
+    return _drain(kept, "ss10_snapdedup", "append")

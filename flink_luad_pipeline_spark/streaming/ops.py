@@ -434,3 +434,38 @@ def stateful_user_ewma(events: DataFrame, alpha: float = 0.1) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-replay stream of the documents table (same symlink-dir
+    staging as read_events_stream; schema probed from the batch
+    footer since streaming readers need one up front)."""
+    src = f"{sf_dir.rstrip('/')}/documents.parquet"
+    tag = hashlib.md5(src.encode()).hexdigest()[:8]
+    stream_dir = os.path.join(tempfile.gettempdir(), "flps_stream", tag)
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "documents.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    schema = spark.read.parquet(src).schema
+    return spark.readStream.schema(schema).format("parquet").load(stream_dir)
+
+
+def snapshot_dedup_stream(
+    docs_stream: DataFrame, snapshot_fps: DataFrame
+) -> DataFrame:
+    """Streaming ingestion dedup against a static corpus snapshot: the
+    incoming feed's fingerprints are anti-joined against the snapshot's
+    materialized fingerprint set (stream-static left-anti — stateless,
+    the static side is just a lookup), then first-occurrence-deduped
+    within the stream (dropDuplicates keeps unbounded key state; a
+    production feed bounds it with dropDuplicatesWithinWatermark).
+    Emits the surviving fingerprint keys — the streaming twin of the
+    batch incremental-dedup tier (ll45): snapshot never rescanned,
+    per-batch cost is the batch plus a hash probe."""
+    from ..functions.text import normalize_text
+
+    fp = docs_stream.select(
+        F.md5(normalize_text(F.col("text"))).alias("fp")
+    )
+    return fp.join(snapshot_fps, "fp", "left_anti").dropDuplicates(["fp"])
