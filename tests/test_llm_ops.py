@@ -118,6 +118,33 @@ def test_image_codecs_roundtrip():
         multimodal.decode_image(b"P6\n4 4\n255\n" + b"\x00" * 10)  # truncated
 
 
+def test_winnowing_shared_passage_guarantee(spark):
+    """The winnowing guarantee: any two documents sharing a run of at
+    least window+k-1 tokens (here 4+4-1=7; we plant 10) must share at
+    least one fingerprint — some hash window then lies entirely inside
+    the shared run and both documents select its minimum. Unrelated
+    documents carry no such obligation."""
+    import random
+
+    rng = random.Random(3)
+    vocab = [f"w{i}" for i in range(200)]
+    passage = " ".join(rng.choice(vocab) for _ in range(10))
+    docs = []
+    for i in range(6):
+        pre = " ".join(rng.choice(vocab) for _ in range(rng.randrange(5, 30)))
+        post = " ".join(rng.choice(vocab) for _ in range(rng.randrange(5, 30)))
+        docs.append((i, f"{pre} {passage} {post}"))
+    for i in range(6, 8):  # unrelated controls
+        docs.append((i, " ".join(rng.choice(vocab) for _ in range(40))))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    fps = dedup.winnowing_fingerprints(df, "doc_id", "text", k=4, window=4)
+    pairs = dedup.winnowing_overlap_pairs(fps, min_shared=1, max_fp_df=None)
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    for a in range(6):
+        for b in range(a + 1, 6):
+            assert (a, b) in got, f"planted pair ({a},{b}) missing"
+
+
 def test_wav_codec_roundtrip():
     import random
     import struct

@@ -198,6 +198,9 @@ INTENTIONAL_CARTESIAN = {
     "ll8_cosine_topk",        # brute-force baseline (scale path: ll9/ll12)
     "ll11b_neardup_exact",    # exact recall baseline (scale path: ll11)
     "ll12_ivf_ann_topk",      # query×centroid BNLJ: centroid side is tiny
+    "ll42_semantic_dedup",    # same tiny-centroid assignment broadcast;
+                              # the PAIR join stays a centroid_id equi-join
+                              # (asserted in its dedicated plan test)
     "ll28_tfidf_topterms",    # 1-row corpus-size scalar broadcast attach
     "ll32_unigram_logprob",   # 1-row corpus-total scalar broadcast attach
 }
