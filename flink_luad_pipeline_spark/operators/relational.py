@@ -551,3 +551,98 @@ def grouped_ewma(
         )
 
     return df.groupBy(key).applyInPandas(fold, schema=out_schema)
+
+
+def gap_fill_interpolate(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Time-series gap fill with linear interpolation: bucket to hours,
+    generate each key's complete hourly grid between its first and last
+    observation, and fill missing buckets by interpolating between the
+    nearest observed neighbors; buckets before the first / after the
+    last observation stay NULL ('edge'). The resample-and-regularize
+    primitive every downstream window/EWMA op wants as input.
+
+    All relational: one agg shuffle on (key, bucket), a per-key grid
+    explode (sequence + posexplode — the grid index doubles as the
+    interpolation abscissa, so no timezone-dependent epoch math), one
+    left join back, and two window passes (last/first ignorenulls) over
+    the same (key, idx) ordering — Catalyst plans them on one exchange.
+    Per-bucket means use exact DECIMAL sums divided once, so engines
+    agree bit-for-bit before interpolation arithmetic (integer-indexed
+    IEEE ops) and the final round.
+
+    Returns (key, bucket, idx, value_filled, src) with src in
+    ('observed', 'interpolated', 'edge').
+    """
+    b = F.date_trunc("hour", F.col(ts_col)).alias("b")
+    a = df.groupBy(F.col(key), b).agg(
+        (
+            F.sum(F.col(value_col).cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("v")
+    )
+    bounds = a.groupBy(key).agg(
+        F.min("b").alias("b0"), F.max("b").alias("b1")
+    )
+    grid = bounds.select(
+        key,
+        F.posexplode(F.expr("sequence(b0, b1, interval 1 hour)")).alias(
+            "idx", "b"
+        ),
+    )
+    j = grid.join(a, [key, "b"], "left")
+    prev_w = (
+        Window.partitionBy(key)
+        .orderBy("idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    next_w = (
+        Window.partitionBy(key)
+        .orderBy("idx")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_idx = F.when(F.col("v").isNotNull(), F.col("idx"))
+    w = j.select(
+        key,
+        "b",
+        "idx",
+        "v",
+        F.last("v", ignorenulls=True).over(prev_w).alias("pv"),
+        F.last(obs_idx, ignorenulls=True).over(prev_w).alias("pi"),
+        F.first("v", ignorenulls=True).over(next_w).alias("nv"),
+        F.first(obs_idx, ignorenulls=True).over(next_w).alias("ni"),
+    )
+    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * (
+        (F.col("idx") - F.col("pi")).cast("double")
+        / (F.col("ni") - F.col("pi")).cast("double")
+    )
+    filled = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNotNull() & F.col("nv").isNotNull(), interp)
+        .otherwise(F.lit(None))
+    )
+    src = (
+        F.when(F.col("v").isNotNull(), "observed")
+        .when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(), "interpolated"
+        )
+        .otherwise("edge")
+    )
+    # truncate (floor at 10^-digits), not round: both engines floor the
+    # IDENTICAL double, so the result is bit-deterministic — round()
+    # implementations differ at exact .5 boundaries (Spark exact-
+    # BigDecimal HALF_UP vs multiply-round), observed as a last-digit
+    # flip on interpolated values
+    scale = float(10**round_digits)
+    return w.select(
+        key,
+        F.date_format("b", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "idx",
+        (F.floor(filled * scale) / F.lit(scale)).alias("value_filled"),
+        src.alias("src"),
+    )

@@ -86,6 +86,7 @@ _NEW_THIS_ROUND = (
     "ll46_winnowing_overlap",
     "ll47_unicode_normalize",
     "ss10_snapshot_dedup_ingest",
+    "o3_gap_fill_interpolate",
 )
 
 

@@ -1549,3 +1549,58 @@ def b22_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load(spark, sf_dir, "part").select("p_partkey")
     part.createOrReplaceTempView("part")
     return spark.sql(_B22_SQL)
+
+
+@query(
+    "o3_gap_fill_interpolate",
+    oracle=(
+        "WITH a AS (SELECT user_id, date_trunc('hour', ts) AS b,"
+        " CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*)"
+        "  AS v FROM events GROUP BY 1, 2),"
+        " bounds AS (SELECT user_id, min(b) AS b0, max(b) AS b1 FROM a"
+        "  GROUP BY 1),"
+        " grid AS (SELECT user_id, unnest(range(b0,"
+        "  b1 + INTERVAL 1 HOUR, INTERVAL 1 HOUR)) AS b FROM bounds),"
+        " g2 AS (SELECT user_id, b, CAST(row_number() OVER ("
+        "  PARTITION BY user_id ORDER BY b) - 1 AS INT) AS idx FROM grid),"
+        " j AS (SELECT g2.user_id, g2.b, g2.idx, a.v FROM g2"
+        "  LEFT JOIN a USING (user_id, b)),"
+        " w AS (SELECT user_id, b, idx, v,"
+        "  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id"
+        "   ORDER BY idx ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        "   AS pv,"
+        "  last_value(CASE WHEN v IS NOT NULL THEN idx END IGNORE NULLS)"
+        "   OVER (PARTITION BY user_id ORDER BY idx"
+        "   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pi,"
+        "  first_value(v IGNORE NULLS) OVER (PARTITION BY user_id"
+        "   ORDER BY idx ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)"
+        "   AS nv,"
+        "  first_value(CASE WHEN v IS NOT NULL THEN idx END IGNORE NULLS)"
+        "   OVER (PARTITION BY user_id ORDER BY idx"
+        "   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ni"
+        "  FROM j)"
+        " SELECT user_id, strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket, idx,"
+        " floor((CASE WHEN v IS NOT NULL THEN v"
+        "  WHEN pv IS NOT NULL AND nv IS NOT NULL THEN"
+        "   pv + (nv - pv) * (CAST(idx - pi AS DOUBLE)"
+        "    / CAST(ni - pi AS DOUBLE))"
+        "  ELSE NULL END) * 1000000) / 1000000.0 AS value_filled,"
+        " CASE WHEN v IS NOT NULL THEN 'observed'"
+        "  WHEN pv IS NOT NULL AND nv IS NOT NULL THEN 'interpolated'"
+        "  ELSE 'edge' END AS src FROM w"
+    ),
+)
+def o3_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 — hourly resample + gap fill with linear interpolation per
+    user (the timeseries-regularization twin of o2's EWMA): each user's
+    complete hourly grid is generated between first and last
+    observation, missing buckets interpolate between nearest observed
+    neighbors, edges stay NULL and are labeled. The grid index from
+    posexplode doubles as the interpolation abscissa — no epoch/
+    timezone arithmetic anywhere — and per-bucket means are exact
+    DECIMAL sums divided once, so both engines walk identical doubles
+    into the shared 6-digit floor-truncation (truncation, not round:
+    see the in-operator note on cross-engine .5-boundary behavior)."""
+    ev = load(spark, sf_dir, "events")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return R.gap_fill_interpolate(ev, key="user_id", ts_col="ts", value_col="value")
