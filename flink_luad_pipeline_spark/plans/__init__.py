@@ -87,6 +87,7 @@ _NEW_THIS_ROUND = (
     "ll47_unicode_normalize",
     "ss10_snapshot_dedup_ingest",
     "o3_gap_fill_interpolate",
+    "o4_range_interval_window",
 )
 
 

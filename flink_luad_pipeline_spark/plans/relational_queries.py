@@ -16,7 +16,7 @@ from __future__ import annotations
 import os
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
@@ -1604,3 +1604,57 @@ def o3_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     return R.gap_fill_interpolate(ev, key="user_id", ts_col="ts", value_col="value")
+
+
+@query(
+    "o4_range_interval_window",
+    oracle=(
+        # RANGE frame keyed on the raw timestamp: every event joins all
+        # of the SAME user's events in the trailing hour (inclusive
+        # ends, ties included by value-range semantics).
+        "SELECT event_id, user_id,"
+        " count(*) OVER w AS n_trailing_1h,"
+        " CAST(CAST(round(sum(CAST(value AS DECIMAL(18,6))) OVER w, 6)"
+        "  AS DECIMAL(18,6)) AS DOUBLE) AS sum_trailing_1h"
+        " FROM events"
+        " WINDOW w AS (PARTITION BY user_id ORDER BY ts"
+        "  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"
+    ),
+)
+def o4_range_interval_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 — RANGE-frame window over event time: per event, the count
+    and exact-DECIMAL sum of the same user's values in the trailing
+    hour. RANGE (value-based) frames differ from ROWS frames (b12)
+    exactly when timestamps tie or gap — the frame is defined by the
+    ordering value, not row offsets — and they are the windowed twin of
+    the j9 range-join: same trailing-interval semantics without
+    materializing pairs. One shuffle on user_id; the frame scan is a
+    single sorted pass per partition (Spark's bounded-range frame
+    slides two pointers, never re-scans).
+
+    Spark's rangeBetween needs a numeric ordering column, so the frame
+    is anchored on epoch seconds (exact integer cast of the NTZ
+    timestamp — timezone-free); DuckDB anchors on the timestamp with an
+    INTERVAL frame, which is the same [t-3600s, t] window. Sums
+    accumulate in DECIMAL, so tie-order inside the frame cannot perturb
+    the result.
+    """
+    ev = load(spark, sf_dir, "events")
+    # NTZ -> epoch seconds via a pinned-UTC session cast; the frame
+    # only uses differences, so the fixed offset cancels (and UTC has
+    # no DST discontinuities to shear a frame boundary)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(epoch)
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_trailing_1h"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")).over(w), 6)
+        .cast("decimal(18,6)")
+        .alias("sum_trailing_1h"),
+    )
