@@ -21,7 +21,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -365,3 +365,57 @@ def shortest_paths(
         if frontier.isEmpty():
             break
     return dist
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Synchronous label propagation (community detection): every
+    vertex starts with its own id as label; each superstep, every
+    vertex adopts the most frequent label among its neighbors, ties
+    broken by the SMALLEST label. Fully deterministic — unlike
+    textbook LPA (random order, random ties), which is the point:
+    synchronous LPA can oscillate on 2-cycles and need not converge,
+    so the contract is a FIXED number of supersteps, exactly what an
+    unrolled SQL oracle can replay.
+
+    Per superstep: one join (neighbor labels), one count aggregation,
+    one argmax window — all keyed on vertex ids, every shuffle
+    hash-partitioned; localCheckpoint bounds lineage like the other
+    iterative operators. Vertices are the edge endpoints (an isolated
+    vertex has no neighbors and no row here).
+
+    Returns ``DataFrame[vertex, label]`` after ``iterations`` steps.
+    """
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("w"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("w")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        sym.select(F.col("u").alias("vertex"))
+        .distinct()
+        .withColumn("label", F.col("vertex"))
+        .localCheckpoint()
+    )
+    rk_w = Window.partitionBy("vertex").orderBy(
+        F.col("n").desc(), F.col("label")
+    )
+    for _ in range(iterations):
+        nbr = sym.join(
+            labels.withColumnRenamed("vertex", "w"), "w"
+        ).select(F.col("u").alias("vertex"), "label")
+        counts = nbr.groupBy("vertex", "label").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        labels = (
+            counts.withColumn("rk", F.row_number().over(rk_w))
+            .where(F.col("rk") == 1)
+            .select("vertex", "label")
+            .localCheckpoint()
+        )
+    return labels

@@ -88,6 +88,7 @@ _NEW_THIS_ROUND = (
     "ss10_snapshot_dedup_ingest",
     "o3_gap_fill_interpolate",
     "o4_range_interval_window",
+    "g3_label_propagation",
 )
 
 

@@ -343,3 +343,54 @@ def g2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(keys, F.col("dst") == F.col("k"), "left_semi")
     )
     return triangle_counts(edges)
+
+
+@query(
+    "g3_label_propagation",
+    oracle=(
+        # 3 unrolled synchronous LPA supersteps over the i1 chain graph;
+        # argmax with (count desc, label asc) tie-break per step —
+        # identical to the engine's deterministic rule.
+        "WITH e AS (SELECT p.p_partkey AS src, p.p_partkey + 1 AS dst"
+        "  FROM part p WHERE p.p_partkey % 10 < 3"
+        "  AND EXISTS (SELECT 1 FROM part q"
+        "   WHERE q.p_partkey = p.p_partkey + 1)),"
+        " sym AS (SELECT src AS u, dst AS w FROM e"
+        "  UNION SELECT dst, src FROM e),"
+        " l0 AS (SELECT DISTINCT u AS vertex, u AS label FROM sym),"
+        " c1 AS (SELECT s.u AS vertex, l.label, count(*) AS n FROM sym s"
+        "  JOIN l0 l ON l.vertex = s.w GROUP BY 1, 2),"
+        " l1 AS (SELECT vertex, label FROM (SELECT vertex, label,"
+        "  row_number() OVER (PARTITION BY vertex"
+        "   ORDER BY n DESC, label) AS rk FROM c1) WHERE rk = 1),"
+        " c2 AS (SELECT s.u AS vertex, l.label, count(*) AS n FROM sym s"
+        "  JOIN l1 l ON l.vertex = s.w GROUP BY 1, 2),"
+        " l2 AS (SELECT vertex, label FROM (SELECT vertex, label,"
+        "  row_number() OVER (PARTITION BY vertex"
+        "   ORDER BY n DESC, label) AS rk FROM c2) WHERE rk = 1),"
+        " c3 AS (SELECT s.u AS vertex, l.label, count(*) AS n FROM sym s"
+        "  JOIN l2 l ON l.vertex = s.w GROUP BY 1, 2)"
+        " SELECT vertex, label FROM (SELECT vertex, label,"
+        "  row_number() OVER (PARTITION BY vertex"
+        "   ORDER BY n DESC, label) AS rk FROM c3) WHERE rk = 1"
+    ),
+)
+def g3_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3 — synchronous label propagation (community detection) over
+    the i1 chain graph, 3 fixed supersteps, deterministic (count desc,
+    label asc) adoption rule. Completes the iterative-graph family
+    (CC's min-label semiring, BFS's distance semiring, PageRank's
+    weighted sum) with the mode/argmax semiring; determinism-by-
+    construction is what lets the oracle unroll the supersteps as
+    plain SQL instead of settling for rows-only."""
+    from ..operators.graph import label_propagation
+
+    part = load(spark, sf_dir, "part").select("p_partkey")
+    chain = part.where(F.col("p_partkey") % 10 < 3).select(
+        F.col("p_partkey").alias("src"),
+        (F.col("p_partkey") + 1).alias("dst"),
+    )
+    edges = chain.join(
+        part.select(F.col("p_partkey").alias("dst")), "dst", "left_semi"
+    )
+    return label_propagation(edges, iterations=3)
