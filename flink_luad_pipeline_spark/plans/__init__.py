@@ -89,6 +89,7 @@ _NEW_THIS_ROUND = (
     "o3_gap_fill_interpolate",
     "o4_range_interval_window",
     "g3_label_propagation",
+    "ll48_token_runs_udtf",
 )
 
 

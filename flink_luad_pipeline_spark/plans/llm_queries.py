@@ -337,6 +337,69 @@ def ll45_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RUNS_ORACLE = (
+    # gaps-and-islands twin of the UDTF's single forward pass
+    f"WITH tok AS (SELECT doc_id, {_TOKENS_SQL} AS tokens FROM documents),"
+    " t2 AS (SELECT doc_id, unnest(tokens) AS token,"
+    "  unnest(range(0, len(tokens))) AS pos FROM tok),"
+    " m AS (SELECT doc_id, token, pos, CASE WHEN lag(token) OVER ("
+    "  PARTITION BY doc_id ORDER BY pos) IS DISTINCT FROM token"
+    "  THEN 1 ELSE 0 END AS brk FROM t2),"
+    " g AS (SELECT doc_id, token, pos, sum(brk) OVER ("
+    "  PARTITION BY doc_id ORDER BY pos) AS run1 FROM m)"
+    " SELECT doc_id, CAST(run1 - 1 AS INT) AS run_idx, token,"
+    " CAST(count(*) AS INT) AS run_len"
+    " FROM g GROUP BY doc_id, run1, token"
+)
+
+
+@query("ll48_token_runs_udtf", oracle=_RUNS_ORACLE)
+def ll48_token_runs_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (the table-function slot of SURVEY §2.8,
+    next to scalar pandas UDFs and the applyInPandas UDAF/grouped
+    slots): run-length encoding of consecutive repeated tokens — a
+    genuinely procedural 1->N expansion (single forward pass with
+    carried state) registered as a UDTF and invoked through the SQL
+    front door with LATERAL correlation. The oracle replays it as
+    gaps-and-islands SQL, so the row-generating path is value-checked.
+    Role note: this demonstrates the UDTF surface; set-shaped
+    expansions in hot paths stay native (explode/posexplode, cf. ll13/
+    ll16) — a Python table function is the escape hatch for logic a
+    generator expresses better than a window stack."""
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, run_idx int, token string, run_len int")
+    class TokenRuns:
+        def eval(self, doc_id, text):
+            toks = [
+                t for t in re.split(r"[^a-z0-9]+", (text or "").lower()) if t
+            ]
+            run_idx = -1
+            cur = None
+            n = 0
+            for t in toks:
+                if t == cur:
+                    n += 1
+                    continue
+                if cur is not None:
+                    yield doc_id, run_idx, cur, n
+                run_idx += 1
+                cur, n = t, 1
+            if cur is not None:
+                yield doc_id, run_idx, cur, n
+
+    from ..catalog import register_all
+
+    register_all(spark, sf_dir)
+    spark.udtf.register("token_runs", TokenRuns)
+    return spark.sql(
+        "SELECT t.* FROM documents d,"
+        " LATERAL token_runs(d.doc_id, d.text) t"
+    )
+
+
 _UNICODE_ORACLE = (
     # Fixture: every 'a' decomposed to 'a' + U+0301 (combining acute),
     # so NFC has real work (recompose to U+00E1) and accent-stripping
