@@ -451,3 +451,88 @@ def ivf_topk(
         # the query's nprobe cells are distinct, so pairs are unique
     )
     return _ranked(scored, k)
+
+
+def pq_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    m: int = 4,
+    dim: int = 64,
+    centroid_mod: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Product-quantization (PQ) approximate top-k — the compression
+    half of IVF-PQ: each vector is encoded as ``m`` small codes (the
+    nearest per-subspace centroid by inner product), and query scoring
+    is asymmetric distance computation (ADC): a per-query lookup table
+    of query-subvector · centroid partial dots, summed over the m
+    codes. A candidate costs m code lookups instead of a dim-length
+    dot product, and the stored corpus is m bytes-ish per vector
+    instead of dim floats — the memory/bandwidth lever that makes
+    billion-vector search feasible; compose with the IVF cell join
+    (ivf_topk) for candidate pruning on top.
+
+    Deterministic end to end (training-free mod-sampled codebooks,
+    rounded partial dots as exact DECIMALs summed order-free, ties by
+    centroid/cand id), so the oracle reproduces codes, LUT, and
+    ranking exactly. Plan shape: subvector explode is narrow; encode
+    is an equi-join on subspace id against the broadcast codebook +
+    one argmax window; scoring is an equi-join on (subspace, code)
+    against the broadcast LUT + one sum aggregation.
+    """
+    from ..functions.vectors import dot
+
+    subdim = dim // m
+
+    def subvectors(df: DataFrame, out_id: str):
+        subs = F.array(
+            *[
+                F.slice(F.col(vec_col), s * subdim + 1, subdim)
+                for s in range(m)
+            ]
+        )
+        return df.select(
+            F.col(id_col).alias(out_id), F.posexplode(subs).alias("s", "sub")
+        )
+
+    codebook = subvectors(
+        candidates.where(F.col(id_col) % centroid_mod == 0), "centroid_id"
+    ).select("centroid_id", "s", F.col("sub").alias("cent"))
+
+    def partial_dots(df: DataFrame, out_id: str, dot_name: str):
+        return (
+            df.join(F.broadcast(codebook), "s")
+            .select(
+                out_id,
+                "s",
+                "centroid_id",
+                F.round(dot(F.col("sub"), F.col("cent")), round_digits)
+                .cast("decimal(18,6)")
+                .alias(dot_name),
+            )
+            .where(F.col(dot_name).isNotNull())
+        )
+
+    enc_w = Window.partitionBy("cand_id", "s").orderBy(
+        F.col("d").desc(), F.col("centroid_id")
+    )
+    codes = (
+        partial_dots(subvectors(candidates, "cand_id"), "cand_id", "d")
+        .withColumn("rk", F.row_number().over(enc_w))
+        .where(F.col("rk") == 1)
+        .select("cand_id", "s", F.col("centroid_id").alias("code"))
+    )
+    lut = partial_dots(
+        subvectors(queries, "query_id"), "query_id", "qd"
+    ).withColumnRenamed("centroid_id", "code")
+    scored = (
+        codes.join(F.broadcast(lut), ["s", "code"])
+        .where(F.col("query_id") != F.col("cand_id"))
+        .groupBy("query_id", "cand_id")
+        # exact DECIMAL partials summed — order-free, so engines agree
+        .agg(F.sum("qd").cast("decimal(18,6)").alias("sim"))
+    )
+    return _ranked(scored, k)

@@ -90,6 +90,7 @@ _NEW_THIS_ROUND = (
     "o4_range_interval_window",
     "g3_label_propagation",
     "ll48_token_runs_udtf",
+    "ll49_pq_ann_topk",
 )
 
 

@@ -337,6 +337,65 @@ def ll45_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dot6_sql(a: str, b: str) -> str:
+    """Rounded-then-exact partial dot: DECIMAL(18,6) of the 6-digit
+    rounded inner product (mirrors pq_topk's partial_dots)."""
+    return (
+        f"CAST(round(list_sum(list_transform(range(1, len({a}) + 1),"
+        f" i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), 6)"
+        " AS DECIMAL(18,6))"
+    )
+
+
+_PQ_ORACLE = (
+    # Mirrors similarity.pq_topk(m=4, dim=64, centroid_mod=64): same
+    # training-free codebooks, same rounded-DECIMAL partial dots (so
+    # the m-term sum is order-free), same tie-breaks.
+    "WITH sp AS (SELECT unnest([0, 1, 2, 3]) AS s),"
+    " cb AS (SELECT e.vec_id AS centroid_id, sp.s,"
+    "  list_slice(e.embedding, sp.s * 16 + 1, sp.s * 16 + 16) AS cent"
+    "  FROM embeddings e, sp WHERE e.vec_id % 64 = 0),"
+    " csub AS (SELECT e.vec_id AS cand_id, sp.s,"
+    "  list_slice(e.embedding, sp.s * 16 + 1, sp.s * 16 + 16) AS sub"
+    "  FROM embeddings e, sp),"
+    " enc AS (SELECT cand_id, c.s, c.centroid_id,"
+    f" {_dot6_sql('sub', 'cent')} AS d"
+    "  FROM csub JOIN cb c ON c.s = csub.s),"
+    " codes AS (SELECT cand_id, s, centroid_id AS code FROM ("
+    "  SELECT cand_id, s, centroid_id, row_number() OVER ("
+    "   PARTITION BY cand_id, s ORDER BY d DESC, centroid_id) AS rk"
+    "  FROM enc WHERE d IS NOT NULL) WHERE rk = 1),"
+    " qsub AS (SELECT e.vec_id AS query_id, sp.s,"
+    "  list_slice(e.embedding, sp.s * 16 + 1, sp.s * 16 + 16) AS sub"
+    "  FROM embeddings e, sp WHERE e.vec_id < 5),"
+    " lut AS (SELECT query_id, c.s, c.centroid_id AS code,"
+    f" {_dot6_sql('sub', 'cent')} AS qd"
+    "  FROM qsub JOIN cb c ON c.s = qsub.s),"
+    " scored AS (SELECT query_id, cand_id,"
+    "  CAST(sum(qd) AS DECIMAL(18,6)) AS sim"
+    "  FROM codes JOIN lut ON lut.s = codes.s AND lut.code = codes.code"
+    "  WHERE query_id <> cand_id AND qd IS NOT NULL GROUP BY 1, 2)"
+    " SELECT query_id, cand_id, CAST(sim AS DOUBLE) AS sim, rank FROM ("
+    "  SELECT query_id, cand_id, sim, CAST(row_number() OVER ("
+    "   PARTITION BY query_id ORDER BY sim DESC, cand_id) AS BIGINT)"
+    "   AS rank FROM scored) WHERE rank <= 10"
+)
+
+
+@query("ll49_pq_ann_topk", oracle=_PQ_ORACLE)
+def ll49_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-10 — the compression tier of the
+    ANN family (brute ll8 / hyperplane-LSH ll9 / IVF ll12 / PQ here,
+    one output contract): candidates encoded as 4 subspace codes,
+    queries scored by summing looked-up partial dots. Deterministic
+    codebooks + exact-DECIMAL partials mean the oracle reproduces
+    codes, LUT, and ranking — the compression loss itself is
+    value-checked, not just shape-checked."""
+    emb = load(spark, sf_dir, "embeddings")
+    out = similarity.pq_topk(emb.where(F.col("vec_id") < 5), emb, k=10)
+    return out.select("query_id", "cand_id", "sim", "rank")
+
+
 _RUNS_ORACLE = (
     # gaps-and-islands twin of the UDTF's single forward pass
     f"WITH tok AS (SELECT doc_id, {_TOKENS_SQL} AS tokens FROM documents),"
