@@ -1135,8 +1135,9 @@ def sql4_tpch_q10_shared_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # Adaptations to the synthetic schema: the tables lack l_commitdate/
-# l_receiptdate/l_shipmode/partsupp, so Q4/Q12 and the partsupp family
-# are not expressible; the six below are, with noted tweaks. Ratio
+# l_receiptdate/l_shipmode/partsupp, so Q12 and the partsupp family
+# are not expressible (Q4/Q21 substitute a marker predicate — see
+# SQL11-16 below); the six here are, with noted tweaks. Ratio
 # queries (Q14) cast the exact DECIMAL sums to DOUBLE before dividing —
 # decimal-division result scale is an engine-specific choice, IEEE
 # double division is not.
@@ -1280,3 +1281,187 @@ def sql10_tpch_q22_shared_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast as a literal) plus a correlated NOT EXISTS that plans as
     a left-anti join against the date-pruned orders scan."""
     return _shared_text_query(SQL10_SHARED_TEXT)(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# SQL11-16 — TPC-H Q4/Q7/Q8/Q13/Q15/Q21 shapes, shared-text contract
+# ---------------------------------------------------------------------------
+
+# With these six the engine covers every TPC-H query expressible on the
+# synthetic tables: Q2/Q9/Q11/Q16/Q20 need partsupp (absent), Q12 needs
+# l_shipmode/l_commitdate/l_receiptdate (absent). Q4 and Q21's lateness
+# predicate (l_commitdate < l_receiptdate) is likewise absent, so both
+# substitute l_returnflag = 'R' as the per-lineitem "problem" marker —
+# the correlated EXISTS / NOT EXISTS structure, which is what those
+# queries exercise, is verbatim.
+
+# Q4 (order priority checking): correlated EXISTS semi-join from orders
+# into lineitem, quarter window, count by priority.
+SQL11_SHARED_TEXT = (
+    "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count"
+    " FROM orders"
+    " WHERE o_orderdate >= DATE '1997-07-01'"
+    " AND o_orderdate < DATE '1997-10-01'"
+    " AND EXISTS (SELECT 1 FROM lineitem"
+    "  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')"
+    " GROUP BY o_orderpriority"
+)
+
+# Q7 (volume shipping): verbatim shape — two nation aliases joined on
+# opposite sides, symmetric pair disjunction, per-year revenue.
+# EXTRACT(YEAR ...) is cast to INTEGER explicitly: DuckDB's EXTRACT
+# yields BIGINT, Spark's INT — the cast makes the shared text carry one
+# schema.
+SQL12_SHARED_TEXT = (
+    "SELECT supp_nation, cust_nation, l_year,"
+    " CAST(round(sum(volume), 2) AS DOUBLE) AS revenue"
+    " FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,"
+    "  CAST(EXTRACT(YEAR FROM l_shipdate) AS INTEGER) AS l_year,"
+    "  CAST(l_extendedprice AS DECIMAL(18,2))"
+    "  * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume"
+    "  FROM supplier"
+    "  JOIN lineitem ON s_suppkey = l_suppkey"
+    "  JOIN orders ON o_orderkey = l_orderkey"
+    "  JOIN customer ON c_custkey = o_custkey"
+    "  JOIN nation n1 ON s_nationkey = n1.n_nationkey"
+    "  JOIN nation n2 ON c_nationkey = n2.n_nationkey"
+    "  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')"
+    "   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))"
+    "  AND l_shipdate >= DATE '1996-01-01'"
+    "  AND l_shipdate <= DATE '1997-12-31') shipping"
+    " GROUP BY supp_nation, cust_nation, l_year"
+)
+
+# Q8 (national market share): the widest join in the suite — 8 tables,
+# nation joined twice on different sides (customer-side for the region
+# filter, supplier-side for the share CASE). Ratio computed in DOUBLE
+# (decimal-division result scale is engine-specific, IEEE is not).
+SQL13_SHARED_TEXT = (
+    "SELECT o_year,"
+    " CAST(round(CAST(sum(CASE WHEN nation = 'NATION_1' THEN volume"
+    " ELSE 0 END) AS DOUBLE)"
+    " / CAST(sum(volume) AS DOUBLE), 6) AS DOUBLE) AS mkt_share"
+    " FROM (SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,"
+    "  CAST(l_extendedprice AS DECIMAL(18,2))"
+    "  * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume,"
+    "  n2.n_name AS nation"
+    "  FROM part"
+    "  JOIN lineitem ON p_partkey = l_partkey"
+    "  JOIN supplier ON s_suppkey = l_suppkey"
+    "  JOIN orders ON l_orderkey = o_orderkey"
+    "  JOIN customer ON o_custkey = c_custkey"
+    "  JOIN nation n1 ON c_nationkey = n1.n_nationkey"
+    "  JOIN region ON n1.n_regionkey = r_regionkey"
+    "  JOIN nation n2 ON s_nationkey = n2.n_nationkey"
+    "  WHERE r_name = 'AMERICA'"
+    "  AND o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'"
+    "  AND p_type = 'ECONOMY') all_nations"
+    " GROUP BY o_year"
+)
+
+# Q13 (customer distribution): LEFT OUTER JOIN with a non-key predicate
+# in the ON clause (must NOT be pushed below the join — customers with
+# only urgent orders count as 0, not disappear), then a distribution-of-
+# counts double aggregate.
+SQL14_SHARED_TEXT = (
+    "SELECT c_count, CAST(count(*) AS BIGINT) AS custdist"
+    " FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count"
+    "  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey"
+    "  AND o_orderpriority <> '1-URGENT'"
+    "  GROUP BY c_custkey) c_orders"
+    " GROUP BY c_count"
+)
+
+# Q15 (top supplier): a CTE referenced twice — once as the join input,
+# once inside the scalar MAX subquery. The equality predicate on the
+# exact DECIMAL revenue is engine-portable; a DOUBLE version would not
+# be (accumulation order).
+SQL15_SHARED_TEXT = (
+    "WITH revenue AS (SELECT l_suppkey AS supplier_no,"
+    " sum(CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_revenue"
+    " FROM lineitem"
+    " WHERE l_shipdate >= DATE '1997-01-01'"
+    " AND l_shipdate < DATE '1997-04-01'"
+    " GROUP BY l_suppkey)"
+    " SELECT s_suppkey, s_name,"
+    " CAST(round(total_revenue, 2) AS DOUBLE) AS total_revenue"
+    " FROM supplier JOIN revenue ON s_suppkey = supplier_no"
+    " WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)"
+)
+
+# Q21 (suppliers who kept orders waiting): the double-correlated
+# pattern — EXISTS (another supplier in the order) AND NOT EXISTS
+# (another supplier also flagged) — i.e. "the only supplier at fault
+# in a multi-supplier order".
+SQL16_SHARED_TEXT = (
+    "SELECT s_name, CAST(count(*) AS BIGINT) AS numwait"
+    " FROM supplier"
+    " JOIN lineitem l1 ON s_suppkey = l1.l_suppkey"
+    " JOIN orders ON o_orderkey = l1.l_orderkey"
+    " JOIN nation ON s_nationkey = n_nationkey"
+    " WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'"
+    " AND n_name = 'NATION_3'"
+    " AND EXISTS (SELECT 1 FROM lineitem l2"
+    "  WHERE l2.l_orderkey = l1.l_orderkey"
+    "  AND l2.l_suppkey <> l1.l_suppkey)"
+    " AND NOT EXISTS (SELECT 1 FROM lineitem l3"
+    "  WHERE l3.l_orderkey = l1.l_orderkey"
+    "  AND l3.l_suppkey <> l1.l_suppkey"
+    "  AND l3.l_returnflag = 'R')"
+    " GROUP BY s_name"
+)
+
+
+@query("sql11_tpch_q4_shared_text", oracle=SQL11_SHARED_TEXT)
+def sql11_tpch_q4_shared_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order priority checking), shared-text contract. The
+    correlated EXISTS plans as a left semi-join of the quarter-pruned
+    orders scan against the R-flagged lineitem scan; at 100 TB the
+    flag filter prunes lineitem to a third before the shuffle."""
+    return _shared_text_query(SQL11_SHARED_TEXT)(spark, sf_dir)
+
+
+@query("sql12_tpch_q7_shared_text", oracle=SQL12_SHARED_TEXT)
+def sql12_tpch_q7_shared_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping), shared-text contract. nation is
+    joined twice (supplier side, customer side); the symmetric-pair
+    disjunction survives as a residual predicate after both broadcast
+    joins rather than unioning two scans."""
+    return _shared_text_query(SQL12_SHARED_TEXT)(spark, sf_dir)
+
+
+@query("sql13_tpch_q8_shared_text", oracle=SQL13_SHARED_TEXT)
+def sql13_tpch_q8_shared_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share), shared-text contract. Eight
+    tables: every dimension (part, supplier, customer, nation x2,
+    region) broadcasts; lineitem⋈orders is the one shuffle edge and the
+    two-year window prunes orders at the scan."""
+    return _shared_text_query(SQL13_SHARED_TEXT)(spark, sf_dir)
+
+
+@query("sql14_tpch_q13_shared_text", oracle=SQL14_SHARED_TEXT)
+def sql14_tpch_q13_shared_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer distribution), shared-text contract. The
+    outer join keeps zero-order customers (the ON-clause predicate must
+    not become a WHERE); the second aggregate is tiny (distinct counts),
+    so the plan is one shuffle on c_custkey then a near-free regroup."""
+    return _shared_text_query(SQL14_SHARED_TEXT)(spark, sf_dir)
+
+
+@query("sql15_tpch_q15_shared_text", oracle=SQL15_SHARED_TEXT)
+def sql15_tpch_q15_shared_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier), shared-text contract. The revenue CTE
+    aggregates lineitem once per reference; the scalar MAX collapses to
+    a one-row broadcast compared against the joined side. Equality on
+    exact DECIMAL keeps the predicate engine-portable."""
+    return _shared_text_query(SQL15_SHARED_TEXT)(spark, sf_dir)
+
+
+@query("sql16_tpch_q21_shared_text", oracle=SQL16_SHARED_TEXT)
+def sql16_tpch_q21_shared_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (sole supplier at fault), shared-text contract.
+    The EXISTS becomes a left semi-join and the NOT EXISTS a left
+    anti-join, both on l_orderkey with non-equal-supplier residuals —
+    three passes over lineitem, each pruned at the scan."""
+    return _shared_text_query(SQL16_SHARED_TEXT)(spark, sf_dir)

@@ -402,6 +402,23 @@ def test_tpch_shared_text_pushdown_no_cartesian(spark, sf_dir):
                                      "GreaterThanOrEqual(o_orderdate,"],
         "sql4_tpch_q10_shared_text": ["EqualTo(l_returnflag,R)",
                                       "GreaterThanOrEqual(o_orderdate,"],
+        "sql11_tpch_q4_shared_text": ["EqualTo(l_returnflag,R)",
+                                      "GreaterThanOrEqual(o_orderdate,"],
+        "sql12_tpch_q7_shared_text": [
+            "Or(EqualTo(n_name,NATION_1),EqualTo(n_name,NATION_2))",
+            "GreaterThanOrEqual(l_shipdate,"],
+        "sql13_tpch_q8_shared_text": ["EqualTo(r_name,AMERICA)",
+                                      "EqualTo(p_type,ECONOMY)",
+                                      "GreaterThanOrEqual(o_orderdate,"],
+        # Q13's outer-join ON predicate is pushed only to the
+        # null-producing (orders) side — pushing it to customer would
+        # drop zero-order customers
+        "sql14_tpch_q13_shared_text": [
+            "Not(EqualTo(o_orderpriority,1-URGENT))"],
+        "sql15_tpch_q15_shared_text": ["GreaterThanOrEqual(l_shipdate,"],
+        "sql16_tpch_q21_shared_text": ["EqualTo(o_orderstatus,F)",
+                                       "EqualTo(n_name,NATION_3)",
+                                       "EqualTo(l_returnflag,R)"],
     }
     for name, preds in expected.items():
         plan = physical(QUERIES[name](spark, sf_dir))
