@@ -1,0 +1,128 @@
+"""Deterministic k-means clustering over an embedding column.
+
+A coarse cluster assignment is a core curation primitive for a
+training-data pipeline: cluster-balanced mixture sampling, per-cluster
+dedup scoping (the SemDeDup pattern in ``similarity.semantic_dedup``
+uses a hash-modulus stand-in; this is the learned version), and
+centroid-based IVF indexing (``similarity.ivf_topk`` takes any centroid
+table — including the one this produces).
+
+Why hand-rolled Lloyd instead of ``pyspark.ml.clustering.KMeans``:
+MLlib's k-means|| init and per-partition float reductions are
+nondeterministic across engine/partitioning, so results could never be
+value-checked. This implementation is exactly reproducible by any
+engine (and IS checked against a DuckDB re-implementation at sf0.01):
+
+- init: the k vectors with the smallest ids (real data points, no RNG);
+- assignment: squared-L2 distance in exact-double arithmetic with a
+  fixed fold order (``zip_with`` + left-fold ``aggregate``), rounded to
+  ``round_digits`` BEFORE the argmin, ties broken by centroid id;
+- update: per-dimension mean rounded to ``round_digits`` (absorbs
+  accumulation-order noise of the distributed average); clusters that
+  lose every member keep their previous centroid.
+
+Scale design (100 TB): the only shuffle per iteration is the
+per-(cluster, dim) partial-aggregated mean — the wire carries
+k x dim partial states per partition, not rows. Centroids (k x dim
+doubles, a few KB) legitimately live on the driver and broadcast into
+the assignment join, exactly like the graph loops' frontier counts;
+the full vector table is never collected. Iteration count is a small
+fixed constant — plans stay shallow without checkpointing.
+
+Reference parity note: the reference has no clustering operator; this
+extends the ML surface (SURVEY §2.7) the same way C1/C4 wrap FlinkML
+(`PreProcess.scala:130-138`, `Trainer.scala:26-61`) — a composite
+analytic op behind the registry contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _sq_dist(a: Column, b: Column, round_digits: int) -> Column:
+    """Rounded squared-L2 distance with a deterministic fold order."""
+    return F.round(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        ),
+        round_digits,
+    )
+
+
+def _assign(e: DataFrame, cent: DataFrame, round_digits: int) -> DataFrame:
+    """Nearest centroid per vector: broadcast the (tiny) centroid table,
+    score all k per vector map-side, keep the argmin. Ties broken by
+    centroid id so the result is engine-independent."""
+    scored = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "v",
+        "cid",
+        _sq_dist(F.col("v"), F.col("cv"), round_digits).alias("sqdist"),
+    )
+    w = Window.partitionBy("vec_id").orderBy("sqdist", "cid")
+    return (
+        scored.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") == 1)
+        .drop("r")
+    )
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Deterministic Lloyd k-means; returns (vec_id, cluster, sqdist)
+    — the final assignment after ``iters`` update steps."""
+    spark = emb.sparkSession
+    e = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    cent = {
+        int(r["cid"]): list(r["cv"])
+        for r in e.where(F.col("vec_id") < k)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+        .collect()
+    }
+
+    def cent_df() -> DataFrame:
+        return spark.createDataFrame(
+            sorted(cent.items()), "cid bigint, cv array<double>"
+        )
+
+    for _ in range(iters):
+        assigned = _assign(e, cent_df(), round_digits)
+        upd = (
+            assigned.select("cid", F.posexplode("v").alias("i", "val"))
+            .groupBy("cid", "i")
+            .agg(F.round(F.avg("val"), round_digits).alias("av"))
+            .groupBy("cid")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("i"), F.col("av")))
+                ).alias("pairs")
+            )
+            .select(
+                "cid",
+                F.transform(F.col("pairs"), lambda p: p["av"]).alias("cv"),
+            )
+        )
+        # k rows of dim doubles — a legitimate driver boundary (same
+        # contract as the graph loops' convergence counts); empty
+        # clusters keep their previous centroid
+        for r in upd.collect():
+            cent[int(r["cid"])] = list(r["cv"])
+
+    final = _assign(e, cent_df(), round_digits)
+    return final.select(
+        "vec_id", F.col("cid").cast("bigint").alias("cluster"), "sqdist"
+    )

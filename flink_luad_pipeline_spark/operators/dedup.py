@@ -582,3 +582,78 @@ def winnowing_overlap_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= F.lit(int(min_shared)))
     )
+
+
+def ngram_span_coverage(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    min_count: int = 2,
+) -> DataFrame:
+    """Duplicate n-gram SPAN coverage (the Lee et al. "Deduplicating
+    Training Data" unit): for every document, the fraction of its
+    tokens covered by some word n-gram that occurs >= min_count times
+    anywhere in the corpus (other documents or repeats within the same
+    one). Document-level tiers (exact/minhash/simhash) can't see a
+    boilerplate paragraph pasted into otherwise-distinct documents;
+    this is the span-level signal that drives span removal / doc
+    down-weighting.
+
+    Shape (all shuffle-bounded, no crossJoin): positional n-grams via
+    sequence+transform (narrow, codegen) -> groupBy(gram) count with
+    map-side partial agg -> semi-join flagged grams back (inverted-
+    index equi-join, the ll20 shape) -> covered token positions via
+    sequence-explode + distinct (one doc_id-keyed shuffle, cardinality
+    <= corpus token count) -> per-doc count. Returns
+    (doc_id, n_tokens, covered_tokens, dup_ratio).
+    """
+    base = df.select(
+        F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("toks")
+    ).select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        word_ngrams(F.col("toks"), n).alias("grams"),
+    )
+    flat = base.select(
+        "doc_id", F.posexplode("grams").alias("pos", "gram")
+    )
+    flagged = (
+        flat.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= F.lit(int(min_count)))
+        .select("gram")
+    )
+    covered = (
+        flat.join(flagged, "gram", "left_semi")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
+            ).alias("tp"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("covered"))
+    )
+    return (
+        base.select("doc_id", "n_tokens")
+        .join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.coalesce(F.col("covered"), F.lit(0))
+            .cast("bigint")
+            .alias("covered_tokens"),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.round(
+                    F.coalesce(F.col("covered"), F.lit(0))
+                    / F.col("n_tokens").cast("double"),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_ratio"),
+        )
+    )

@@ -2012,3 +2012,109 @@ def ll40_pipeline_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.where(
         h % F.lit(1000000) < F.round(rate * 1000000, 0).cast("bigint")
     ).select("doc_id", "source", F.col("n_tokens").cast("bigint").alias("n_tokens"))
+
+
+# ---------------------------------------------------------------------------
+# ll50 — deterministic k-means cluster assignment (curation clustering)
+# ---------------------------------------------------------------------------
+
+
+def _kmeans_oracle(k: int = 8, iters: int = 3) -> str:
+    """Unrolled Lloyd iterations as DuckDB CTEs — the same fixed-point
+    arithmetic as operators/clustering.py: distances rounded to 6
+    before the argmin (ties by centroid id), per-dimension means
+    rounded to 6, empty clusters carry the previous centroid."""
+    sq = (
+        "round(list_sum(list_transform(range(1, len(e.v) + 1),"
+        " i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))), 6)"
+    )
+    parts = [
+        "WITH e AS (SELECT vec_id,"
+        " list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
+        " FROM embeddings),",
+        f" c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {k}),",
+    ]
+    for it in range(iters):
+        parts += [
+            f" a{it}s AS (SELECT e.vec_id, e.v, c.cid, {sq} AS sqdist"
+            f" FROM e, c{it} c),",
+            f" a{it} AS (SELECT vec_id, v, cid FROM ("
+            f" SELECT vec_id, v, cid, row_number() OVER ("
+            f" PARTITION BY vec_id ORDER BY sqdist, cid) AS r"
+            f" FROM a{it}s) WHERE r = 1),",
+            f" u{it} AS (SELECT cid, list(av ORDER BY i) AS cv FROM ("
+            f" SELECT cid, i, round(avg(val), 6) AS av FROM ("
+            f" SELECT cid, unnest(v) AS val, unnest(range(len(v))) AS i"
+            f" FROM a{it}) GROUP BY cid, i) GROUP BY cid),",
+            f" c{it + 1} AS (SELECT c.cid, coalesce(u.cv, c.cv) AS cv"
+            f" FROM c{it} c LEFT JOIN u{it} u USING (cid)),",
+        ]
+    parts += [
+        f" fs AS (SELECT e.vec_id, c.cid, {sq} AS sqdist"
+        f" FROM e, c{iters} c)"
+        " SELECT vec_id, CAST(cid AS BIGINT) AS cluster, sqdist FROM ("
+        " SELECT vec_id, cid, sqdist, row_number() OVER ("
+        " PARTITION BY vec_id ORDER BY sqdist, cid) AS r FROM fs)"
+        " WHERE r = 1",
+    ]
+    return "".join(parts)
+
+
+@query("ll50_kmeans_clusters", oracle=_kmeans_oracle())
+def ll50_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd k-means assignment over the embeddings table
+    (k=8, 3 iterations) — the learned-centroid tier of the curation
+    stack: its output feeds cluster-balanced sampling (ll35's pattern
+    keyed by cluster instead of source), SemDeDup-style per-cluster
+    dedup scoping (ll42 with real centroids), and IVF indexing (ll12
+    with a trained centroid table). MLlib KMeans is nondeterministic
+    (k-means|| init, fp reduction order), so this hand-rolled variant
+    trades a few lines for a value-checkable contract: smallest-id
+    init, rounded-distance argmin with id tie-break, rounded means.
+    Scale: one k x dim-state partial-agg shuffle per iteration; the
+    k-row centroid table is the only driver boundary."""
+    from ..operators import clustering
+
+    emb = load(spark, sf_dir, "embeddings")
+    return clustering.kmeans_assign(emb, k=8, iters=3)
+
+
+# ---------------------------------------------------------------------------
+# ll51 — duplicate n-gram span coverage (span-level dedup signal)
+# ---------------------------------------------------------------------------
+
+_SPAN_ORACLE = (
+    f"WITH aug AS ({_AUG_SQL}),"
+    f" tok AS (SELECT doc_id, {_TOKENS_SQL.replace('text', 'text')} AS toks"
+    " FROM aug),"
+    " base AS (SELECT doc_id, len(toks) AS n_tokens, toks FROM tok),"
+    " flat AS (SELECT doc_id, g['pos'] AS pos, g['gram'] AS gram FROM ("
+    " SELECT doc_id, unnest(list_transform("
+    " range(0, greatest(n_tokens - 4, 0)),"
+    " i -> {'pos': i, 'gram': array_to_string(toks[i + 1:i + 5], ' ')}"
+    " )) AS g FROM base)),"
+    " dup AS (SELECT gram FROM flat GROUP BY gram HAVING count(*) >= 2),"
+    " cov AS (SELECT DISTINCT doc_id, tp FROM ("
+    " SELECT doc_id, unnest(range(pos, pos + 5)) AS tp FROM flat"
+    " WHERE gram IN (SELECT gram FROM dup))),"
+    " cnt AS (SELECT doc_id, count(*) AS covered FROM cov GROUP BY doc_id)"
+    " SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,"
+    " CAST(coalesce(c.covered, 0) AS BIGINT) AS covered_tokens,"
+    " CAST(CASE WHEN b.n_tokens > 0 THEN round("
+    " coalesce(c.covered, 0) / CAST(b.n_tokens AS DOUBLE), 6)"
+    " ELSE 0.0 END AS DOUBLE) AS dup_ratio"
+    " FROM base b LEFT JOIN cnt c USING (doc_id)"
+)
+
+
+@query("ll51_ngram_span_coverage", oracle=_SPAN_ORACLE)
+def ll51_ngram_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level dedup signal over the augmented corpus: per document,
+    the fraction of tokens covered by a word 5-gram occurring >= 2
+    times corpus-wide (Lee et al.'s repeated-span unit). Complements
+    the document-level tiers — a boilerplate paragraph shared by
+    otherwise-distinct docs is invisible to ll4/ll6/ll7 but lights up
+    here. The planted exact copies give every 10th doc a dup_ratio of
+    1.0; organic shared spans land in between."""
+    aug = _augmented(spark, sf_dir)
+    return dedup.ngram_span_coverage(aug, "doc_id", "text", n=5, min_count=2)
