@@ -1658,3 +1658,78 @@ def o4_range_interval_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(18,6)")
         .alias("sum_trailing_1h"),
     )
+
+
+@query(
+    "o5_rolling_zscore",
+    oracle=(
+        # Trailing-window z-score per user: moments over the 20
+        # PRECEDING rows (current row excluded — self-inclusion would
+        # dampen the very outlier being scored). Moments accumulate in
+        # exact DECIMAL; every double op after that is written in the
+        # same order on both engines, into the shared round(z, 6).
+        "WITH b AS (SELECT event_id, user_id, value,"
+        " count(*) OVER w AS n,"
+        " CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS s1,"
+        " CAST(sum(CAST(value AS DECIMAL(18,6))"
+        "  * CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS s2"
+        " FROM events WINDOW w AS (PARTITION BY user_id"
+        "  ORDER BY ts, event_id"
+        "  ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),"
+        " c AS (SELECT event_id, user_id, value, n,"
+        "  s1 / n AS m, s2 / n AS msq FROM b WHERE n >= 5),"
+        " d AS (SELECT event_id, user_id, value, n, m,"
+        "  (msq - m * m) * n / (n - 1) AS vr FROM c)"
+        " SELECT event_id, user_id, CAST(n AS BIGINT) AS n_window,"
+        " CASE WHEN vr > 0 THEN round((value - m) / sqrt(vr), 6)"
+        "  ELSE NULL END AS z,"
+        " CASE WHEN vr > 0 THEN"
+        "  abs(round((value - m) / sqrt(vr), 6)) > 2.0"
+        "  ELSE NULL END AS is_anomaly"
+        " FROM d"
+    ),
+)
+def o5_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5 — rolling z-score anomaly detection per user: each event is
+    scored against the mean/stddev of its own trailing 20-row window
+    (self excluded), |z| > 2 flags the anomaly. The third timeseries
+    op next to o2 (EWMA) and o3 (gap fill); the streaming twin of the
+    same shape is ss9's stateful fold.
+
+    Determinism across engines: the window is ROWS-framed on the
+    deterministic (ts, event_id) order, the two moments accumulate in
+    exact DECIMAL, and the double arithmetic after the cast is the
+    textually identical expression on both sides, ending in round(z,6)
+    before the threshold compare. One shuffle on user_id; the frame is
+    a single sorted pass per partition (bounded-rows frame slides, no
+    re-scan) — at 100 TB this is the partitioning you'd want."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    dec = F.col("value").cast("decimal(18,6)")
+    n = F.count(F.lit(1)).over(w)
+    s1 = F.sum(dec).over(w).cast("double")
+    s2 = F.sum(dec * dec).over(w).cast("double")
+    b = ev.select("event_id", "user_id", "value",
+                  n.alias("n"), s1.alias("s1"), s2.alias("s2"))
+    c = b.where(F.col("n") >= 5).select(
+        "event_id", "user_id", "value", "n",
+        (F.col("s1") / F.col("n")).alias("m"),
+        (F.col("s2") / F.col("n")).alias("msq"),
+    )
+    d = c.select(
+        "event_id", "user_id", "value", "n", "m",
+        ((F.col("msq") - F.col("m") * F.col("m")) * F.col("n")
+         / (F.col("n") - 1)).alias("vr"),
+    )
+    z = F.round((F.col("value") - F.col("m")) / F.sqrt(F.col("vr")), 6)
+    return d.select(
+        "event_id",
+        "user_id",
+        F.col("n").cast("bigint").alias("n_window"),
+        F.when(F.col("vr") > 0, z).alias("z"),
+        F.when(F.col("vr") > 0, F.abs(z) > 2.0).alias("is_anomaly"),
+    )
