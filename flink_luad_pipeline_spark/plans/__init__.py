@@ -69,6 +69,16 @@ _BANKED_GREEN = frozenset(
 # driver window can't miss them (the front is slightly wider than the
 # ~50-query window; the overflow converts next round).
 _NEW_THIS_ROUND = (
+    "ll50_kmeans_clusters",
+    "ll51_ngram_span_coverage",
+    "o5_rolling_zscore",
+    "ss11_transform_with_state",
+    "sql11_tpch_q4_shared_text",
+    "sql12_tpch_q7_shared_text",
+    "sql13_tpch_q8_shared_text",
+    "sql14_tpch_q13_shared_text",
+    "sql15_tpch_q15_shared_text",
+    "sql16_tpch_q21_shared_text",
     "sql2_tpch_q3_shared_text",
     "sql3_tpch_q5_shared_text",
     "sql4_tpch_q10_shared_text",

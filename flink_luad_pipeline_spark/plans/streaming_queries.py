@@ -279,3 +279,54 @@ def ss10_snapshot_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = ops.read_documents_stream(spark, sf_dir)
     kept = ops.snapshot_dedup_stream(stream, snap)
     return _drain(kept, "ss10_snapdedup", "append")
+
+
+@query(
+    "ss11_transform_with_state",
+    oracle=(
+        "SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,"
+        " CAST(CAST(round(max(value), 6) AS DECIMAL(18,6)) AS DOUBLE)"
+        "  AS max_value"
+        " FROM events GROUP BY user_id"
+    ),
+)
+def ss11_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transformWithStateInPandas (Spark 4 arbitrary-state API: typed
+    ValueState handles over the RocksDB provider) running the same
+    per-user count/max as ss5's applyInPandasWithState — both custom-
+    stateful tiers now execute, each against the identical batch
+    oracle. Needs a google.protobuf runtime (the TWS state-server
+    protocol); streaming/protobuf_gate locates the pure-Python one if
+    no pip package exists. RocksDB is also the provider you'd run at
+    production state sizes — state lives off-heap, not in executor
+    JVM memory."""
+    from ..streaming import protobuf_gate
+
+    if not protobuf_gate.ensure_protobuf(spark):
+        raise RuntimeError(
+            "transformWithStateInPandas needs a google.protobuf runtime"
+        )
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        totals = ops.transform_with_state_totals(_events(spark, sf_dir))
+        sink = _drain(totals, "ss11_tws", "update")
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+    return sink.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.round(F.max("max_value"), 6)
+        .cast("decimal(18,6)")
+        .alias("max_value"),
+    )

@@ -336,11 +336,13 @@ def transform_with_state_totals(events: DataFrame) -> DataFrame:
     before ``start()``): transformWithState is implemented against
     RocksDB's column families, which is also the provider to run at
     production state sizes (state spills off-heap instead of living in
-    executor JVM memory); and (b) ``google.protobuf`` on the Python
-    workers (the TWS state-server protocol is protobuf-based) — absent
-    in this container, so the operator is NOT in the query registry;
-    tests skip unless protobuf imports. ss5 covers the same semantics
-    on the dependency-free API.
+    executor JVM memory); and (b) ``google.protobuf`` on driver and
+    Python workers (the TWS state-server protocol is protobuf-based) —
+    ``streaming/protobuf_gate.ensure_protobuf`` locates a pure-Python
+    runtime when no pip package exists, which is how this container
+    runs it (registry query ss11, oracle-checked against the batch
+    aggregate; ss5 covers the same semantics on the dependency-free
+    applyInPandasWithState API).
     """
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
