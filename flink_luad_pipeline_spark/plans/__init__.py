@@ -73,6 +73,7 @@ _NEW_THIS_ROUND = (
     "ll51_ngram_span_coverage",
     "o5_rolling_zscore",
     "ss11_transform_with_state",
+    "ss12_late_data_drop",
     "sql11_tpch_q4_shared_text",
     "sql12_tpch_q7_shared_text",
     "sql13_tpch_q8_shared_text",

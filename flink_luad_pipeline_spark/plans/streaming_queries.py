@@ -330,3 +330,36 @@ def ss11_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(18,6)")
         .alias("max_value"),
     )
+
+
+@query(
+    "ss12_late_data_drop",
+    oracle=(
+        "WITH wm AS (SELECT max(CASE WHEN event_id % 2 = 0 THEN ts END)"
+        "  - INTERVAL 1 HOUR AS wm1,"
+        "  max(ts) - INTERVAL 1 HOUR AS wm2 FROM events),"
+        " w1 AS (SELECT date_trunc('hour', ts) AS ws, count(*) AS n"
+        "  FROM events, wm WHERE event_id % 2 = 0"
+        "  AND date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm1"
+        "  GROUP BY 1),"
+        " w2 AS (SELECT date_trunc('hour', ts) AS ws, count(*) AS n"
+        "  FROM events, wm"
+        "  WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR > wm1"
+        "  AND date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm2"
+        "  GROUP BY 1)"
+        " SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,"
+        " CAST(n AS BIGINT) AS n FROM w1"
+        " UNION ALL SELECT strftime(ws, '%Y-%m-%d %H:%M:%S'),"
+        " CAST(n AS BIGINT) FROM w2"
+    ),
+)
+def ss12_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data drop + checkpoint recovery, observable and exact: the
+    events table replays as two checkpointed AvailableNow runs (even
+    ids, then odd). Phase 2 recovers the persisted watermark, so odd
+    rows in windows closed during phase 1 are DROPPED — the emitted
+    counts prove it (closed windows hold even-only counts; the oracle
+    reconstructs the same two-watermark partition in SQL). The one
+    streaming semantic (and the restart/recovery path) the single-run
+    ss1-ss11 queries cannot exercise."""
+    return ops.late_drop_two_phase(spark, sf_dir)

@@ -471,3 +471,92 @@ def snapshot_dedup_stream(
         F.md5(normalize_text(F.col("text"))).alias("fp")
     )
     return fp.join(snapshot_fps, "fp", "left_anti").dropDuplicates(["fp"])
+
+
+def late_drop_two_phase(
+    spark: SparkSession,
+    sf_dir: str,
+    window: str = "1 hour",
+    delay: str = "1 hour",
+) -> DataFrame:
+    """Watermark late-data drop made observable, plus checkpoint
+    recovery: the events table is replayed in TWO AvailableNow runs
+    sharing one checkpoint — first the even event_ids, then (after the
+    watermark has advanced to max(even ts) - delay and been persisted)
+    the odd ones. Odd rows whose window closed in phase 1 arrive
+    later than the recovered watermark and are genuinely dropped;
+    odd rows in still-open windows merge into the recovered state.
+    The emitted set is therefore a pure function of the input table:
+
+    - windows with end <= wm1 count ONLY even rows (odd ones dropped),
+    - windows with wm1 < end <= wm2 count ALL rows,
+    - windows with end > wm2 are withheld (never finalized),
+
+    with wm1 = max(even ts) - delay, wm2 = max(ts) - delay — which is
+    exactly the SQL the ss12 oracle runs. The parquet sink (the
+    fault-tolerant one) survives the restart; a memory sink would not.
+
+    Scale note: this shape is the production topology — file feed,
+    checkpointed state, append emission on watermark close; the
+    restart proves state/watermark recovery, which AvailableNow
+    single-run queries (ss1-ss10) never exercise.
+    """
+    import glob
+    import shutil
+
+    from ..catalog import load
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    tag = hashlib.md5(f"{sf_dir}|{window}|{delay}".encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), "flps_latedrop", tag)
+    shutil.rmtree(base, ignore_errors=True)
+    feed = os.path.join(base, "feed")
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    tmp = os.path.join(base, "tmp")
+    os.makedirs(feed)
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+
+    def stage(df: DataFrame, name: str) -> None:
+        d = os.path.join(tmp, name)
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        part = glob.glob(os.path.join(d, "part-*.parquet"))[0]
+        shutil.copy(part, os.path.join(feed, name + ".parquet"))
+
+    def run_once() -> None:
+        stream = spark.readStream.schema(
+            "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, value DOUBLE"
+        ).parquet(feed)
+        agg = (
+            stream.withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", delay)
+            .groupBy(F.window("ts", window).alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("ws"), "n")
+        )
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(STATE_PARTITIONS))
+        try:
+            q = (
+                agg.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        q.awaitTermination()
+
+    stage(ev.where(F.col("event_id") % 2 == 0), "f1")
+    run_once()
+    stage(ev.where(F.col("event_id") % 2 == 1), "f2")
+    run_once()
+    return spark.read.parquet(out).select(
+        F.date_format("ws", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        F.col("n").cast("bigint").alias("n"),
+    )
