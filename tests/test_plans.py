@@ -201,6 +201,9 @@ INTENTIONAL_CARTESIAN = {
     "ll42_semantic_dedup",    # same tiny-centroid assignment broadcast;
                               # the PAIR join stays a centroid_id equi-join
                               # (asserted in its dedicated plan test)
+    "ll50_kmeans_clusters",   # k-row centroid broadcast per assignment pass
+                              # (operators/clustering._assign) — same shape
+                              # as ll12/ll42's tiny-centroid scoring
     "ll28_tfidf_topterms",    # 1-row corpus-size scalar broadcast attach
     "ll32_unigram_logprob",   # 1-row corpus-total scalar broadcast attach
 }
