@@ -419,3 +419,74 @@ def label_propagation(
             .localCheckpoint()
         )
     return labels
+
+
+def core_numbers(
+    edges: DataFrame,
+    k_max: int = 3,
+    max_rounds: int = 50,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """k-core decomposition by iterative peeling: every edge endpoint
+    gets its core number, capped at ``k_max`` (core = max k such that
+    the vertex survives in the k-core, the maximal subgraph where every
+    vertex has degree >= k).
+
+    Completes the iterative-graph semiring family (CC min-label, BFS
+    min-distance, PageRank weighted-sum, LPA argmax) with the
+    *subgraph-fixpoint* shape: each peel round is one grouped degree
+    count plus two left-semi joins that keep only edges whose BOTH
+    endpoints still clear the bar — all vertex-keyed hash shuffles, no
+    driver data beyond the convergence counter. Cores are nested, so
+    the (k+1)-peel starts from the k-core edge set rather than the full
+    graph; total work decreases monotonically with k.
+
+    Convergence per k is exact and cheap: the edge set shrinks
+    monotonically, so an unchanged count IS the fixed point (no
+    set-difference pass needed, unlike star-CC where edges are
+    rewritten rather than only deleted). ``localCheckpoint`` per round
+    truncates lineage like the other loops.
+
+    Returns ``DataFrame[vertex, core]`` (BIGINT core, >= 1; isolated
+    vertices have no edges and no row).
+    """
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("w"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("w")))
+        .where(F.col("u") != F.col("w"))
+        .distinct()
+        .localCheckpoint()
+    )
+    levels = sym.select(F.col("u").alias("vertex")).distinct().withColumn(
+        "core", F.lit(1).cast("bigint")
+    )
+    cur, cur_count = sym, sym.count()
+    for k in range(2, k_max + 1):
+        for _ in range(max_rounds):
+            keep = (
+                cur.groupBy("u")
+                .agg(F.count(F.lit(1)).alias("deg"))
+                .where(F.col("deg") >= k)
+                .select("u")
+            )
+            nxt = (
+                cur.join(keep, "u", "left_semi")
+                .join(keep.withColumnRenamed("u", "w"), "w", "left_semi")
+                .select("u", "w")
+                .localCheckpoint()
+            )
+            nxt_count = nxt.count()
+            if nxt_count == cur_count:
+                break
+            cur, cur_count = nxt, nxt_count
+            if cur_count == 0:
+                break
+        if cur_count == 0:
+            break
+        levels = levels.union(
+            cur.select(F.col("u").alias("vertex"))
+            .distinct()
+            .withColumn("core", F.lit(k).cast("bigint"))
+        )
+    return levels.groupBy("vertex").agg(F.max("core").alias("core"))

@@ -394,3 +394,97 @@ def g3_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         part.select(F.col("p_partkey").alias("dst")), "dst", "left_semi"
     )
     return label_propagation(edges, iterations=3)
+
+
+def _kcore_oracle(rounds_per_k: tuple[int, ...] = (6, 3)) -> str:
+    """Unrolled k-core peel in DuckDB: round i of the k-peel keeps the
+    edges whose BOTH endpoints had degree >= k in round i-1. Extra
+    rounds past the fixed point are no-ops (the edge set only shrinks),
+    so the unroll depth just has to be >= the longest peel cascade —
+    the g5 tail path collapses one vertex per round, needing 4 rounds
+    for k=2 on this graph; 6/3 leaves slack.
+
+    Every round CTE is MATERIALIZED: each references its predecessor
+    three times (the edge scan + both degree-keep subqueries), so
+    DuckDB's default CTE inlining would blow the plan up 3^rounds-fold
+    — materialization keeps the unroll linear, mirroring the engine's
+    per-round localCheckpoint."""
+    parts = [
+        "WITH e AS MATERIALIZED (SELECT src, dst FROM ("
+        " SELECT p_partkey AS src, p_partkey + 1 AS dst FROM part"
+        "  WHERE p_partkey % 10 < 3"
+        " UNION ALL SELECT p_partkey, p_partkey + 2 FROM part"
+        "  WHERE p_partkey % 10 < 3"
+        " UNION ALL SELECT p_partkey, p_partkey + 3 FROM part"
+        "  WHERE p_partkey % 10 < 3"
+        " UNION ALL SELECT p_partkey, p_partkey + 1 FROM part"
+        "  WHERE p_partkey % 10 BETWEEN 5 AND 7"
+        ") WHERE dst IN (SELECT p_partkey FROM part)),"
+        " k1g AS MATERIALIZED (SELECT src AS u, dst AS w FROM e"
+        " UNION SELECT dst, src FROM e),"
+    ]
+    prev = "k1g"
+    for idx, rounds in enumerate(rounds_per_k):
+        k = idx + 2
+        for r in range(rounds):
+            cur = f"k{k}g{r}"
+            parts.append(
+                f" {cur} AS MATERIALIZED (SELECT u, w FROM {prev}"
+                f" WHERE u IN (SELECT u FROM {prev}"
+                f"  GROUP BY u HAVING count(*) >= {k})"
+                f" AND w IN (SELECT u FROM {prev}"
+                f"  GROUP BY u HAVING count(*) >= {k})),"
+            )
+            prev = cur
+        parts.append(
+            f" in{k} AS (SELECT DISTINCT u AS vertex, {k} AS core"
+            f" FROM k{k}g{rounds - 1}),"
+        )
+        prev = f"k{k}g{rounds - 1}"
+        # the (k+1)-peel starts from the k-core (cores are nested)
+    ins = " UNION ALL ".join(
+        f"SELECT vertex, core FROM in{idx + 2}"
+        for idx in range(len(rounds_per_k))
+    )
+    parts.append(
+        " lvl AS (SELECT DISTINCT u AS vertex, 1 AS core FROM k1g"
+        f" UNION ALL {ins})"
+        " SELECT vertex, CAST(max(core) AS BIGINT) AS core"
+        " FROM lvl GROUP BY vertex"
+    )
+    return "".join(parts)
+
+
+@query("g5_kcore", oracle=_kcore_oracle())
+def g5_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5 — k-core decomposition (capped at k=3) over the g2 wedge
+    graph plus a path tail (p%10 in 5..7 -> p+1): per decade the dense
+    block {n0..n3} settles at core 3, n4 at core 2, and the tail
+    n5-n6-n7-n8 collapses one vertex per peel round down to core 1 —
+    exercising the multi-round cascade, not just a single-pass degree
+    filter. Completes the iterative family with the subgraph-fixpoint
+    shape; the oracle unrolls the peel as plain SQL (extra rounds are
+    no-ops since the edge set only shrinks)."""
+    from ..operators.graph import core_numbers
+
+    part = load(spark, sf_dir, "part").select("p_partkey")
+    dense = part.where(F.col("p_partkey") % 10 < 3).select(
+        F.col("p_partkey").alias("src"),
+        F.explode(
+            F.array(
+                F.col("p_partkey") + 1,
+                F.col("p_partkey") + 2,
+                F.col("p_partkey") + 3,
+            )
+        ).alias("dst"),
+    )
+    tail = part.where(
+        (F.col("p_partkey") % 10 >= 5) & (F.col("p_partkey") % 10 <= 7)
+    ).select(
+        F.col("p_partkey").alias("src"),
+        (F.col("p_partkey") + 1).alias("dst"),
+    )
+    edges = dense.union(tail).join(
+        part.select(F.col("p_partkey").alias("dst")), "dst", "left_semi"
+    )
+    return core_numbers(edges, k_max=3)

@@ -597,23 +597,23 @@ def _cos_sql(a: str, b: str) -> str:
 _COS_SQL = _cos_sql("qv", "cv")
 
 
-@query(
-    "ll8_cosine_topk",
-    oracle=(
-        "WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings"
-        " WHERE vec_id < 5),"
-        " c AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings),"
-        f" scored AS (SELECT query_id, cand_id, {_COS_SQL} AS sim"
-        " FROM q, c WHERE query_id <> cand_id),"
-        " ranked AS (SELECT query_id, cand_id, sim,"
-        " row_number() OVER (PARTITION BY query_id"
-        " ORDER BY sim DESC, cand_id) AS rank"
-        " FROM scored WHERE sim IS NOT NULL)"
-        " SELECT query_id, cand_id, CAST(CAST(sim AS DECIMAL(18,6)) AS DOUBLE)"
+_LL8_ORACLE = (
+    "WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings"
+    " WHERE vec_id < 5),"
+    " c AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings),"
+    f" scored AS (SELECT query_id, cand_id, {_COS_SQL} AS sim"
+    " FROM q, c WHERE query_id <> cand_id),"
+    " ranked AS (SELECT query_id, cand_id, sim,"
+    " row_number() OVER (PARTITION BY query_id"
+    " ORDER BY sim DESC, cand_id) AS rank"
+    " FROM scored WHERE sim IS NOT NULL)"
+    " SELECT query_id, cand_id, CAST(CAST(sim AS DECIMAL(18,6)) AS DOUBLE)"
     "  AS sim,"
-        " CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= 10"
-    ),
+    " CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= 10"
 )
+
+
+@query("ll8_cosine_topk", oracle=_LL8_ORACLE)
 def ll8_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 for query vectors vec_id<5 — the exact
     ANN baseline. Similarity rounded to 6 digits *before* ranking on
@@ -2118,3 +2118,61 @@ def ll51_ngram_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     1.0; organic shared spans land in between."""
     aug = _augmented(spark, sf_dir)
     return dedup.ngram_span_coverage(aug, "doc_id", "text", n=5, min_count=2)
+
+
+# ---------------------------------------------------------------------------
+# ll52 — ANN quality measurement: recall@10 of the IVF tier vs exact
+# ---------------------------------------------------------------------------
+
+_RECALL_ORACLE = (
+    # Both tiers' oracle texts are embedded verbatim as subqueries —
+    # the recall metric is exactly "the IVF oracle's hits inside the
+    # brute-force oracle's top-10", so any drift in either tier shows
+    # up here too.
+    f"WITH exact AS ({_LL8_ORACLE}),"
+    f" approx AS ({_IVF_ORACLE}),"
+    " q AS (SELECT DISTINCT query_id FROM exact),"
+    " hits AS (SELECT e.query_id, count(*) AS h FROM exact e"
+    " JOIN approx a ON a.query_id = e.query_id AND a.cand_id = e.cand_id"
+    " GROUP BY e.query_id)"
+    " SELECT q.query_id, CAST(coalesce(h.h, 0) AS BIGINT) AS hits,"
+    " CAST(coalesce(h.h, 0) / 10.0 AS DOUBLE) AS recall_at_10"
+    " FROM q LEFT JOIN hits h ON h.query_id = q.query_id"
+)
+
+
+@query("ll52_ann_recall", oracle=_RECALL_ORACLE)
+def ll52_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the IVF ANN tier against the exact brute-force
+    baseline, per query vector — the measurement loop that makes an
+    approximate index operable: before widening nprobe or retraining
+    centroids on a 100 TB corpus you sample queries and run exactly
+    this join. Composition of two already-oracle-checked tiers, so the
+    *metric itself* is value-checked, not just the tiers.
+
+    Scale: both inputs are bounded top-k results (k rows per query) —
+    the hit join and the per-query count are trivially small; the cost
+    is the two tiers themselves, each with its own documented 100 TB
+    path (ll8 is the sampled baseline; ll12 the product index)."""
+    emb = load(spark, sf_dir, "embeddings")
+    qv = emb.where(F.col("vec_id") < 5)
+    exact = similarity.brute_force_topk(qv, emb, k=10).select(
+        "query_id", "cand_id"
+    )
+    approx = similarity.ivf_topk(qv, emb, k=10).select("query_id", "cand_id")
+    hits = (
+        exact.join(approx, ["query_id", "cand_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("h"))
+    )
+    return (
+        qv.select(F.col("vec_id").alias("query_id"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("h"), F.lit(0)).cast("bigint").alias("hits"),
+            (F.coalesce(F.col("h"), F.lit(0)) / F.lit(10.0))
+            .cast("double")
+            .alias("recall_at_10"),
+        )
+    )

@@ -337,3 +337,48 @@ def test_shortest_paths_vs_python_bfs(spark):
     s_df = spark.createDataFrame([(s,) for s in sources], "vertex INT")
     got = {r.vertex: r.dist for r in shortest_paths(e_df, s_df).collect()}
     assert got == want
+
+
+def test_core_numbers_vs_python_peel(spark):
+    """core_numbers on random graphs must equal a pure-Python peel
+    (the textbook O(E) sequential algorithm), including cascade cases
+    where removing one vertex drags a chain below the bar."""
+    from flink_luad_pipeline_spark.operators.graph import core_numbers
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 24
+        edges = sorted(
+            {
+                (min(a, b), max(a, b))
+                for a, b in (
+                    (rng.randrange(n), rng.randrange(n)) for _ in range(40)
+                )
+                if a != b
+            }
+        )
+        # python peel, capped at k_max=3 like the operator call
+        k_max = 3
+        adj: dict[int, set[int]] = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        expected = {v: 1 for v in adj}
+        live = {v: set(nb) for v, nb in adj.items()}
+        for k in range(2, k_max + 1):
+            changed = True
+            while changed:
+                doomed = [v for v, nb in live.items() if len(nb) < k]
+                changed = bool(doomed)
+                for v in doomed:
+                    for w in live[v]:
+                        live[w].discard(v)
+                    del live[v]
+            for v in live:
+                expected[v] = k
+        df = spark.createDataFrame(edges, "src int, dst int")
+        got = {
+            r["vertex"]: r["core"]
+            for r in core_numbers(df, k_max=k_max).collect()
+        }
+        assert got == expected, f"trial {trial}"
