@@ -1,0 +1,111 @@
+"""Data-selection importance weighting over hashed n-gram features
+(the DSIR recipe: Xie et al., "Data Selection for Language Models via
+Importance Resampling", NeurIPS 2023).
+
+Given a raw corpus and a target slice (e.g. a high-quality domain),
+score every raw document by how target-like its hashed bigram
+distribution is: ``log w(x) = sum_g [ln p_target(b(g)) - ln p_raw(b(g))]``
+over the document's bigrams ``g``, with features hashed into a fixed
+number of buckets and add-one smoothing on both distributions. Positive
+log-weight = looks more like the target than like the average raw doc;
+downstream, sampling proportional to ``exp(log_w)`` (or top-weight
+selection) is the resampling step — composable with the deterministic
+mixture sampler (``plans/llm_queries.ll35``) keyed on the weight.
+
+Everything is deterministic and cross-engine reproducible (the whole
+point of hashed features): tokenization is the shared BPE-ish regex,
+the bucket hash is ``dedup.portable_hash40 % buckets`` (md5-derived, so
+DuckDB recomputes it bit-identically), and the only doubles are the two
+smoothed-probability logs whose per-bucket ratios are summed per doc
+and rounded.
+
+Scale design (100 TB): feature extraction is one narrow pass
+(tokenize + slice-bigrams + hash — all codegen). The distributions are
+two grouped counts keyed on ``buckets``-many keys (map-side partial agg
+collapses the wire to <= buckets rows per partition); totals attach via
+a window over the <= buckets-row ratio table, never a driver collect.
+The per-doc pass is one (doc_id, bucket) grouped count joined against
+the broadcast-sized ratio table, then a doc-keyed sum — two doc-keyed
+shuffles total, independent of corpus width.
+
+Reference parity note: the reference has no curation surface; this
+extends the LLM-pipeline family (ll35 mixture, ll21/ll43 quality
+filters) with the learned-selection tier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import tokenize
+from .dedup import portable_hash40
+
+
+def _bigram_buckets(text: Column, buckets: int) -> Column:
+    """Hashed word-bigram feature ids: array of portable_hash40(w1 ||
+    ' ' || w2) % buckets, empty for docs with < 2 tokens."""
+    toks = tokenize(text)
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.array_join(F.slice(toks, i, 2), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.transform(grams, lambda g: portable_hash40(g) % buckets)
+
+
+def dsir_logweights(
+    docs: DataFrame,
+    target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 256,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-document DSIR log importance weight against the ``target``
+    slice (a boolean Column over ``docs``'s columns).
+
+    Returns ``DataFrame[doc_id, n_bigrams, log_weight]`` — one row per
+    input document; docs with no bigrams get (0, 0.0).
+    """
+    feat = docs.select(
+        F.col(id_col).alias("doc_id"),
+        target.alias("is_target"),
+        F.explode(_bigram_buckets(F.col(text_col), buckets)).alias("b"),
+    )
+    counts = feat.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("ct"),
+    )
+    # Totals over the <= buckets-row count table: a single-partition
+    # window on tiny data beats a 1-row cross-join attach (keeps the
+    # registry's no-BNLJ audit clean) and never touches the driver.
+    tot = Window.partitionBy(F.lit(1))
+    ratio = counts.select(
+        "b",
+        (
+            F.log((F.col("ct") + 1.0) / (F.sum("ct").over(tot) + buckets))
+            - F.log((F.col("cr") + 1.0) / (F.sum("cr").over(tot) + buckets))
+        ).alias("lr"),
+    )
+    per_doc = (
+        feat.groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("nf"),
+            F.round(F.sum(F.col("c") * F.col("lr")), round_digits).alias("lw"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("nf", F.lit(0)).cast("bigint").alias("n_bigrams"),
+            F.coalesce("lw", F.lit(0.0)).cast("double").alias("log_weight"),
+        )
+    )

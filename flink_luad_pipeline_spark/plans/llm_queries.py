@@ -2176,3 +2176,45 @@ def ll52_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("recall_at_10"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ll53 — DSIR importance weights (hashed-bigram log-likelihood ratio)
+# ---------------------------------------------------------------------------
+
+_DSIR_ORACLE = (
+    "WITH tok AS (SELECT doc_id, lang = 'en' AS is_t,"
+    f" {_TOKENS_SQL} AS t FROM documents),"
+    " grams AS (SELECT doc_id, is_t,"
+    " unnest(list_transform(range(1, len(t)),"
+    " i -> t[i] || ' ' || t[i + 1])) AS g FROM tok WHERE len(t) >= 2),"
+    f" feat AS (SELECT doc_id, is_t, {_hex10('g')} % 256 AS b FROM grams),"
+    " cnts AS (SELECT b, count(*) AS cr,"
+    " sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct FROM feat GROUP BY b),"
+    " tot AS (SELECT sum(cr) AS tr, sum(ct) AS tt FROM cnts),"
+    " ratio AS (SELECT b, ln((ct + 1.0) / (tt + 256))"
+    " - ln((cr + 1.0) / (tr + 256)) AS lr FROM cnts, tot),"
+    " db AS (SELECT doc_id, b, count(*) AS c FROM feat GROUP BY doc_id, b),"
+    " w AS (SELECT doc_id, sum(c) AS nf, round(sum(c * lr), 6) AS lw"
+    " FROM db JOIN ratio USING (b) GROUP BY doc_id)"
+    " SELECT d.doc_id, CAST(coalesce(w.nf, 0) AS BIGINT) AS n_bigrams,"
+    " CAST(coalesce(w.lw, 0.0) AS DOUBLE) AS log_weight"
+    " FROM documents d LEFT JOIN w ON w.doc_id = d.doc_id"
+)
+
+
+@query("ll53_dsir_weights", oracle=_DSIR_ORACLE)
+def ll53_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weight per document (Xie et al. 2023): hashed
+    word-bigram features (portable_hash40 % 256 buckets), target slice
+    = English docs, log-likelihood ratio of the add-one-smoothed target
+    vs raw bucket distributions. The learned-selection tier between the
+    rule-based filters (ll21/ll43) and the mixture sampler (ll35):
+    sample proportional to exp(log_weight) to shift the corpus toward
+    the target domain. Hashed features are what make the whole scoring
+    pass oracle-checkable — DuckDB recomputes the identical md5-derived
+    buckets, so weights match to the rounded digit."""
+    from ..operators.importance import dsir_logweights
+
+    docs = load(spark, sf_dir, "documents")
+    return dsir_logweights(docs, target=F.col("lang") == "en")

@@ -353,3 +353,24 @@ def test_lsh_neardup_compact_equals_direct(spark, sf_dir):
         for r in similarity.lsh_neardup_pairs_compact(emb, threshold=0.35).collect()
     }
     assert direct == compact and len(direct) > 0
+
+
+def test_dsir_weights_separate_target_from_offtarget(spark, sf_dir):
+    """DSIR log-weights must rank the target slice (English) above the
+    rest on average — the 'does the importance ratio actually point at
+    the target' acceptance check, independent of the exact-value
+    oracle."""
+    from flink_luad_pipeline_spark.catalog import load
+    from flink_luad_pipeline_spark.operators.importance import dsir_logweights
+    from pyspark.sql import functions as F
+
+    docs = load(spark, sf_dir, "documents")
+    w = dsir_logweights(docs, target=F.col("lang") == "en")
+    j = w.join(docs.select("doc_id", "lang"), "doc_id")
+    means = {
+        r["is_en"]: r["m"]
+        for r in j.groupBy((F.col("lang") == "en").alias("is_en"))
+        .agg(F.avg("log_weight").alias("m"))
+        .collect()
+    }
+    assert means[True] > means[False] + 0.5, means
