@@ -2218,3 +2218,82 @@ def ll53_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return dsir_logweights(docs, target=F.col("lang") == "en")
+
+
+# ---------------------------------------------------------------------------
+# ll54 — contrastive pair mining from the ANN shortlist
+# ---------------------------------------------------------------------------
+
+_PAIR_ORACLE = (
+    f"WITH approx AS ({_IVF_ORACLE}),"
+    " lab AS (SELECT vec_id, label FROM embeddings),"
+    " j AS (SELECT a.query_id, a.cand_id, a.sim, a.rank,"
+    " ql.label = cl.label AS same FROM approx a"
+    " JOIN lab ql ON ql.vec_id = a.query_id"
+    " JOIN lab cl ON cl.vec_id = a.cand_id),"
+    " pos AS (SELECT query_id, cand_id AS pos_id, sim AS pos_sim FROM ("
+    " SELECT query_id, cand_id, sim, row_number() OVER ("
+    " PARTITION BY query_id ORDER BY rank) AS r FROM j WHERE same)"
+    " WHERE r = 1),"
+    " neg AS (SELECT query_id, cand_id AS neg_id, sim AS neg_sim FROM ("
+    " SELECT query_id, cand_id, sim, row_number() OVER ("
+    " PARTITION BY query_id ORDER BY rank) AS r FROM j WHERE NOT same)"
+    " WHERE r = 1)"
+    " SELECT q.query_id, p.pos_id, p.pos_sim, n.neg_id, n.neg_sim"
+    " FROM (SELECT DISTINCT query_id FROM approx) q"
+    " LEFT JOIN pos p ON p.query_id = q.query_id"
+    " LEFT JOIN neg n ON n.query_id = q.query_id"
+)
+
+
+@query("ll54_contrastive_pairs", oracle=_PAIR_ORACLE)
+def ll54_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training-pair mining: per query vector, the
+    highest-ranked SAME-label shortlist hit (positive) and the
+    highest-ranked DIFFERENT-label hit (hard negative) — the standard
+    recipe for embedding-model finetuning data, mined from the IVF
+    shortlist rather than an exact scan (at 100 TB you mine hard
+    negatives from the ANN index's candidates; an exact pass would be
+    the whole point of having the index, defeated). Missing side ->
+    NULL, kept (a query whose shortlist is all-same-label still yields
+    its positive). Oracle embeds the IVF tier's oracle text verbatim,
+    so the mined pairs are value-checked end to end."""
+    emb = load(spark, sf_dir, "embeddings")
+    qv = emb.where(F.col("vec_id") < 5)
+    topk = similarity.ivf_topk(qv, emb, k=10).select(
+        "query_id",
+        "cand_id",
+        F.col("sim").cast("decimal(18,6)").cast("double").alias("sim"),
+        "rank",
+    )
+    lab = emb.select("vec_id", "label")
+    j = (
+        topk.join(
+            lab.select(F.col("vec_id").alias("query_id"), F.col("label").alias("ql")),
+            "query_id",
+        )
+        .join(
+            lab.select(F.col("vec_id").alias("cand_id"), F.col("label").alias("cl")),
+            "cand_id",
+        )
+        .withColumn("same", F.col("ql") == F.col("cl"))
+    )
+    w = W.partitionBy("query_id").orderBy("rank")
+    pos = (
+        j.where("same")
+        .withColumn("r", F.row_number().over(w))
+        .where("r = 1")
+        .select("query_id", F.col("cand_id").alias("pos_id"), F.col("sim").alias("pos_sim"))
+    )
+    neg = (
+        j.where(~F.col("same"))
+        .withColumn("r", F.row_number().over(w))
+        .where("r = 1")
+        .select("query_id", F.col("cand_id").alias("neg_id"), F.col("sim").alias("neg_sim"))
+    )
+    return (
+        topk.select("query_id")
+        .distinct()
+        .join(pos, "query_id", "left")
+        .join(neg, "query_id", "left")
+    )

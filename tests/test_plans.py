@@ -198,6 +198,8 @@ INTENTIONAL_CARTESIAN = {
     "ll8_cosine_topk",        # brute-force baseline (scale path: ll9/ll12)
     "ll11b_neardup_exact",    # exact recall baseline (scale path: ll11)
     "ll12_ivf_ann_topk",      # query×centroid BNLJ: centroid side is tiny
+    "ll54_contrastive_pairs", # mines from ll12's shortlist — same tiny
+                              # centroid-assignment broadcast, nothing else
     "ll42_semantic_dedup",    # same tiny-centroid assignment broadcast;
                               # the PAIR join stays a centroid_id equi-join
                               # (asserted in its dedicated plan test)
