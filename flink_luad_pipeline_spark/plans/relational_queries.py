@@ -1733,3 +1733,59 @@ def o5_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("vr") > 0, z).alias("z"),
         F.when(F.col("vr") > 0, F.abs(z) > 2.0).alias("is_anomaly"),
     )
+
+
+@query(
+    "o6_ohlc_bars",
+    oracle=(
+        # open/close via min/max over a named (ts, event_id, value)
+        # struct — lexicographic struct comparison is the shared
+        # first/last tiebreak (event_id is unique, so the value field
+        # never decides), and it keeps the whole bar a single grouped
+        # aggregate instead of two extra window passes.
+        "SELECT user_id,"
+        " strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bar,"
+        " min({'t': ts, 'i': event_id, 'v': value}).v AS open,"
+        " max(value) AS high, min(value) AS low,"
+        " max({'t': ts, 'i': event_id, 'v': value}).v AS close,"
+        " CAST(count(*) AS BIGINT) AS volume,"
+        " CAST(round(sum(CAST(value AS DECIMAL(18,6))), 6) AS DOUBLE)"
+        "  AS sum_value"
+        " FROM events GROUP BY user_id, date_trunc('hour', ts)"
+    ),
+)
+def o6_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6 — OHLC downsampling: hourly bars per user (open/high/low/
+    close/volume/sum), the classic timeseries resample next to o3's
+    gap fill (upsample direction). One hash shuffle on (user, hour)
+    with full map-side partial aggregation — min/max/count/sum all
+    combine, and open/close ride the same pass as min/max over a
+    (ts, event_id, value) struct rather than costing a separate
+    row_number window. At 100 TB: pre-aggregation collapses each
+    partition to one row per open bar before the exchange, so the wire
+    carries bars, not events."""
+    ev = load(spark, sf_dir, "events")
+    rec = F.struct(F.col("ts"), F.col("event_id"), F.col("value"))
+    return (
+        ev.groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("b"))
+        .agg(
+            F.min(rec)["value"].alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(rec)["value"].alias("close"),
+            F.count(F.lit(1)).alias("volume"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 6).alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            "user_id",
+            F.date_format("b", "yyyy-MM-dd HH:mm:ss").alias("bar"),
+            "open",
+            "high",
+            "low",
+            "close",
+            F.col("volume").cast("bigint").alias("volume"),
+            "sum_value",
+        )
+    )
