@@ -363,3 +363,25 @@ def ss12_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming semantic (and the restart/recovery path) the single-run
     ss1-ss11 queries cannot exercise."""
     return ops.late_drop_two_phase(spark, sf_dir)
+
+
+@query(
+    "ss13_streaming_ohlc",
+    oracle=(
+        "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')"
+        " AS window_start, user_id,"
+        " min({'t': ts, 'i': event_id, 'v': value}).v AS open,"
+        " max(value) AS high, min(value) AS low,"
+        " max({'t': ts, 'i': event_id, 'v': value}).v AS close,"
+        " CAST(count(*) AS BIGINT) AS volume"
+        " FROM events GROUP BY 1, 2"
+    ),
+)
+def ss13_streaming_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of o6's OHLC bars: watermarked tumbling windows
+    whose open/close ride min/max over a (ts, event_id, value) struct,
+    so the state store merges partial bars instead of buffering ordered
+    events. Complete mode -> equals the batch hourly resample, hence
+    the shared oracle with o6's grouping."""
+    agg = ops.ohlc_bars_stream(_events(spark, sf_dir))
+    return _drain(agg, "ss13_ohlc", "complete")

@@ -560,3 +560,37 @@ def late_drop_two_phase(
         F.date_format("ws", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
         F.col("n").cast("bigint").alias("n"),
     )
+
+
+def ohlc_bars_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming OHLC: hourly bars per user, the streaming twin of the
+    batch o6 resample. open/close are min/max over a (ts, event_id,
+    value) struct — min/max are plain declarative aggregates, so the
+    state store holds one partially-merged bar per open (window, user)
+    group and late rows within the watermark fold in exactly like any
+    other agg; no ordered-state custom operator needed. All-exact
+    aggregates (no double sums), so complete mode equals the batch
+    group-by bit-for-bit and the bar is oracle-checkable."""
+    rec = F.struct(F.col("ts"), F.col("event_id"), F.col("value"))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+        .agg(
+            F.min(rec).alias("o"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(rec).alias("c"),
+            F.count(F.lit(1)).alias("volume"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "user_id",
+            F.col("o")["value"].alias("open"),
+            "high",
+            "low",
+            F.col("c")["value"].alias("close"),
+            F.col("volume").cast("bigint").alias("volume"),
+        )
+    )
