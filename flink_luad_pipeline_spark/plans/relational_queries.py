@@ -1789,3 +1789,74 @@ def o6_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@query(
+    "s14_binaryfile_ingest",
+    oracle=(
+        # Staged payloads are the ll10 fixture PPMs: "P6\n4 4\n255\n"
+        # (11 bytes) + 48 md5-derived pixel bytes = 59 bytes per file;
+        # the oracle recomputes size and pixel mean from the same md5.
+        "WITH h AS (SELECT doc_id,"
+        " md5(text) || md5(text || 'a') || md5(text || 'b') AS hx"
+        " FROM documents WHERE doc_id < 50),"
+        " b AS (SELECT doc_id, list_transform(range(0, 48), i ->"
+        " (strpos('0123456789abcdef', substr(hx, 2 * i + 1, 1)) - 1) * 16"
+        " + strpos('0123456789abcdef', substr(hx, 2 * i + 2, 1)) - 1)"
+        " AS px FROM h)"
+        " SELECT doc_id, CAST(59 AS BIGINT) AS n_bytes,"
+        " CAST(4 AS INT) AS width, CAST(4 AS INT) AS height,"
+        " CAST(CAST(round(list_sum(px) / 48.0, 6) AS DECIMAL(18,6))"
+        "  AS DOUBLE) AS pix_mean,"
+        " 'ppm' AS format FROM b"
+    ),
+)
+def s14_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S14 — the ``binaryFile`` source: how raw media lands in the
+    engine at all. Real .ppm files on disk are scanned with
+    ``spark.read.format("binaryFile")`` (path/length/content), ids
+    parsed from filenames, payloads decoded by the pure-Python codecs
+    in Arrow-batched mapInPandas — the ingest front door for the ll10
+    multimodal pipeline, which starts from an already-attached payload
+    column. At 100 TB this is exactly the object-store layout (one
+    blob per asset); binaryFile splits per file across executors and
+    `pathGlobFilter`/partitioned directories prune the listing.
+
+    Staging (fixture-only, not the operator under test): the 50 tiny
+    PPMs are written once per testdata stamp via a driver loop — the
+    same boundary as the streaming symlink dir."""
+    from ..operators import multimodal
+
+    out_dir = sink_path("s14_ppm", sf_dir)
+    if out_dir not in _WRITTEN:
+        docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+        rows = (
+            multimodal.attach_image_payload(docs, "doc_id", "text")
+            .select("doc_id", "payload")
+            .collect()
+        )
+        os.makedirs(out_dir, exist_ok=True)
+        for r in rows:
+            with open(
+                os.path.join(out_dir, f"doc_{int(r['doc_id']):05d}.ppm"), "wb"
+            ) as f:
+                f.write(bytes(r["payload"]))
+        _WRITTEN.add(out_dir)
+    scanned = spark.read.format("binaryFile").load(out_dir).select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.ppm", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.col("length").cast("bigint").alias("n_bytes"),
+        F.col("content").alias("payload"),
+    )
+    feats = multimodal.extract_image_features(
+        scanned.select("doc_id", "payload")
+    )
+    return feats.join(scanned.select("doc_id", "n_bytes"), "doc_id").select(
+        "doc_id",
+        "n_bytes",
+        "width",
+        "height",
+        F.round("pix_mean", 6).cast("decimal(18,6)").alias("pix_mean"),
+        "format",
+    )
