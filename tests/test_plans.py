@@ -200,6 +200,8 @@ INTENTIONAL_CARTESIAN = {
     "ll12_ivf_ann_topk",      # query×centroid BNLJ: centroid side is tiny
     "ll54_contrastive_pairs", # mines from ll12's shortlist — same tiny
                               # centroid-assignment broadcast, nothing else
+    "ll52_ann_recall",        # composes ll8 (brute-force baseline, its BNLJ
+                              # is the thing being measured against) + ll12
     "ll42_semantic_dedup",    # same tiny-centroid assignment broadcast;
                               # the PAIR join stays a centroid_id equi-join
                               # (asserted in its dedicated plan test)
@@ -468,3 +470,48 @@ def test_lsh_neardup_compact_candidate_join_is_ids_only(spark, sf_dir):
         line for line in plan.splitlines() if "HashAggregate" in line and "doc_a" in line
     ]
     assert agg_lines and all("embedding" not in line for line in agg_lines)
+
+
+def test_ohlc_is_one_partial_agged_shuffle(spark, sf_dir):
+    """o6's bar must be ONE grouped aggregate: a single hash exchange
+    with map-side partial aggregation, and no Window operator (open/
+    close ride struct min/max inside the same agg)."""
+    plan = physical(QUERIES["o6_ohlc_bars"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "partial_min" in plan and "partial_max" in plan
+    assert "Window" not in plan, plan
+
+
+def test_dsir_ratio_table_broadcasts(spark, sf_dir):
+    """ll53's bucket-ratio table (<= 256 rows) must broadcast back into
+    the doc-keyed pass — a shuffle join there would key the corpus on
+    the tiny side's key space for nothing."""
+    plan = physical(QUERIES["ll53_dsir_weights"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_kcore_rounds_materialize_and_peel_is_semi_join(spark, sf_dir):
+    """g5's returned plan must be just the max-core aggregate over the
+    checkpointed level sets (every peel round materialized via
+    localCheckpoint inside the loop — lineage can't accumulate), and a
+    single peel round must be left-semi equi-joins (degree filter via
+    semi join, never a fan-out inner join)."""
+    final = physical(QUERIES["g5_kcore"](spark, sf_dir))
+    assert "ExistingRDD" in final  # checkpointed rounds, not live lineage
+    assert "Join" not in final, final
+    # one peel round, exactly as core_numbers builds it
+    sym = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("u"), (F.col("p_partkey") + 1).alias("w")
+    )
+    keep = (
+        sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+        .where(F.col("deg") >= 2).select("u")
+    )
+    rnd = sym.join(keep, "u", "left_semi").join(
+        keep.withColumnRenamed("u", "w"), "w", "left_semi"
+    )
+    plan = physical(rnd)
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
