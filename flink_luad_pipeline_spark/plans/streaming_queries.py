@@ -385,3 +385,17 @@ def ss13_streaming_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shared oracle with o6's grouping."""
     agg = ops.ohlc_bars_stream(_events(spark, sf_dir))
     return _drain(agg, "ss13_ohlc", "complete")
+
+
+@query(
+    "ss14_dedup_within_watermark",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def ss14_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ss4's unbounded-stream variant: dropDuplicatesWithinWatermark
+    caps dedup state at one watermark window of keys instead of growing
+    forever — the API you actually deploy against an infinite stream.
+    Replay delivers everything in the first micro-batch, so the emitted
+    keys equal DISTINCT and the oracle holds."""
+    dedup = ops.streaming_dedup_within_watermark(_events(spark, sf_dir))
+    return _drain(dedup, "ss14_dedup_wm", "append")
