@@ -14,7 +14,7 @@ All vector math is functions/vectors.py (zip_with/aggregate, codegen).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -536,3 +536,94 @@ def pq_topk(
         .agg(F.sum("qd").cast("decimal(18,6)").alias("sim"))
     )
     return _ranked(scored, k)
+
+
+def semantic_decontaminate(
+    vectors: DataFrame,
+    is_eval: Column,
+    threshold: float = 0.35,
+    centroid_mod: int = 25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Embedding-space decontamination: flag every TRAIN vector whose
+    cosine to ANY EVAL vector reaches ``threshold`` — ll20's n-gram
+    decontamination catches verbatim leakage, this tier catches
+    paraphrased benchmark leakage that shares no 5-gram. ``is_eval``
+    is a boolean Column over ``vectors``'s columns.
+
+    Same cell-scoping as ``semantic_dedup`` (shared training-free
+    quantizer, (sim desc, id asc) assignment tie-break), but the pair
+    join is TRAIN x EVAL within a cell, never train x train — at 100 TB
+    the eval side is benchmark-sized, so each cell's cost is
+    |train_cell| x |eval_cell| with a tiny second factor. The flagged
+    match is deterministic: max similarity, then smallest eval id.
+
+    Returns (id, contaminated, eval_id, sim) for every train vector —
+    eval_id/sim NULL when clean.
+    """
+    cents = vectors.where(F.col(id_col) % centroid_mod == 0).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centv")
+    )
+    w = Window.partitionBy("m_id").orderBy(
+        F.col("csim").desc(), F.col("centroid_id")
+    )
+    members = (
+        vectors.select(
+            F.col(id_col).alias("m_id"),
+            F.col(vec_col).alias("v"),
+            is_eval.alias("is_eval"),
+        )
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "m_id",
+            "v",
+            "is_eval",
+            "centroid_id",
+            F.round(
+                cosine_similarity(F.col("v"), F.col("centv")), round_digits
+            ).alias("csim"),
+        )
+        .where(F.col("csim").isNotNull())
+        .withColumn("crank", F.row_number().over(w))
+        .where(F.col("crank") == 1)
+        .select("m_id", "v", "is_eval", "centroid_id")
+        # same load-bearing boundary as semantic_dedup: the assignment
+        # feeds both pair sides and the final left join
+        .cache()
+    )
+    train = members.where(~F.col("is_eval")).select(
+        "centroid_id", F.col("m_id").alias("train_id"), F.col("v").alias("vt")
+    )
+    ev = members.where(F.col("is_eval")).select(
+        "centroid_id", F.col("m_id").alias("eval_id"), F.col("v").alias("ve")
+    )
+    hit_w = Window.partitionBy("train_id").orderBy(
+        F.col("sim").desc(), F.col("eval_id")
+    )
+    hits = (
+        train.join(ev, "centroid_id")
+        .select(
+            "train_id",
+            "eval_id",
+            F.round(
+                cosine_similarity(F.col("vt"), F.col("ve")), round_digits
+            ).alias("sim"),
+        )
+        .where(F.col("sim") >= threshold)
+        .withColumn("hrank", F.row_number().over(hit_w))
+        .where(F.col("hrank") == 1)
+        .select("train_id", "eval_id", "sim")
+    )
+    return (
+        members.where(~F.col("is_eval"))
+        .select(F.col("m_id").alias("train_id"))
+        .join(hits, "train_id", "left")
+        .select(
+            F.col("train_id").alias(id_col),
+            F.col("eval_id").isNotNull().alias("contaminated"),
+            "eval_id",
+            "sim",
+        )
+    )

@@ -2297,3 +2297,62 @@ def ll54_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(pos, "query_id", "left")
         .join(neg, "query_id", "left")
     )
+
+
+# ---------------------------------------------------------------------------
+# ll55 — semantic decontamination (train embeddings near eval embeddings)
+# ---------------------------------------------------------------------------
+
+
+def _semdecon_oracle(threshold: float = 0.35, centroid_mod: int = 25) -> str:
+    """DuckDB twin of similarity.semantic_decontaminate: same quantizer
+    as ll42's oracle, TRAIN x EVAL pair join, (sim desc, eval_id asc)
+    match pick."""
+    asg_cos = _cos_sql("e.embedding", "c.centv")
+    pair_cos = _cos_sql("t.v", "v.ve")
+    return (
+        "WITH cents AS (SELECT vec_id AS centroid_id, embedding AS centv"
+        f" FROM embeddings WHERE vec_id % {centroid_mod} = 0),"
+        " scored AS (SELECT e.vec_id AS m_id, e.embedding AS v,"
+        " e.vec_id % 5 = 0 AS is_eval,"
+        f" c.centroid_id, {asg_cos} AS csim"
+        " FROM embeddings e CROSS JOIN cents c),"
+        " asg AS (SELECT m_id, v, is_eval, centroid_id FROM ("
+        "  SELECT m_id, v, is_eval, centroid_id, row_number() OVER ("
+        "   PARTITION BY m_id ORDER BY csim DESC, centroid_id) AS crank"
+        "  FROM scored WHERE csim IS NOT NULL) WHERE crank = 1),"
+        " t AS (SELECT centroid_id, m_id AS train_id, v"
+        "  FROM asg WHERE NOT is_eval),"
+        " v AS (SELECT centroid_id, m_id AS eval_id, v AS ve"
+        "  FROM asg WHERE is_eval),"
+        " hits AS (SELECT train_id, eval_id, sim FROM ("
+        f"  SELECT t.train_id, v.eval_id, {pair_cos} AS sim,"
+        "  row_number() OVER (PARTITION BY t.train_id"
+        f"   ORDER BY {pair_cos} DESC, v.eval_id) AS hrank"
+        "  FROM t JOIN v USING (centroid_id)"
+        f"  WHERE {pair_cos} >= {threshold}) WHERE hrank = 1)"
+        " SELECT t.train_id AS vec_id,"
+        " h.eval_id IS NOT NULL AS contaminated, h.eval_id,"
+        " CAST(h.sim AS DOUBLE) AS sim"
+        " FROM t LEFT JOIN hits h ON h.train_id = t.train_id"
+    )
+
+
+@query("ll55_semantic_decontaminate", oracle=_semdecon_oracle())
+def ll55_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination: train vectors (vec_id % 5 != 0)
+    whose cosine to ANY eval vector (vec_id % 5 == 0) reaches 0.35 are
+    flagged with their closest eval match. The paraphrase-leakage
+    complement to ll20's verbatim 5-gram decontamination — same
+    cell-scoped shape as ll42, but the pair join is train x eval (the
+    tiny benchmark side), never train x train."""
+    emb = load(spark, sf_dir, "embeddings")
+    out = similarity.semantic_decontaminate(
+        emb, is_eval=F.col("vec_id") % 5 == 0, threshold=0.35, centroid_mod=25
+    )
+    return out.select(
+        "vec_id",
+        "contaminated",
+        "eval_id",
+        F.col("sim").cast("double").alias("sim"),
+    )

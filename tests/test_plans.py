@@ -202,6 +202,8 @@ INTENTIONAL_CARTESIAN = {
                               # centroid-assignment broadcast, nothing else
     "ll52_ann_recall",        # composes ll8 (brute-force baseline, its BNLJ
                               # is the thing being measured against) + ll12
+    "ll55_semantic_decontaminate",  # ll42's tiny-centroid assignment
+                              # broadcast; the pair join is a cell equi-join
     "ll42_semantic_dedup",    # same tiny-centroid assignment broadcast;
                               # the PAIR join stays a centroid_id equi-join
                               # (asserted in its dedicated plan test)
