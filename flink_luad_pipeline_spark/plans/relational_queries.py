@@ -1860,3 +1860,34 @@ def s14_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("pix_mean", 6).cast("decimal(18,6)").alias("pix_mean"),
         "format",
     )
+
+
+@query(
+    "s15_xml_roundtrip",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def s15_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S15 — XML sink + schema-first scan round-trip (Spark 4's
+    built-in XML source, next to s7 JSON and s12 ORC): nation written
+    as <nation> row elements, read back with an explicit schema so no
+    inference pass touches the files (inference would coerce the int
+    keys to BIGINT and cost an extra scan). Interop surface for the
+    feeds that still speak XML; at scale the reader splits per file
+    like the other text sources."""
+    nation = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    path = _sink_once(
+        "s15_nation_xml",
+        sf_dir,
+        lambda p: nation.write.mode("overwrite")
+        .format("xml")
+        .option("rowTag", "nation")
+        .save(p),
+    )
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "nation")
+        .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+        .load(path)
+    )
