@@ -1891,3 +1891,41 @@ def s15_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
         .load(path)
     )
+
+
+@query(
+    "s16_python_datasource_fixedwidth",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def s16_python_datasource_fixedwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S16 — custom Python Data Source (Spark 4 extension API): nation
+    staged as fixed-width text records (6+16+6 byte fields, no
+    delimiters — the mainframe/export layout nothing built-in reads),
+    then scanned through a registered ``fixedwidth`` DataSource whose
+    ``read(partition)`` runs on the executors, one InputPartition per
+    file. The staging write is a plain Spark text sink; the operator
+    under test is the custom reader."""
+    from ..sources import fixedwidth
+
+    nation = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+
+    def write(p: str) -> None:
+        nation.select(
+            F.concat(
+                F.rpad(F.col("n_nationkey").cast("string"), 6, " "),
+                F.rpad(F.col("n_name"), 16, " "),
+                F.rpad(F.col("n_regionkey").cast("string"), 6, " "),
+            ).alias("value")
+        ).write.mode("overwrite").text(p)
+
+    path = _sink_once("s16_nation_fw", sf_dir, write)
+    fixedwidth.register(spark)
+    return (
+        spark.read.format("fixedwidth")
+        .option("path", path)
+        .option("widths", "6,16,6")
+        .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+        .load()
+    )
