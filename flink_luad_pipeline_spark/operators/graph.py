@@ -490,3 +490,71 @@ def core_numbers(
             .withColumn("core", F.lit(k).cast("bigint"))
         )
     return levels.groupBy("vertex").agg(F.max("core").alias("core"))
+
+
+def weighted_shortest_paths(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_iterations: int = 100,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "wt",
+) -> DataFrame:
+    """Weighted single-source(-set) shortest paths — frontier-pruned
+    Bellman-Ford, the weighted-distance semiring next to BFS's hop
+    count: the recurrence is min(dist + edge weight) over
+    (frontier ⋈ edges), and only vertices whose distance improved
+    relax their edges next round. Non-negative weights required (the
+    convergence bound is rounds <= longest shortest path in EDGES, and
+    a negative cycle would never settle). Same workset/solution-set
+    driver loop, localCheckpoint lineage bound, exact integer
+    distances.
+
+    Returns ``DataFrame[vertex, dist]`` (unreached vertices absent).
+    """
+    sym = (
+        edges.select(
+            F.col(src).alias("u"), F.col(dst).alias("w"), F.col(weight).alias("wt")
+        )
+        .union(
+            edges.select(
+                F.col(dst).alias("u"), F.col(src).alias("w"), F.col(weight).alias("wt")
+            )
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    dist = (
+        sources.select(F.col(sources.columns[0]).alias("vertex"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("bigint"))
+        .localCheckpoint()
+    )
+    frontier = dist
+    for _ in range(max_iterations):
+        cand = (
+            frontier.join(sym, frontier.vertex == sym.u)
+            .select(
+                F.col("w").alias("vertex"),
+                (F.col("dist") + F.col("wt")).alias("cand"),
+            )
+            .groupBy("vertex")
+            .agg(F.min("cand").alias("cand"))
+        )
+        improved = F.col("cand") < F.coalesce(F.col("dist"), F.lit(1 << 62))
+        merged = (
+            dist.join(cand, "vertex", "full_outer")
+            .select(
+                "vertex",
+                F.when(improved, F.col("cand"))
+                .otherwise(F.col("dist"))
+                .alias("dist"),
+                F.coalesce(improved, F.lit(False)).alias("changed"),
+            )
+            .localCheckpoint()
+        )
+        frontier = merged.where("changed").select("vertex", "dist")
+        dist = merged.select("vertex", "dist")
+        if frontier.isEmpty():
+            break
+    return dist

@@ -488,3 +488,69 @@ def g5_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         part.select(F.col("p_partkey").alias("dst")), "dst", "left_semi"
     )
     return core_numbers(edges, k_max=3)
+
+
+@query(
+    "g6_weighted_sssp",
+    oracle=(
+        # recursive closure over weighted walks; the d <= 100 bound
+        # only prunes the enumeration (every true shortest distance on
+        # this graph is far below it — decades are <= 9 vertices with
+        # edge weights <= 7)
+        "WITH RECURSIVE"
+        " e AS (SELECT src, dst FROM ("
+        " SELECT p_partkey AS src, p_partkey + 1 AS dst FROM part"
+        "  WHERE p_partkey % 10 < 3"
+        " UNION ALL SELECT p_partkey, p_partkey + 2 FROM part"
+        "  WHERE p_partkey % 10 < 3"
+        " UNION ALL SELECT p_partkey, p_partkey + 3 FROM part"
+        "  WHERE p_partkey % 10 < 3"
+        " UNION ALL SELECT p_partkey, p_partkey + 1 FROM part"
+        "  WHERE p_partkey % 10 BETWEEN 5 AND 7"
+        ") WHERE dst IN (SELECT p_partkey FROM part)),"
+        " sym AS (SELECT src AS u, dst AS w, (src + dst) % 7 + 1 AS wt"
+        "  FROM e UNION SELECT dst, src, (src + dst) % 7 + 1 FROM e),"
+        " srcs AS (SELECT p_partkey AS v FROM part WHERE p_partkey % 100 = 0),"
+        " walk(v, d) AS ("
+        "   SELECT v, CAST(0 AS BIGINT) FROM srcs"
+        "   UNION"
+        "   SELECT s.w, wk.d + s.wt FROM walk wk JOIN sym s ON s.u = wk.v"
+        "   WHERE wk.d + s.wt <= 100)"
+        " SELECT v AS vertex, min(d) AS dist FROM walk GROUP BY v"
+    ),
+)
+def g6_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G6 — weighted shortest paths (frontier-pruned Bellman-Ford) over
+    the g5 wedge+tail graph with deterministic integer weights
+    ((u + dst) % 7 + 1, symmetric by construction): the weighted
+    companion of g4's hop-count BFS — weights make the greedy hop-count
+    answer wrong (a 2-hop detour can beat a heavy direct edge), which
+    is exactly what the oracle's weighted-walk closure checks."""
+    from ..operators.graph import weighted_shortest_paths
+
+    part = load(spark, sf_dir, "part").select("p_partkey")
+    dense = part.where(F.col("p_partkey") % 10 < 3).select(
+        F.col("p_partkey").alias("src"),
+        F.explode(
+            F.array(
+                F.col("p_partkey") + 1,
+                F.col("p_partkey") + 2,
+                F.col("p_partkey") + 3,
+            )
+        ).alias("dst"),
+    )
+    tail = part.where(
+        (F.col("p_partkey") % 10 >= 5) & (F.col("p_partkey") % 10 <= 7)
+    ).select(
+        F.col("p_partkey").alias("src"),
+        (F.col("p_partkey") + 1).alias("dst"),
+    )
+    edges = (
+        dense.union(tail)
+        .join(part.select(F.col("p_partkey").alias("dst")), "dst", "left_semi")
+        .withColumn("wt", (F.col("src") + F.col("dst")) % 7 + 1)
+    )
+    sources = part.where(F.col("p_partkey") % 100 == 0).select(
+        F.col("p_partkey").alias("vertex")
+    )
+    return weighted_shortest_paths(edges, sources)
