@@ -374,3 +374,37 @@ def test_dsir_weights_separate_target_from_offtarget(spark, sf_dir):
         .collect()
     }
     assert means[True] > means[False] + 0.5, means
+
+
+def test_chunking_is_lossless(spark, sf_dir):
+    """Reassembling ll13's overlapping chunks (first `stride` tokens of
+    each chunk, then the tail of the last) must reproduce every
+    document's token sequence exactly — the chunker may not drop or
+    duplicate tokens at window boundaries."""
+    from flink_luad_pipeline_spark.catalog import load
+    from flink_luad_pipeline_spark.functions.text import tokenize
+    from flink_luad_pipeline_spark.plans import all_queries
+    from flink_luad_pipeline_spark.plans.datapipe_queries import CHUNK_STRIDE
+    from pyspark.sql import functions as F
+
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    expected = {
+        r["doc_id"]: list(r["t"])
+        for r in docs.select(
+            "doc_id", tokenize(F.col("text")).alias("t")
+        ).collect()
+    }
+    rows = (
+        all_queries()["ll13_chunk_documents"](spark, sf_dir)
+        .orderBy("doc_id", "chunk_id")
+        .collect()
+    )
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, rs in by_doc.items():
+        toks: list = []
+        for i, r in enumerate(rs):
+            c = r["chunk_text"].split(" ") if r["chunk_text"] else []
+            toks.extend(c[:CHUNK_STRIDE] if i < len(rs) - 1 else c)
+        assert toks == expected[doc_id], doc_id
