@@ -59,6 +59,12 @@ HEADLINE = [
     # TPC-H shape (Q5's six-table join)
     "ll42_semantic_dedup",
     "sql3_tpch_q5_shared_text",
+    # round 3b: corpus-wide DSIR scoring, the train x eval embedding
+    # decontamination pass, and the one-shuffle OHLC resample over the
+    # full events table
+    "ll53_dsir_weights",
+    "ll55_semantic_decontaminate",
+    "o6_ohlc_bars",
 ]
 
 

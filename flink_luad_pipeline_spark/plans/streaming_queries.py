@@ -399,3 +399,28 @@ def ss14_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys equal DISTINCT and the oracle holds."""
     dedup = ops.streaming_dedup_within_watermark(_events(spark, sf_dir))
     return _drain(dedup, "ss14_dedup_wm", "append")
+
+
+@query(
+    "ss15_stream_stream_left_outer",
+    oracle=(
+        "SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,"
+        " strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_at,"
+        " strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_at"
+        " FROM (SELECT * FROM events WHERE event_type = 'click') c"
+        " LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p"
+        " ON c.user_id = p.user_id"
+        " AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE"
+    ),
+)
+def ss15_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ss6's LEFT OUTER sibling: clicks with no purchase inside the gap
+    emit null-padded ONLY once the watermark seals them — a sentinel
+    event pair past max(ts) forces every real click's seal, so the
+    emitted set equals the batch LEFT JOIN and the withheld-until-
+    provable semantics itself is what's being checked."""
+    out = ops.stream_stream_left_outer(_events(spark, sf_dir).sparkSession, sf_dir)
+    # sentinel guard on the DRAINED table (batch side): filtering the
+    # streaming plan would push below the watermark ops and delete the
+    # sentinels (see the op's docstring)
+    return _drain(out, "ss15_loj", "append").where(F.col("user_id") >= 0)

@@ -613,3 +613,112 @@ def streaming_dedup_within_watermark(events: DataFrame) -> DataFrame:
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
+
+
+def stream_stream_left_outer(
+    spark: SparkSession,
+    sf_dir: str,
+    max_gap: str = "30 minutes",
+    delay: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every click, matched to
+    purchases within ``max_gap`` — and clicks with NO purchase emit a
+    null-padded row once the watermark proves no match can still
+    arrive. That's the semantics inner joins (ss6) can't give: outer
+    results are withheld until the state is provably sealed.
+
+    Replay staging: the feed carries the events table plus one
+    sentinel click/purchase pair far past max(ts) under user_id = -1.
+    The sentinels flow through both sides' type filters, advancing both
+    watermarks beyond every real click's match bound, so the no-data
+    batch after the last file seals and emits ALL real unmatched
+    clicks — the emitted set is then exactly the batch LEFT JOIN and
+    stays oracle-checkable. (The sentinel click's own bound sits past
+    the final watermark, so it is withheld; the user_id filter is a
+    belt-and-suspenders guard.)
+
+    Scale shape: same bounded state as ss6 — a buffered click drops
+    once the purchase-side watermark passes click_ts + max_gap.
+    """
+    import glob
+    import shutil
+
+    from ..catalog import load
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    tag = hashlib.md5(f"{sf_dir}|{max_gap}|lo".encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), "flps_loj", tag)
+    shutil.rmtree(base, ignore_errors=True)
+    feed = os.path.join(base, "feed")
+    tmp = os.path.join(base, "tmp")
+    os.makedirs(feed)
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", F.col("ts").cast("timestamp_ntz").alias("ts"),
+        "user_id", "event_type",
+    )
+    hi = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]  # staging scalar
+    sent = spark.createDataFrame(
+        [(-1, hi, -1, "click"), (-2, hi, -2, "purchase")],
+        "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, event_type STRING",
+    ).select(
+        "event_id",
+        (F.col("ts") + F.expr("INTERVAL 10 DAYS")).alias("ts"),
+        "user_id",
+        "event_type",
+    )
+
+    def stage(df: DataFrame, name: str) -> None:
+        d = os.path.join(tmp, name)
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        part = glob.glob(os.path.join(d, "part-*.parquet"))[0]
+        shutil.copy(part, os.path.join(feed, name + ".parquet"))
+
+    stage(ev, "events")
+    stage(sent, "sentinel")
+
+    stream = (
+        spark.readStream.schema(
+            "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT,"
+            " event_type STRING"
+        )
+        .parquet(feed)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    clicks = (
+        stream.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", delay)
+    )
+    purchases = (
+        stream.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", delay)
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {max_gap}")
+        ),
+        "left_outer",
+    )
+    return joined.select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_at"),
+        F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias(
+            "purchase_at"
+        ),
+    )
