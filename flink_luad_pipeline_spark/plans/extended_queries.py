@@ -1465,3 +1465,35 @@ def sql16_tpch_q21_shared_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     anti-join, both on l_orderkey with non-equal-supplier residuals —
     three passes over lineitem, each pruned at the scan."""
     return _shared_text_query(SQL16_SHARED_TEXT)(spark, sf_dir)
+
+
+# Q12 (shipping modes & order priority): l_shipmode/l_commitdate/
+# l_receiptdate don't exist in the synthetic lineitem; l_returnflag
+# stands in for the mode pair and "late" = shipped more than 60 days
+# after the order date. The signature shape — fact⋈fact join with the
+# lateness predicate and the two CASE-counted priority classes — is
+# verbatim.
+SQL17_SHARED_TEXT = (
+    "SELECT l_returnflag AS shipmode,"
+    " CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')"
+    "  THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,"
+    " CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')"
+    "  THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count"
+    " FROM orders JOIN lineitem ON o_orderkey = l_orderkey"
+    " WHERE l_returnflag IN ('R', 'A')"
+    " AND l_shipdate > o_orderdate + INTERVAL 60 DAY"
+    " AND l_shipdate >= DATE '1997-01-01'"
+    " AND l_shipdate < DATE '1998-01-01'"
+    " GROUP BY l_returnflag"
+)
+
+
+@query("sql17_tpch_q12_shared_text", oracle=SQL17_SHARED_TEXT)
+def sql17_tpch_q12_shared_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping priority classes) as one SQL string executed
+    verbatim by both engines — completes the partsupp-free TPC-H set
+    (Q2/Q9/Q11/Q16/Q20 need the partsupp table the synthetic schema
+    doesn't have). Plan: both date filters push to the lineitem scan;
+    the lateness predicate is a join residual on the shuffled
+    fact⋈fact edge; CASE-count pairs collapse map-side."""
+    return _shared_text_query(SQL17_SHARED_TEXT)(spark, sf_dir)
