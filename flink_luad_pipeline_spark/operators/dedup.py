@@ -657,3 +657,98 @@ def ngram_span_coverage(
             .alias("dup_ratio"),
         )
     )
+
+
+def remove_repeated_segments(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    seg_tokens: int = 10,
+    min_count: int = 2,
+) -> DataFrame:
+    """Repeated-segment REMOVAL (the transform behind C4's duplicate-
+    line drop and Lee et al.'s repeated-span excision): cut each
+    document's token stream into non-overlapping ``seg_tokens``-token
+    segments, count exact segment occurrences corpus-wide, DELETE every
+    segment occurring >= ``min_count`` times from every document, and
+    reassemble the survivors in order. Unlike the document-level tiers
+    (drop whole near-dup docs) this cleans INSIDE documents — planted
+    copies lose all their segments (both instances), boilerplate
+    paragraphs vanish while their host docs survive.
+
+    Scale shape: segmentation is narrow (sequence + slice in codegen);
+    the segment count is one partial-agged shuffle on segment text
+    (keys = distinct segments, not the corpus); the drop decision joins
+    back on the segment key; reassembly is one doc-keyed grouped
+    ``array_sort(collect_list)`` — the a7/o1 holistic-agg shape. Output
+    carries an md5 of the cleaned text, not the text itself, so
+    value-checking never hauls the corpus through the comparator.
+
+    Returns (doc_id, n_segments, n_dropped, clean_md5) — clean_md5 =
+    md5 of the surviving segments joined by single spaces ('' when
+    everything dropped).
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("t")
+    )
+    segs = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.when(
+                F.size("t") > 0,
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.floor((F.size("t") - 1) / seg_tokens).cast("int"),
+                    ),
+                    lambda i: F.array_join(
+                        F.slice(F.col("t"), i * seg_tokens + 1, seg_tokens),
+                        " ",
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("seg_id", "seg"),
+    )
+    hot = (
+        segs.groupBy("seg")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= min_count)
+        .select("seg")
+    )
+    marked = segs.join(
+        hot.withColumn("dropped", F.lit(True)), "seg", "left"
+    ).select(
+        "doc_id",
+        "seg_id",
+        "seg",
+        F.coalesce("dropped", F.lit(False)).alias("dropped"),
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(F.when(F.col("dropped"), 1).otherwise(0)).alias("n_dropped"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    ~F.col("dropped"),
+                                    F.struct(F.col("seg_id"), F.col("seg")),
+                                )
+                            )
+                        ),
+                        lambda s: s["seg"],
+                    ),
+                    " ",
+                )
+            ).alias("clean_md5"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_segments").cast("bigint").alias("n_segments"),
+            F.col("n_dropped").cast("bigint").alias("n_dropped"),
+            "clean_md5",
+        )
+    )

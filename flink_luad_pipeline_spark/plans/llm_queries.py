@@ -2356,3 +2356,42 @@ def ll55_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "eval_id",
         F.col("sim").cast("double").alias("sim"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ll56 — repeated-segment removal (C4 line-dedup / Lee et al. excision)
+# ---------------------------------------------------------------------------
+
+_SEGDROP_ORACLE = (
+    f"WITH aug AS ({_AUG_SQL}),"
+    f" tok AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM aug),"
+    " segs AS (SELECT doc_id, g['i'] AS seg_id, g['s'] AS seg FROM ("
+    " SELECT doc_id, unnest(list_transform("
+    " range(0, CAST(floor((len(t) - 1) / 10) AS BIGINT) + 1),"
+    " i -> {'i': i, 's': array_to_string(t[i * 10 + 1 : i * 10 + 10], ' ')}"
+    " )) AS g FROM tok WHERE len(t) > 0)),"
+    " hot AS (SELECT seg FROM segs GROUP BY seg HAVING count(*) >= 2),"
+    " marked AS (SELECT doc_id, seg_id, seg,"
+    " seg IN (SELECT seg FROM hot) AS dropped FROM segs)"
+    " SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments,"
+    " CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT)"
+    "  AS n_dropped,"
+    " md5(coalesce(string_agg(seg, ' ' ORDER BY seg_id)"
+    "  FILTER (WHERE NOT dropped), '')) AS clean_md5"
+    " FROM marked GROUP BY doc_id"
+)
+
+
+@query("ll56_remove_repeated_segments", oracle=_SEGDROP_ORACLE)
+def ll56_remove_repeated_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-segment removal over the augmented corpus (segment =
+    10 non-overlapping tokens, dropped when it appears >= 2 times
+    corpus-wide): the transform behind C4's duplicate-line drop —
+    cleans INSIDE documents where the document-level tiers (ll4/ll6/
+    ll34) drop whole docs and ll51 only measures coverage. Planted
+    copies lose every segment in BOTH instances; the cleaned text
+    travels as an md5 so the comparator never hauls the corpus."""
+    aug = _augmented(spark, sf_dir)
+    return dedup.remove_repeated_segments(
+        aug, "doc_id", "text", seg_tokens=10, min_count=2
+    )
