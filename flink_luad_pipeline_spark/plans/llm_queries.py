@@ -2395,3 +2395,49 @@ def ll56_remove_repeated_segments(spark: SparkSession, sf_dir: str) -> DataFrame
     return dedup.remove_repeated_segments(
         aug, "doc_id", "text", seg_tokens=10, min_count=2
     )
+
+
+# ---------------------------------------------------------------------------
+# ll57 — per-source quota cap (source balancing by quality rank)
+# ---------------------------------------------------------------------------
+
+_QUOTA_ORACLE = (
+    f"WITH tok AS (SELECT doc_id, source, text, {_TOKENS_SQL} AS tokens"
+    " FROM documents),"
+    f" scored AS (SELECT doc_id, source,"
+    f" round({_SCORE_SQL}, 6) AS score FROM tok),"
+    " ranked AS (SELECT doc_id, source, score, row_number() OVER ("
+    " PARTITION BY source ORDER BY score DESC, doc_id) AS src_rank"
+    " FROM scored)"
+    " SELECT doc_id, source,"
+    " CAST(CAST(score AS DECIMAL(18,6)) AS DOUBLE) AS score,"
+    " CAST(src_rank AS BIGINT) AS src_rank"
+    " FROM ranked WHERE src_rank <= 20"
+)
+
+
+@query("ll57_source_quota_cap", oracle=_QUOTA_ORACLE)
+def ll57_source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source balancing by quota: keep only the top 20 documents per
+    source ranked by quality score — the hard-cap companion to ll35's
+    proportional mixture sampling (a boilerplate-heavy source can't
+    flood the corpus no matter its size). Score is rounded BEFORE
+    ranking on both engines so fp noise can't flip ranks; one hash
+    shuffle on source, per-partition top-k via the rank window."""
+    docs = load(spark, sf_dir, "documents")
+    tokens = T.tokenize(F.col("text"))
+    q = T.quality_features(F.col("text"), tokens)
+    w = W.partitionBy("source").orderBy(F.col("score").desc(), "doc_id")
+    return (
+        docs.select(
+            "doc_id", "source", F.round(q["quality_score"], 6).alias("score")
+        )
+        .withColumn("src_rank", F.row_number().over(w))
+        .where(F.col("src_rank") <= 20)
+        .select(
+            "doc_id",
+            "source",
+            F.col("score").cast("decimal(18,6)").alias("score"),
+            F.col("src_rank").cast("bigint").alias("src_rank"),
+        )
+    )
