@@ -65,6 +65,7 @@ HEADLINE = [
     "ll53_dsir_weights",
     "ll55_semantic_decontaminate",
     "o6_ohlc_bars",
+    "ll56_remove_repeated_segments",
 ]
 
 

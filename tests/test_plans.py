@@ -517,3 +517,25 @@ def test_kcore_rounds_materialize_and_peel_is_semi_join(spark, sf_dir):
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_segment_removal_shuffles_are_bounded(spark, sf_dir):
+    """ll56: segmentation must be narrow (no exchange before the
+    segment-count agg), the hot-segment decision an equi-join, and the
+    reassembly one doc-keyed shuffle — no cartesian, no sort-based
+    global pass."""
+    plan = physical(QUERIES["ll56_remove_repeated_segments"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan  # segment counts collapse map-side
+    assert "GlobalSort" not in plan and "Sort [seg" not in plan
+
+
+def test_source_quota_is_single_window_pass(spark, sf_dir):
+    """ll57: one hash exchange on source feeding one rank window —
+    a second exchange would mean the score pass shuffled separately."""
+    plan = physical(QUERIES["ll57_source_quota_cap"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    # one Window OPERATOR (the rank); expression text also says
+    # "Window", so count operator lines, not substring hits
+    assert sum(1 for ln in plan.splitlines() if "Window [" in ln) == 1
