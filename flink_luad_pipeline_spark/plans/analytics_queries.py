@@ -554,3 +554,94 @@ def g6_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_partkey").alias("vertex")
     )
     return weighted_shortest_paths(edges, sources)
+
+
+_RIDGE_ORACLE = (
+    # Normal equations in exact DECIMAL, closed-form 2x2 inverse in
+    # DOUBLE written in the same operation order as the engine side:
+    # beta = (X'X + lambda I)^{-1} X'y, rmse from the same moments
+    # (no second data pass).
+    "WITH m AS (SELECT"
+    " CAST(sum(CAST(l_quantity AS DECIMAL(8,2))"
+    "  * CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) AS a,"
+    " CAST(sum(CAST(l_quantity AS DECIMAL(8,2))"
+    "  * CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE) AS b,"
+    " CAST(sum(CAST(l_discount AS DECIMAL(8,4))"
+    "  * CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE) AS c,"
+    " CAST(sum(CAST(l_quantity AS DECIMAL(8,2))"
+    "  * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS p,"
+    " CAST(sum(CAST(l_discount AS DECIMAL(8,4))"
+    "  * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS q,"
+    " CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))"
+    "  * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS s,"
+    " CAST(count(*) AS BIGINT) AS n FROM lineitem),"
+    " f AS (SELECT n, a, b, c, p, q, s,"
+    " (a + 1.0) * (c + 1.0) - b * b AS det FROM m),"
+    " o AS (SELECT n,"
+    " ((c + 1.0) * p - b * q) / det AS beta_qty,"
+    " ((a + 1.0) * q - b * p) / det AS beta_disc,"
+    " a, b, c, p, q, s FROM f)"
+    " SELECT n, CAST(round(beta_qty, 6) AS DOUBLE) AS beta_qty,"
+    " CAST(round(beta_disc, 6) AS DOUBLE) AS beta_disc,"
+    " CAST(round(sqrt(greatest((s - 2 * beta_qty * p - 2 * beta_disc * q"
+    " + beta_qty * beta_qty * a + 2 * beta_qty * beta_disc * b"
+    " + beta_disc * beta_disc * c) / n, 0.0)), 2) AS DOUBLE) AS rmse"
+    " FROM o"
+)
+
+
+@query("c6_ridge_closed_form", oracle=_RIDGE_ORACLE)
+def c6_ridge_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6 — ridge regression by closed-form normal equations
+    (l_extendedprice ~ l_quantity + l_discount, lambda=1, no
+    intercept): the one ML operator whose VALUES are oracle-checkable,
+    complementing the statistically-validated iterative tiers (C1 ALS,
+    C4/C5 SVM, ll50 k-means). The whole fit is ONE distributed
+    aggregation — six exact-DECIMAL moments — and the 2x2 inverse plus
+    training RMSE are closed-form expressions over those moments
+    (written in the identical operation order on both engines), so no
+    second data pass and no optimizer nondeterminism exist anywhere.
+    At 100 TB: map-side partial agg collapses the scan to one moment
+    row per partition; the math after that is constant-time."""
+    li = load(spark, sf_dir, "lineitem")
+    # factor widths sized to the columns' true granularity (2/4/2
+    # decimals) so products stay inside BOTH engines' exact-decimal
+    # range — (18,6) factors overflowed DuckDB's multiply width
+    qty = F.col("l_quantity").cast("decimal(8,2)")
+    disc = F.col("l_discount").cast("decimal(8,4)")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    mom = li.agg(
+        F.sum(qty * qty).cast("double").alias("a"),
+        F.sum(qty * disc).cast("double").alias("b"),
+        F.sum(disc * disc).cast("double").alias("c"),
+        F.sum(qty * price).cast("double").alias("p"),
+        F.sum(disc * price).cast("double").alias("q"),
+        F.sum(price * price).cast("double").alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    det = (F.col("a") + 1.0) * (F.col("c") + 1.0) - F.col("b") * F.col("b")
+    f = mom.select("n", "a", "b", "c", "p", "q", "s", det.alias("det"))
+    beta_qty = ((F.col("c") + 1.0) * F.col("p") - F.col("b") * F.col("q")) / F.col("det")
+    beta_disc = ((F.col("a") + 1.0) * F.col("q") - F.col("b") * F.col("p")) / F.col("det")
+    o = f.select(
+        "n",
+        beta_qty.alias("beta_qty"),
+        beta_disc.alias("beta_disc"),
+        "a", "b", "c", "p", "q", "s",
+    )
+    mse = (
+        F.col("s")
+        - 2 * F.col("beta_qty") * F.col("p")
+        - 2 * F.col("beta_disc") * F.col("q")
+        + F.col("beta_qty") * F.col("beta_qty") * F.col("a")
+        + 2 * F.col("beta_qty") * F.col("beta_disc") * F.col("b")
+        + F.col("beta_disc") * F.col("beta_disc") * F.col("c")
+    ) / F.col("n")
+    return o.select(
+        "n",
+        F.round("beta_qty", 6).cast("double").alias("beta_qty"),
+        F.round("beta_disc", 6).cast("double").alias("beta_disc"),
+        F.round(F.sqrt(F.greatest(mse, F.lit(0.0))), 2)
+        .cast("double")
+        .alias("rmse"),
+    )
