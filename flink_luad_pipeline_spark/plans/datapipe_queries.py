@@ -388,3 +388,68 @@ def ll20_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))
     )
+
+
+LL58_ORACLE = (
+    f"WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),"
+    " grams AS (SELECT DISTINCT doc_id,"
+    "   array_to_string(list_slice(t, i, i + 4), ' ') AS g"
+    "   FROM toks, unnest(range(1, len(t) - 3)) u(i)),"
+    f" train AS (SELECT doc_id AS train_id, g FROM grams"
+    f"  WHERE doc_id < {_EVAL_CUT}),"
+    f" ev AS (SELECT doc_id AS eval_id, g FROM grams"
+    f"  WHERE doc_id >= {_EVAL_CUT}),"
+    " ov AS (SELECT eval_id, train_id, count(*) AS n_shared FROM ev"
+    "  JOIN train USING (g) GROUP BY eval_id, train_id)"
+    " SELECT eval_id, train_id, CAST(n_shared AS BIGINT) AS n_shared"
+    " FROM (SELECT eval_id, train_id, n_shared, row_number() OVER ("
+    " PARTITION BY eval_id ORDER BY n_shared DESC, train_id) AS rk"
+    " FROM ov) WHERE rk = 1"
+)
+
+
+@query("ll58_contamination_attribution", oracle=LL58_ORACLE)
+def ll58_contamination_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audit direction of decontamination: for every eval document
+    that overlaps training data at all, WHICH training document leaks
+    into it most (max shared distinct 5-grams, ties to the smallest
+    train id). ll20 answers 'which training docs must go'; this answers
+    'which benchmark items are compromised and by what' — the report a
+    release review reads. Same inverted-index shape (gram equi-join,
+    work scales with gram occupancy), one extra rank window on the
+    per-pair counts, keyed by the tiny eval side."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("t"))
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.when(
+                    F.size("t") >= _DECON_N,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("t") - (_DECON_N - 1)),
+                        lambda i: F.array_join(F.slice("t", i, _DECON_N), " "),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            )
+        ).alias("g"),
+    )
+    train = grams.where(F.col("doc_id") < _EVAL_CUT).select(
+        F.col("doc_id").alias("train_id"), "g"
+    )
+    ev = grams.where(F.col("doc_id") >= _EVAL_CUT).select(
+        F.col("doc_id").alias("eval_id"), "g"
+    )
+    ov = (
+        ev.join(train, "g")
+        .groupBy("eval_id", "train_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    w = Window.partitionBy("eval_id").orderBy(
+        F.col("n_shared").desc(), F.col("train_id")
+    )
+    return (
+        ov.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("eval_id", "train_id", F.col("n_shared").cast("bigint").alias("n_shared"))
+    )
