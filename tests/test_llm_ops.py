@@ -408,3 +408,55 @@ def test_chunking_is_lossless(spark, sf_dir):
             c = r["chunk_text"].split(" ") if r["chunk_text"] else []
             toks.extend(c[:CHUNK_STRIDE] if i < len(rs) - 1 else c)
         assert toks == expected[doc_id], doc_id
+
+
+def test_segment_removal_vs_python(spark):
+    """remove_repeated_segments on random small corpora must equal a
+    pure-Python reimplementation (segmentation boundaries, threshold,
+    in-order reassembly, empty-result md5)."""
+    import hashlib
+    import random
+
+    from flink_luad_pipeline_spark.operators.dedup import (
+        remove_repeated_segments,
+    )
+
+    rng = random.Random(3)
+    words = ["alpha", "bravo", "charlie", "delta", "echo"]
+    docs = []
+    for i in range(30):
+        n = rng.randrange(0, 25)
+        docs.append((i, " ".join(rng.choice(words) for _ in range(n))))
+    # plant an exact repeat so the threshold actually fires
+    docs.append((100, docs[0][1]))
+    seg_tokens, min_count = 4, 2
+
+    segs: dict[int, list[str]] = {}
+    for doc_id, text in docs:
+        toks = [t for t in text.lower().split(" ") if t]
+        segs[doc_id] = [
+            " ".join(toks[i : i + seg_tokens])
+            for i in range(0, len(toks), seg_tokens)
+        ]
+    from collections import Counter
+
+    counts = Counter(s for ss in segs.values() for s in ss)
+    expected = {}
+    for doc_id, ss in segs.items():
+        if not ss:
+            continue  # docs with no tokens produce no row
+        kept = [s for s in ss if counts[s] < min_count]
+        expected[doc_id] = (
+            len(ss),
+            sum(1 for s in ss if counts[s] >= min_count),
+            hashlib.md5(" ".join(kept).encode()).hexdigest(),
+        )
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = remove_repeated_segments(
+        df, "doc_id", "text", seg_tokens=seg_tokens, min_count=min_count
+    )
+    got = {
+        r["doc_id"]: (r["n_segments"], r["n_dropped"], r["clean_md5"])
+        for r in out.collect()
+    }
+    assert got == expected
