@@ -382,3 +382,37 @@ def test_core_numbers_vs_python_peel(spark):
             for r in core_numbers(df, k_max=k_max).collect()
         }
         assert got == expected, f"trial {trial}"
+
+
+def test_asof_tolerance_null_right_value_keeps_sync(spark):
+    """A right row whose VALUE is NULL must not advance the matched
+    timestamp: the carried (time, value) pair always comes from the
+    same right row, so the tolerance check measures staleness of the
+    value actually carried (round-2 advice regression)."""
+    from flink_luad_pipeline_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100.0)], "k int, ts double"
+    )
+    # valid value at t=10, NULL value at t=95: the carried value is
+    # still the t=10 one, which at left ts=100 is beyond tolerance=30
+    # -> must be NULL. If the NULL row's timestamp leaked into the
+    # staleness check (95 >= 100-30), the stale 5.0 would survive.
+    right = spark.createDataFrame(
+        [(1, 10.0, 5.0), (1, 95.0, None)],
+        "k int, ts double, value double",
+    )
+    out = asof_join(
+        left, right, on="k", tolerance_sec=30, out_col="v"
+    ).collect()
+    assert len(out) == 1 and out[0]["v"] is None
+
+    # and with a fresh valid row inside tolerance, it is carried
+    right2 = spark.createDataFrame(
+        [(1, 10.0, 5.0), (1, 95.0, None), (1, 98.0, 7.0)],
+        "k int, ts double, value double",
+    )
+    out2 = asof_join(
+        left, right2, on="k", tolerance_sec=30, out_col="v"
+    ).collect()
+    assert out2[0]["v"] == 7.0
