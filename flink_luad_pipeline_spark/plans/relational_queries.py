@@ -1929,3 +1929,36 @@ def s16_python_datasource_fixedwidth(spark: SparkSession, sf_dir: str) -> DataFr
         .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
         .load()
     )
+
+
+@query(
+    "s17_file_provenance",
+    oracle=(
+        # the driver's oracle runs over pre-registered VIEWS (no path
+        # parameter exists), and every testdata table is one file with
+        # a scale-independent basename — so the expected provenance
+        # rollup is a constant name over the view's rows
+        "SELECT 'lineitem.parquet' AS file_name,"
+        " CAST(count(*) AS BIGINT) AS n_rows,"
+        " CAST(min(l_orderkey) AS BIGINT) AS min_key,"
+        " CAST(max(l_orderkey) AS BIGINT) AS max_key"
+        " FROM lineitem"
+    ),
+)
+def s17_file_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S17 — row-level file provenance via the ``_metadata`` struct:
+    every row knows which physical file it came from (the lineage
+    primitive behind incremental reprocessing, bad-file quarantine and
+    audit trails). Costs nothing at scan time — the column is constant
+    per split, no shuffle beyond the final rollup. The oracle reads the
+    same parquet with DuckDB's filename virtual column."""
+    li = spark.read.parquet(f"{sf_dir.rstrip('/')}/lineitem.parquet")
+    return (
+        li.select(F.col("_metadata.file_name").alias("file_name"), "l_orderkey")
+        .groupBy("file_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_orderkey").alias("min_key"),
+            F.max("l_orderkey").alias("max_key"),
+        )
+    )
