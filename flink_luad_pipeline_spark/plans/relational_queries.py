@@ -1962,3 +1962,43 @@ def s17_file_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("l_orderkey").alias("max_key"),
         )
     )
+
+
+@query(
+    "s18_aggregate_pushdown_scan",
+    oracle=(
+        "SELECT CAST(count(*) AS BIGINT) AS n,"
+        " CAST(min(l_orderkey) AS BIGINT) AS min_key,"
+        " CAST(max(l_orderkey) AS BIGINT) AS max_key"
+        " FROM lineitem"
+    ),
+)
+def s18_aggregate_pushdown_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S18 — parquet AGGREGATE pushdown: count/min/max answered from
+    row-group footer statistics, never decoding a single data page
+    (the BatchScan's output schema IS [count(*), min, max]). At 100 TB
+    this is the difference between a metadata read and a full-table
+    scan for the stats queries every pipeline health check runs.
+
+    Needs the V2 parquet path + the pushdown flag, which are session-
+    wide — so both confs are scoped: set, the pushed plan is executed
+    eagerly (localCheckpoint), then restored so no other query's plan
+    silently flips to V2."""
+    prev_v1 = spark.conf.get("spark.sql.sources.useV1SourceList")
+    prev_agg = spark.conf.get("spark.sql.parquet.aggregatePushdown")
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    try:
+        out = (
+            spark.read.parquet(f"{sf_dir.rstrip('/')}/lineitem.parquet")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("l_orderkey").alias("min_key"),
+                F.max("l_orderkey").alias("max_key"),
+            )
+            .localCheckpoint()  # execute the pushed plan under the confs
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.useV1SourceList", prev_v1)
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", prev_agg)
+    return out

@@ -539,3 +539,28 @@ def test_source_quota_is_single_window_pass(spark, sf_dir):
     # one Window OPERATOR (the rank); expression text also says
     # "Window", so count operator lines, not substring hits
     assert sum(1 for ln in plan.splitlines() if "Window [" in ln) == 1
+
+
+def test_aggregate_pushdown_reaches_scan(spark, sf_dir):
+    """s18: with the V2 path + flag on, the BatchScan's output schema
+    must BE the aggregates — count/min/max answered from parquet
+    footers, no data pages decoded."""
+    prev_v1 = spark.conf.get("spark.sql.sources.useV1SourceList")
+    prev_agg = spark.conf.get("spark.sql.parquet.aggregatePushdown")
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    try:
+        df = (
+            spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("l_orderkey").alias("min_key"),
+                F.max("l_orderkey").alias("max_key"),
+            )
+        )
+        plan = physical(df)
+    finally:
+        spark.conf.set("spark.sql.sources.useV1SourceList", prev_v1)
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", prev_agg)
+    scan_lines = [ln for ln in plan.splitlines() if "BatchScan" in ln]
+    assert scan_lines and "count(*)" in scan_lines[0], plan
