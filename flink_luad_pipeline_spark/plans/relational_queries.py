@@ -2002,3 +2002,50 @@ def s18_aggregate_pushdown_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.sources.useV1SourceList", prev_v1)
         spark.conf.set("spark.sql.parquet.aggregatePushdown", prev_agg)
     return out
+
+
+@query(
+    "o7_bar_momentum",
+    oracle=(
+        # compose the o6 bar (same grouped struct min/max) with lag
+        # navigation: bar-over-bar close delta and gap vs previous
+        # close — the resample + navigate chain of a monitoring query
+        "WITH bars AS (SELECT user_id, date_trunc('hour', ts) AS b,"
+        " min({'t': ts, 'i': event_id, 'v': value}).v AS open,"
+        " max({'t': ts, 'i': event_id, 'v': value}).v AS close"
+        " FROM events GROUP BY user_id, date_trunc('hour', ts))"
+        " SELECT user_id, strftime(b, '%Y-%m-%d %H:%M:%S') AS bar,"
+        " round(close - open, 6) AS intrabar_change,"
+        " round(close - lag(close) OVER ("
+        " PARTITION BY user_id ORDER BY b), 6) AS close_delta,"
+        " round(open - lag(close) OVER ("
+        " PARTITION BY user_id ORDER BY b), 6) AS gap"
+        " FROM bars"
+    ),
+)
+def o7_bar_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O7 — bar-over-bar navigation on top of o6's resample: intrabar
+    change, close-to-close delta, and the open gap vs the previous
+    close — the resample-then-navigate chain every monitoring dashboard
+    runs. One (user, hour) grouped agg then one user-keyed window; both
+    shuffles are on user-prefixed keys, so at scale the second exchange
+    disappears when the agg output is already hash-partitioned by a
+    compatible key (AQE reuses the partitioning for the window when
+    group keys subsume the partition key)."""
+    ev = load(spark, sf_dir, "events")
+    rec = F.struct(F.col("ts"), F.col("event_id"), F.col("value"))
+    bars = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("b")
+    ).agg(
+        F.min(rec)["value"].alias("open"),
+        F.max(rec)["value"].alias("close"),
+    )
+    w = Window.partitionBy("user_id").orderBy("b")
+    prev_close = F.lag("close").over(w)
+    return bars.select(
+        "user_id",
+        F.date_format("b", "yyyy-MM-dd HH:mm:ss").alias("bar"),
+        F.round(F.col("close") - F.col("open"), 6).alias("intrabar_change"),
+        F.round(F.col("close") - prev_close, 6).alias("close_delta"),
+        F.round(F.col("open") - prev_close, 6).alias("gap"),
+    )

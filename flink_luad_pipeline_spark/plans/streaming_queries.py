@@ -424,3 +424,23 @@ def ss15_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame
     # streaming plan would push below the watermark ops and delete the
     # sentinels (see the op's docstring)
     return _drain(out, "ss15_loj", "append").where(F.col("user_id") >= 0)
+
+
+@query(
+    "ss16_chained_stateful_ops",
+    oracle=(
+        "SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS window_start,"
+        " CAST(count(*) AS BIGINT) AS n_distinct_pairs FROM ("
+        " SELECT DISTINCT date_trunc('hour', ts) AS h, user_id, event_type"
+        " FROM events) GROUP BY h"
+    ),
+)
+def ss16_chained_stateful_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two stateful operators in ONE streaming query: watermarked
+    dedup at the door feeding a tumbling-window count behind it — the
+    multi-stateful pipeline shape of a real ingest topology, sharing
+    one checkpoint. Dedup keys include the hour bucket so the result
+    is a pure function of the input (hourly DISTINCT), oracle-checked
+    in complete mode."""
+    agg = ops.chained_stateful_dedup_agg(_events(spark, sf_dir))
+    return _drain(agg, "ss16_chained", "complete")

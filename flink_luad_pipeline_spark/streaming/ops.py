@@ -722,3 +722,29 @@ def stream_stream_left_outer(
             "purchase_at"
         ),
     )
+
+
+def chained_stateful_dedup_agg(events: DataFrame) -> DataFrame:
+    """TWO stateful operators chained in one streaming query —
+    watermarked dedup feeding a tumbling-window count. Spark long
+    forbade this (one stateful op per query); the modern multi-stateful
+    pipeline is the shape real ingest topologies need: dedup at the
+    door, aggregate behind it, one checkpoint for both states.
+
+    Dedup keys include the hour bucket, so each (user, type) counts
+    once per hour REGARDLESS of arrival order — that's what keeps the
+    result a pure function of the input (= DISTINCT per hour in batch)
+    rather than of micro-batch timing."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .withColumn("hour", F.date_trunc("hour", F.col("ts")))
+        .dropDuplicates(["user_id", "event_type", "hour"])
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_distinct_pairs"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            F.col("n_distinct_pairs").cast("bigint").alias("n_distinct_pairs"),
+        )
+    )
