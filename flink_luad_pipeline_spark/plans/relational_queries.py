@@ -2049,3 +2049,43 @@ def o7_bar_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("close") - prev_close, 6).alias("close_delta"),
         F.round(F.col("open") - prev_close, 6).alias("gap"),
     )
+
+
+@query(
+    "p12_collated_aggregation",
+    oracle=(
+        # DuckDB has no UTF8_LCASE column collation in this build; the
+        # case-insensitive grouping twin is lower()-keyed with the same
+        # deterministic min() representative
+        "WITH m AS (SELECT CASE WHEN doc_id % 2 = 0 THEN upper(source)"
+        " ELSE source END AS mixed, n_chars FROM documents)"
+        " SELECT lower(min(mixed)) AS source_ci,"
+        " CAST(count(*) AS BIGINT) AS n,"
+        " CAST(sum(n_chars) AS BIGINT) AS total_chars"
+        " FROM m GROUP BY lower(mixed)"
+    ),
+)
+def p12_collated_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P12 — collation-aware grouping (Spark 4 collations): half the
+    source labels are upper-cased, then grouped under the UTF8_LCASE
+    collation so 'SRC0' and 'src0' land in one group WITHOUT rewriting
+    the data to a canonical case — the collation rides the comparison,
+    keeping the original strings available (min() picks the
+    deterministic representative, lower()ed only for the output key).
+    At scale this is the difference between a metadata-level collation
+    and an extra full-column projection before every case-insensitive
+    join or group."""
+    docs = load(spark, sf_dir, "documents")
+    mixed = F.when(
+        F.col("doc_id") % 2 == 0, F.upper(F.col("source"))
+    ).otherwise(F.col("source"))
+    return (
+        docs.select(mixed.alias("mixed"), "n_chars")
+        .groupBy(F.collate(F.col("mixed"), "UTF8_LCASE").alias("k"))
+        .agg(
+            F.lower(F.min(F.col("mixed").cast("string"))).alias("source_ci"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .select("source_ci", "n", "total_chars")
+    )
