@@ -2089,3 +2089,36 @@ def p12_collated_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("source_ci", "n", "total_chars")
     )
+
+
+@query(
+    "p13_parameterized_sql",
+    oracle=(
+        "SELECT n_name, CAST(count(*) AS BIGINT) AS n_customers,"
+        " CAST(round(sum(c_acctbal), 2) AS DOUBLE) AS total_balance"
+        " FROM customer JOIN nation ON c_nationkey = n_nationkey"
+        " JOIN region ON n_regionkey = r_regionkey"
+        " WHERE r_name = 'ASIA' AND c_acctbal > 1000.0"
+        " GROUP BY n_name"
+    ),
+)
+def p13_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P13 — parameterized SQL with named parameter markers: the
+    region and balance floor arrive as bind parameters, never spliced
+    into the SQL text — the injection-safe front door for templated
+    dashboards and the plan-cache-friendly shape (one parse for any
+    parameter value). The oracle is the same query with the constants
+    bound, which is exactly the equivalence the marker API promises."""
+    from ..catalog import register_all
+
+    register_all(spark, sf_dir)
+    return spark.sql(
+        "SELECT n_name, CAST(count(*) AS BIGINT) AS n_customers,"
+        " CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE)"
+        "  AS total_balance"
+        " FROM customer JOIN nation ON c_nationkey = n_nationkey"
+        " JOIN region ON n_regionkey = r_regionkey"
+        " WHERE r_name = :region AND c_acctbal > :min_bal"
+        " GROUP BY n_name",
+        args={"region": "ASIA", "min_bal": 1000.0},
+    )
