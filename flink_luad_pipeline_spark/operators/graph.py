@@ -558,3 +558,76 @@ def weighted_shortest_paths(
         if frontier.isEmpty():
             break
     return dist
+
+
+def random_walks(
+    edges: DataFrame,
+    starts: DataFrame,
+    steps: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Deterministic random walks — the graph-embedding training-data
+    generator (DeepWalk/node2vec corpora): from every start vertex,
+    take ``steps`` hops where hop i from vertex v picks neighbor number
+    ``portable_hash40(walk_id:i:v) % degree(v)`` among the ascending-
+    sorted neighbors. Hash-driven choice instead of an RNG for the same
+    reason as the mixture sampler (ll35): the walk corpus is exactly
+    reproducible by any engine, so the whole generator is value-
+    checkable rather than rows-only.
+
+    Per hop: one equi-join of the frontier against the ranked adjacency
+    (precomputed once: row_number + degree over a single vertex-keyed
+    shuffle, then localCheckpoint'd — the loop never re-sorts).
+    Dead-ends (isolated starts) stop early and emit no further rows.
+
+    Returns ``DataFrame[walk_id, step, vertex]`` — step 0 is the start.
+    """
+    from .dedup import portable_hash40
+
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("w"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("w")))
+        .where(F.col("u") != F.col("w"))
+        .distinct()
+    )
+    rk_w = Window.partitionBy("u").orderBy("w")
+    deg_w = Window.partitionBy("u")
+    adj = (
+        sym.withColumn("rk", F.row_number().over(rk_w))
+        .withColumn("deg", F.count(F.lit(1)).over(deg_w))
+        .localCheckpoint()
+    )
+    cur = (
+        starts.select(F.col(starts.columns[0]).alias("walk_id"))
+        .distinct()
+        .select("walk_id", F.lit(0).alias("step"), F.col("walk_id").alias("vertex"))
+        .localCheckpoint()
+    )
+    out = cur
+    for i in range(1, steps + 1):
+        pick = F.pmod(
+            portable_hash40(
+                F.concat_ws(
+                    ":",
+                    F.col("walk_id").cast("string"),
+                    F.lit(str(i)),
+                    F.col("vertex").cast("string"),
+                )
+            ),
+            F.col("deg"),
+        ) + 1
+        cur = (
+            cur.join(adj, cur.vertex == adj.u)
+            .where(F.col("rk") == pick)
+            .select(
+                "walk_id",
+                F.lit(i).alias("step"),
+                F.col("w").alias("vertex"),
+            )
+            .localCheckpoint()
+        )
+        out = out.union(cur)
+    return out.select(
+        "walk_id", F.col("step").cast("bigint").alias("step"), "vertex"
+    )

@@ -645,3 +645,86 @@ def c6_ridge_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("rmse"),
     )
+
+
+def _walks_oracle(steps: int = 3) -> str:
+    """Unrolled DuckDB twin of graph.random_walks over the g5 graph:
+    identical ranked adjacency and md5-derived neighbor pick. Linear
+    unroll (each step references the previous once), so no
+    materialization is needed."""
+    from ..plans.llm_queries import _hex10
+
+    parts = [
+        "WITH e AS (SELECT src, dst FROM ("
+        " SELECT p_partkey AS src, p_partkey + 1 AS dst FROM part"
+        "  WHERE p_partkey % 10 < 3"
+        " UNION ALL SELECT p_partkey, p_partkey + 2 FROM part"
+        "  WHERE p_partkey % 10 < 3"
+        " UNION ALL SELECT p_partkey, p_partkey + 3 FROM part"
+        "  WHERE p_partkey % 10 < 3"
+        " UNION ALL SELECT p_partkey, p_partkey + 1 FROM part"
+        "  WHERE p_partkey % 10 BETWEEN 5 AND 7"
+        ") WHERE dst IN (SELECT p_partkey FROM part)),"
+        " sym AS (SELECT src AS u, dst AS w FROM e"
+        " UNION SELECT dst, src FROM e),"
+        " adj AS (SELECT u, w, row_number() OVER ("
+        " PARTITION BY u ORDER BY w) AS rk,"
+        " count(*) OVER (PARTITION BY u) AS deg FROM sym),"
+        " s0 AS (SELECT p_partkey AS walk_id, 0 AS step,"
+        " p_partkey AS vertex FROM part WHERE p_partkey % 100 = 0),"
+    ]
+    for i in range(1, steps + 1):
+        h = _hex10(
+            f"CAST(s{i - 1}.walk_id AS VARCHAR) || ':' || '{i}' || ':'"
+            f" || CAST(s{i - 1}.vertex AS VARCHAR)"
+        )
+        parts.append(
+            f" s{i} AS (SELECT s{i - 1}.walk_id, {i} AS step,"
+            f" adj.w AS vertex FROM s{i - 1} JOIN adj"
+            f" ON adj.u = s{i - 1}.vertex"
+            f" AND adj.rk = ({h}) % adj.deg + 1),"
+        )
+    parts.append(
+        " allsteps AS ("
+        + " UNION ALL ".join(
+            f"SELECT * FROM s{i}" for i in range(0, steps + 1)
+        )
+        + ")"
+        " SELECT walk_id, CAST(step AS BIGINT) AS step, vertex"
+        " FROM allsteps"
+    )
+    return "".join(parts)
+
+
+@query("g7_random_walks", oracle=_walks_oracle())
+def g7_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G7 — deterministic random walks (DeepWalk/node2vec corpus
+    generation) over the g5 wedge+tail graph, 3 hops from every 100th
+    vertex: hop i from v picks neighbor portable_hash40(walk:i:v) %
+    degree among ascending-sorted neighbors, so the entire walk corpus
+    is replayed bit-identically by the unrolled SQL oracle — the graph
+    counterpart of the hash-driven mixture sampler."""
+    from ..operators.graph import random_walks
+
+    part = load(spark, sf_dir, "part").select("p_partkey")
+    dense = part.where(F.col("p_partkey") % 10 < 3).select(
+        F.col("p_partkey").alias("src"),
+        F.explode(
+            F.array(
+                F.col("p_partkey") + 1,
+                F.col("p_partkey") + 2,
+                F.col("p_partkey") + 3,
+            )
+        ).alias("dst"),
+    )
+    tail = part.where(
+        (F.col("p_partkey") % 10 >= 5) & (F.col("p_partkey") % 10 <= 7)
+    ).select(
+        F.col("p_partkey").alias("src"),
+        (F.col("p_partkey") + 1).alias("dst"),
+    )
+    edges = dense.union(tail).join(
+        part.select(F.col("p_partkey").alias("dst")), "dst", "left_semi"
+    )
+    starts = part.where(F.col("p_partkey") % 100 == 0)
+    return random_walks(edges, starts, steps=3)
