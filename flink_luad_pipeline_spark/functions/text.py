@@ -168,3 +168,30 @@ def strip_accents(col: Column) -> Column:
         return s.map(one)
 
     return _strip(col)
+
+
+def compression_ratio(col: Column) -> Column:
+    """zlib-compressed size over raw size (level 6, raw UTF-8 bytes) —
+    the classic cheap repetitiveness signal (used by Gopher-style
+    filter stacks alongside the n-gram rules): boilerplate and
+    template spam compress far below natural text. Arrow-batched
+    pandas UDF (no JVM zlib expression exists); deterministic for a
+    fixed zlib level, but NOT reproducible in DuckDB SQL, so its query
+    is rows-only with a property test instead of an oracle. Empty
+    strings report ratio 1.0 (no evidence)."""
+    import zlib
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _ratio(s: pd.Series) -> pd.Series:
+        def one(t: str | None) -> float:
+            if not t:
+                return 1.0
+            raw = t.encode("utf-8")
+            return len(zlib.compress(raw, 6)) / len(raw)
+
+        return s.map(one)
+
+    return _ratio(col)

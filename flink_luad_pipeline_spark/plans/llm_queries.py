@@ -2441,3 +2441,26 @@ def ll57_source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("src_rank").cast("bigint").alias("src_rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ll59 — compression-ratio quality signal (rows-only: no SQL zlib)
+# ---------------------------------------------------------------------------
+
+
+@query("ll59_compression_ratio")  # rows-only: DuckDB has no zlib twin
+def ll59_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document zlib compression ratio — the cheap repetitiveness
+    signal Gopher-style filter stacks pair with the n-gram rules
+    (template spam compresses far below natural text; the planted
+    exact copies in the augmented corpus don't change their OWN ratio,
+    which is exactly why this signal complements dedup instead of
+    replacing it). Arrow-batched pandas UDF, narrow, no shuffle;
+    deterministic for the fixed zlib level but not SQL-expressible, so
+    the contract is rows-only + the distribution property test in
+    tests/test_llm_ops.py."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(T.compression_ratio(F.col("text")), 6).alias("zlib_ratio"),
+    )

@@ -460,3 +460,30 @@ def test_segment_removal_vs_python(spark):
         for r in out.collect()
     }
     assert got == expected
+
+
+def test_compression_ratio_separates_repetitive_text(spark):
+    """The zlib signal must rank a highly repetitive document far below
+    varied text, match a direct zlib computation exactly, and return
+    1.0 for empty strings."""
+    import zlib
+
+    from flink_luad_pipeline_spark.functions.text import compression_ratio
+    from pyspark.sql import functions as F
+
+    rep = "spam " * 200
+    varied = " ".join(f"w{i}x{i * 7 % 13}" for i in range(200))
+    df = spark.createDataFrame(
+        [(1, rep), (2, varied), (3, "")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["r"]
+        for r in df.select(
+            "doc_id", compression_ratio(F.col("text")).alias("r")
+        ).collect()
+    }
+    exp = lambda t: len(zlib.compress(t.encode(), 6)) / len(t.encode())
+    assert abs(got[1] - exp(rep)) < 1e-12
+    assert abs(got[2] - exp(varied)) < 1e-12
+    assert got[3] == 1.0
+    assert got[1] < 0.3 * got[2]
