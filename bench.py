@@ -122,9 +122,64 @@ def main() -> None:
         "queries": per_query,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    # Round-over-round comparability (VERDICT r3 item 5): the set grew
+    # 20 -> 30 queries across rounds, so also report the original
+    # 20-query subtotal alongside the full total.
+    r02_subset = HEADLINE[:20]
+    if not any(per_query.get(n) is None for n in r02_subset):
+        out["r02_subset_total"] = round(
+            sum(per_query[n] for n in r02_subset), 4
+        )
     if failed:
         out["failed"] = failed
+
+    # sf1 scaling probe (VERDICT r3 item 7): rerun the headline set on
+    # the 10x key-shifted replica so the sf0.1 -> sf1 scale factor is a
+    # driver-reproducible artifact, not just a SCALE.md note. Runs only
+    # for the default sf0.1 bench; SPARK_GRAFT_SKIP_SF1=1 opts out.
+    # Protocol: replica materialized once under /tmp, per-query min of
+    # 2 warm runs (the session/codegen are already hot from the sf0.1
+    # pass; min suppresses GC noise without tripling the added time).
+    if sf == "0.1" and not os.environ.get("SPARK_GRAFT_SKIP_SF1"):
+        try:
+            out["sf1"] = _sf1_section(spark, queries, total)
+        except Exception as exc:  # the probe must not kill the metric
+            print(f"bench: sf1 probe FAILED: {exc}", file=sys.stderr)
+            out["sf1"] = {"error": str(exc)[:200]}
     print(json.dumps(out))
+
+
+def _sf1_section(spark, queries, sf01_total) -> dict:
+    sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1")
+    if not os.path.isdir(os.path.join(sf1_dir, "lineitem.parquet")):
+        from scripts.make_scale_data import materialize
+
+        materialize(spark, sf1_dir)
+    per_query: dict[str, float | None] = {}
+    failed = []
+    for name in HEADLINE:
+        try:
+            runs = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                queries[name](spark, sf1_dir).toPandas()
+                runs.append(time.perf_counter() - t0)
+            per_query[name] = round(min(runs), 4)
+        except Exception as exc:
+            print(f"bench: sf1 {name} FAILED: {exc}", file=sys.stderr)
+            per_query[name] = None
+            failed.append(name)
+    total = (
+        None
+        if failed
+        else round(sum(v for v in per_query.values() if v is not None), 4)
+    )
+    section = {"value": total, "unit": "sec", "queries": per_query, "sf": 1.0}
+    if failed:
+        section["failed"] = failed
+    if total is not None and sf01_total:
+        section["scale_factor_vs_sf0.1"] = round(total / sf01_total, 2)
+    return section
 
 
 if __name__ == "__main__":

@@ -72,16 +72,16 @@ def _assign(e: DataFrame, cent: DataFrame, round_digits: int) -> DataFrame:
     )
 
 
-def kmeans_assign(
+def _fit(
     emb: DataFrame,
-    k: int = 8,
-    iters: int = 3,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    round_digits: int = 6,
-) -> DataFrame:
-    """Deterministic Lloyd k-means; returns (vec_id, cluster, sqdist)
-    — the final assignment after ``iters`` update steps."""
+    k: int,
+    iters: int,
+    id_col: str,
+    vec_col: str,
+    round_digits: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared Lloyd loop: returns (normalized vectors, final centroid
+    DataFrame[cid, cv])."""
     spark = emb.sparkSession
     e = emb.select(
         F.col(id_col).alias("vec_id"),
@@ -122,7 +122,37 @@ def kmeans_assign(
         for r in upd.collect():
             cent[int(r["cid"])] = list(r["cv"])
 
-    final = _assign(e, cent_df(), round_digits)
+    return e, cent_df()
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Deterministic Lloyd k-means, centroids only: returns
+    ``DataFrame[cid, cv]`` after ``iters`` update steps — the trained
+    centroid table ``similarity.ivf_topk(centroids=...)`` accepts
+    (rename cid/cv to centroid_id/centv at the call site)."""
+    _, cents = _fit(emb, k, iters, id_col, vec_col, round_digits)
+    return cents
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Deterministic Lloyd k-means; returns (vec_id, cluster, sqdist)
+    — the final assignment after ``iters`` update steps."""
+    e, cents = _fit(emb, k, iters, id_col, vec_col, round_digits)
+    final = _assign(e, cents, round_digits)
     return final.select(
         "vec_id", F.col("cid").cast("bigint").alias("cluster"), "sqdist"
     )

@@ -118,6 +118,70 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.6,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric shingle-containment join: C(a→b) = |S(a)∩S(b)| /
+    |S(a)| — "what fraction of a's shingles also appear in b". Jaccard
+    (ll5) misses the quote/superset case this exists for: a short
+    document wholly embedded in a much longer one has tiny J (the
+    union is huge) but containment ≈ 1 in the short→long direction —
+    the signal for quotation detection, subset-document pruning, and
+    deciding WHICH near-dup to keep (keep the superset).
+
+    Same inverted-index dataflow as ``jaccard_pairs`` (explode →
+    shingle equi-join → per-pair intersection count), and the
+    intersection is computed ONCE per unordered pair; both directions
+    are then derived by dividing by |S(a)| vs |S(b)| — no second join.
+    ``max_shingle_df`` is the identical 100 TB boilerplate/skew guard
+    (dropped index keys only under-count intersections, so surviving
+    containments are lower bounds).
+
+    Returns (doc_a, doc_b, containment): directional rows, doc_a ≠
+    doc_b, containment of doc_a IN doc_b, >= threshold.
+    """
+    sh = _shingled(df, id_col, text_col, k)
+    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    inv = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    if max_shingle_df is not None:
+        rare = (
+            inv.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") <= max_shingle_df)
+            .select("shingle")
+        )
+        inv = inv.join(rare, "shingle", "left_semi")
+    a = inv.select(F.col("doc_id").alias("u"), "shingle")
+    b = inv.select(F.col("doc_id").alias("v"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    su = sizes.select(F.col("doc_id").alias("u"), F.col("n_sh").alias("nu"))
+    sv = sizes.select(F.col("doc_id").alias("v"), F.col("n_sh").alias("nv"))
+    both = inter.join(su, "u").join(sv, "v")
+    directional = both.select(
+        F.col("u").alias("doc_a"), F.col("v").alias("doc_b"),
+        F.try_divide(F.col("inter").cast("double"), F.col("nu").cast("double"))
+        .alias("containment"),
+    ).unionAll(
+        both.select(
+            F.col("v").alias("doc_a"), F.col("u").alias("doc_b"),
+            F.try_divide(
+                F.col("inter").cast("double"), F.col("nv").cast("double")
+            ).alias("containment"),
+        )
+    )
+    return directional.where(F.col("containment") >= F.lit(threshold))
+
+
 # 40-bit base-hash domain and a prime just below 2^40. With a < 2^22
 # and h < 2^40 the affine probe a*h+b stays under 2^62 — no BIGINT
 # overflow even under ANSI mode, in Spark or DuckDB.

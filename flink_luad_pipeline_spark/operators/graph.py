@@ -21,6 +21,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -448,6 +450,13 @@ def core_numbers(
     rewritten rather than only deleted). ``localCheckpoint`` per round
     truncates lineage like the other loops.
 
+    If a peel cascade is still shrinking after ``max_rounds`` rounds the
+    k-level is taken from the truncated edge set, which can only
+    OVER-credit core numbers (vertices that would eventually be peeled
+    are kept); a ``RuntimeWarning`` is emitted so the caller can raise
+    ``max_rounds`` (the worst-case cascade length is |V|, e.g. a path
+    graph peeling one endpoint pair per round).
+
     Returns ``DataFrame[vertex, core]`` (BIGINT core, >= 1; isolated
     vertices have no edges and no row).
     """
@@ -482,6 +491,14 @@ def core_numbers(
             cur, cur_count = nxt, nxt_count
             if cur_count == 0:
                 break
+        else:
+            warnings.warn(
+                f"core_numbers: {k}-core peel still shrinking after "
+                f"max_rounds={max_rounds}; reported cores may be "
+                "over-credited — raise max_rounds",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         if cur_count == 0:
             break
         levels = levels.union(
@@ -557,6 +574,14 @@ def weighted_shortest_paths(
         dist = merged.select("vertex", "dist")
         if frontier.isEmpty():
             break
+    else:
+        warnings.warn(
+            "weighted_shortest_paths: frontier still improving after "
+            f"max_iterations={max_iterations}; distances may be stale "
+            "upper bounds — raise max_iterations",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return dist
 
 
@@ -630,4 +655,43 @@ def random_walks(
         out = out.union(cur)
     return out.select(
         "walk_id", F.col("step").cast("bigint").alias("step"), "vertex"
+    )
+
+
+def two_hop_reach(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Distinct vertices within <= 2 hops of each vertex (self
+    excluded) — the friend-of-friend reach metric behind audience
+    estimation and graph-sampling fanout budgets, and the smallest
+    member of the neighborhood-aggregation family (1 self-join, no
+    iteration; contrast g4's frontier loop which answers the same
+    question for unbounded depth).
+
+    Dataflow: symmetrize + distinct once, then ONE vertex-keyed
+    equi-self-join for the 2-hop closure, union the 1-hop edges,
+    drop self-reaches, count distinct per vertex. Every shuffle is
+    hash-partitioned on a vertex id. At 100 TB the self-join's output
+    is Σ deg(v)² — the classic hub blowup — so a production run caps
+    or samples hub adjacency first (the same df-cutoff idea as the
+    shingle index); the operator itself stays shuffle-bounded.
+
+    Returns ``DataFrame[vertex, reach]`` (BIGINT; isolated vertices
+    have no edges and no row).
+    """
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("w"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("w")))
+        .where(F.col("u") != F.col("w"))
+        .distinct()
+    )
+    hop2 = sym.join(
+        sym.select(F.col("u").alias("w"), F.col("w").alias("x")), "w"
+    ).select("u", F.col("x").alias("w"))
+    return (
+        sym.unionAll(hop2)
+        .where(F.col("u") != F.col("w"))
+        .distinct()
+        .groupBy(F.col("u").alias("vertex"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("reach"))
     )

@@ -81,10 +81,14 @@ def dsir_logweights(
     # consumers (the ratio table and the per-doc weights), so it is
     # materialized — without the boundary Catalyst re-executes the
     # whole tokenize+hash scan per consumer (measured ~2x on bench).
+    # localCheckpoint, not cache(): checkpoint blocks are released by
+    # the ContextCleaner once this DataFrame is dereferenced, whereas a
+    # cache() entry would pin storage for the whole session (the bench
+    # reuses one session across 30 queries).
     db = (
         feat.groupBy("doc_id", "is_target", "b")
         .agg(F.count(F.lit(1)).alias("c"))
-        .cache()
+        .localCheckpoint(eager=True)
     )
     counts = db.groupBy("b").agg(
         F.sum("c").alias("cr"),

@@ -14,11 +14,28 @@ All vector math is functions/vectors.py (zip_with/aggregate, codegen).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.vectors import cosine_similarity
+
+
+def derive_centroid_mod(vectors: DataFrame) -> int:
+    """Corpus-size-derived IVF sampling modulus: ``mod ≈ √N`` so the
+    centroid count ``M = N / mod ≈ √N`` (SCALE.md policy).
+
+    With M ≈ √N the broadcast assignment costs N·M = O(N^1.5) and the
+    per-cell pair work is M·(N/M)² = O(N^1.5) too — the two stages
+    stay balanced at any corpus size, instead of the fixed-mod default
+    whose assignment degenerates to N·(N/25) = O(N²). One extra job:
+    a single-row count over the (already pruned) vector scan; callers
+    that know N can skip it by passing the modulus explicitly.
+    """
+    n = vectors.count()
+    return max(1, round(math.sqrt(n)))
 
 
 def _ranked(scored: DataFrame, k: int) -> DataFrame:
@@ -293,7 +310,7 @@ def lsh_neardup_pairs_compact(
 def semantic_dedup(
     vectors: DataFrame,
     threshold: float = 0.35,
-    centroid_mod: int = 25,
+    centroid_mod: int | None = 25,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
@@ -318,9 +335,16 @@ def semantic_dedup(
     handling. Zero-norm vectors have no defined cosine and are excluded
     (same convention as the ANN tiers).
 
+    ``centroid_mod=None`` derives the modulus from the corpus size
+    (``derive_centroid_mod``: mod ≈ √N, so M ≈ √N and total work is
+    O(N^1.5) by construction); the fixed default exists for oracle
+    determinism at test scale.
+
     Returns (id, cell, dropped, dup_of) — dup_of is the surviving
     duplicate's id, NULL for kept vectors.
     """
+    if centroid_mod is None:
+        centroid_mod = derive_centroid_mod(vectors)
     cents = vectors.where(F.col(id_col) % centroid_mod == 0).select(
         F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centv")
     )
@@ -342,12 +366,14 @@ def semantic_dedup(
         .withColumn("crank", F.row_number().over(w))
         .where(F.col("crank") == 1)
         .select("m_id", "v", "centroid_id")
-        # load-bearing cache (cf. the MinHash tier): the assignment
+        # load-bearing boundary (cf. the MinHash tier): the assignment
         # subtree — N×M cosines + a per-vector window — feeds BOTH pair
         # sides and the final left join; without a materialization
         # boundary Catalyst re-executes it three times (measured 3-4x
-        # on the bench corpus)
-        .cache()
+        # on the bench corpus). localCheckpoint, not cache(): released
+        # by the ContextCleaner when dereferenced instead of pinning
+        # storage for the whole session.
+        .localCheckpoint(eager=True)
     )
     a = members.select(
         "centroid_id", F.col("m_id").alias("doc_a"), F.col("v").alias("va")
@@ -384,11 +410,12 @@ def ivf_topk(
     queries: DataFrame,
     candidates: DataFrame,
     k: int = 10,
-    centroid_mod: int = 25,
+    centroid_mod: int | None = 25,
     nprobe: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: coarse-quantize candidates
     into cells, search only the query's ``nprobe`` nearest cells.
@@ -405,10 +432,22 @@ def ivf_topk(
     scan; the probe-join is an equi-join on cell id — a plain shuffle
     join at 100 TB, no broadcast of the big side, and each query scores
     only ~nprobe/M of the corpus.
+
+    ``centroid_mod=None`` derives the modulus from the candidate count
+    (mod ≈ √N → M ≈ √N cells, ``derive_centroid_mod``); the fixed
+    default keeps the oracle closed-form at test scale. ``centroids``
+    (a ``(centroid_id, centv)`` DataFrame, e.g. the output of
+    ``clustering.kmeans_fit``) overrides the modulo sampling entirely —
+    trained cells change recall, not the dataflow.
     """
-    cents = candidates.where(F.col(id_col) % centroid_mod == 0).select(
-        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centv")
-    )
+    if centroids is not None:
+        cents = centroids.select("centroid_id", "centv")
+    else:
+        if centroid_mod is None:
+            centroid_mod = derive_centroid_mod(candidates)
+        cents = candidates.where(F.col(id_col) % centroid_mod == 0).select(
+            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centv")
+        )
 
     def nearest_cells(df: DataFrame, in_id: str, out_id: str, vec: str, n: int):
         w = Window.partitionBy(out_id).orderBy(
@@ -538,11 +577,138 @@ def pq_topk(
     return _ranked(scored, k)
 
 
+def ivfpq_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    centroid_mod: int | None = 25,
+    nprobe: int = 3,
+    m: int = 4,
+    dim: int = 64,
+    code_mod: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF-PQ approximate top-k — the composed billion-scale ANN
+    layout (FAISS's default): the IVF coarse quantizer prunes WHICH
+    candidates are scored (only the query's ``nprobe`` cells), and PQ
+    asymmetric-distance computation prunes HOW each survivor is scored
+    (m code lookups against a per-query LUT instead of a dim-length
+    dot product). ivf_topk pays full dot products on the probed cells;
+    pq_topk scores the whole corpus cheaply; this pays the cheap score
+    on the pruned set — the two levers multiply.
+
+    Deterministic end to end, same devices as the parents: mod-sampled
+    coarse centroids and codebooks, rounded cosine for cell choice,
+    rounded-DECIMAL partial dots summed order-free for ADC, explicit
+    (.. desc, id) tie-breaks — so the DuckDB oracle reproduces cells,
+    codes, LUT, and ranking exactly.
+
+    Plan shape at 100 TB: both quantizer tables are tiny and broadcast
+    (M ≈ √N rows, m·(N/code_mod) codebook rows); candidate cell
+    assignment and encoding are narrow passes over the corpus scan;
+    the only corpus-sized shuffles are the cell equi-join and the
+    (s, code) LUT equi-join, both hash-partitioned on small keys.
+    ``centroid_mod=None`` derives mod ≈ √N like the parents.
+    """
+    from ..functions.vectors import dot
+
+    if centroid_mod is None:
+        centroid_mod = derive_centroid_mod(candidates)
+    subdim = dim // m
+    cents = candidates.where(F.col(id_col) % centroid_mod == 0).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centv")
+    )
+
+    def nearest_cells(df: DataFrame, out_id: str, n: int) -> DataFrame:
+        w = Window.partitionBy(out_id).orderBy(
+            F.col("csim").desc(), F.col("centroid_id")
+        )
+        return (
+            df.select(F.col(id_col).alias(out_id), F.col(vec_col).alias("v"))
+            .crossJoin(F.broadcast(cents))
+            .select(
+                out_id,
+                "centroid_id",
+                F.round(
+                    cosine_similarity(F.col("v"), F.col("centv")), round_digits
+                ).alias("csim"),
+            )
+            .where(F.col("csim").isNotNull())
+            .withColumn("crank", F.row_number().over(w))
+            .where(F.col("crank") <= n)
+            .select(out_id, "centroid_id")
+        )
+
+    # the IVF half: (query, cand) pairs allowed to be scored
+    shortlist = nearest_cells(candidates, "cand_id", 1).join(
+        nearest_cells(queries, "query_id", nprobe), "centroid_id"
+    ).select("query_id", "cand_id")
+
+    # the PQ half (pq_topk's encode/LUT, restricted to the shortlist)
+    def subvectors(df: DataFrame, out_id: str) -> DataFrame:
+        subs = F.array(
+            *[
+                F.slice(F.col(vec_col), s * subdim + 1, subdim)
+                for s in range(m)
+            ]
+        )
+        return df.select(
+            F.col(id_col).alias(out_id), F.posexplode(subs).alias("s", "sub")
+        )
+
+    codebook = subvectors(
+        candidates.where(F.col(id_col) % code_mod == 0), "code"
+    ).select("code", "s", F.col("sub").alias("cent"))
+
+    def partial_dots(df: DataFrame, out_id: str, dot_name: str) -> DataFrame:
+        return (
+            df.join(F.broadcast(codebook), "s")
+            .select(
+                out_id,
+                "s",
+                "code",
+                F.round(dot(F.col("sub"), F.col("cent")), round_digits)
+                .cast("decimal(18,6)")
+                .alias(dot_name),
+            )
+            .where(F.col(dot_name).isNotNull())
+        )
+
+    enc_w = Window.partitionBy("cand_id", "s").orderBy(
+        F.col("d").desc(), F.col("code")
+    )
+    # encode only the shortlisted candidates — query-time IVF-PQ never
+    # touches unprobed cells' vectors (at index-build time you'd encode
+    # everything once instead; same codes either way)
+    short_cands = candidates.join(
+        shortlist.select(F.col("cand_id").alias(id_col)).distinct(),
+        id_col,
+        "left_semi",
+    )
+    codes = (
+        partial_dots(subvectors(short_cands, "cand_id"), "cand_id", "d")
+        .withColumn("rk", F.row_number().over(enc_w))
+        .where(F.col("rk") == 1)
+        .select("cand_id", "s", F.col("code"))
+    )
+    lut = partial_dots(subvectors(queries, "query_id"), "query_id", "qd")
+    scored = (
+        codes.join(shortlist, "cand_id")
+        .join(F.broadcast(lut), ["query_id", "s", "code"])
+        .where(F.col("query_id") != F.col("cand_id"))
+        .groupBy("query_id", "cand_id")
+        .agg(F.sum("qd").cast("decimal(18,6)").alias("sim"))
+    )
+    return _ranked(scored, k)
+
+
 def semantic_decontaminate(
     vectors: DataFrame,
     is_eval: Column,
     threshold: float = 0.35,
-    centroid_mod: int = 25,
+    centroid_mod: int | None = 25,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
@@ -560,9 +726,16 @@ def semantic_decontaminate(
     |train_cell| x |eval_cell| with a tiny second factor. The flagged
     match is deterministic: max similarity, then smallest eval id.
 
+    ``centroid_mod=None`` derives the modulus from the corpus size
+    (mod ≈ √N, ``derive_centroid_mod``), the same O(N^1.5) policy as
+    ``semantic_dedup``; the fixed default is the oracle-determinism
+    override for test scale.
+
     Returns (id, contaminated, eval_id, sim) for every train vector —
     eval_id/sim NULL when clean.
     """
+    if centroid_mod is None:
+        centroid_mod = derive_centroid_mod(vectors)
     cents = vectors.where(F.col(id_col) % centroid_mod == 0).select(
         F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centv")
     )
@@ -590,8 +763,10 @@ def semantic_decontaminate(
         .where(F.col("crank") == 1)
         .select("m_id", "v", "is_eval", "centroid_id")
         # same load-bearing boundary as semantic_dedup: the assignment
-        # feeds both pair sides and the final left join
-        .cache()
+        # feeds both pair sides and the final left join.
+        # localCheckpoint, not cache(): released by the ContextCleaner
+        # when dereferenced instead of pinning storage session-long.
+        .localCheckpoint(eager=True)
     )
     train = members.where(~F.col("is_eval")).select(
         "centroid_id", F.col("m_id").alias("train_id"), F.col("v").alias("vt")

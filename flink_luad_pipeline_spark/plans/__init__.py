@@ -27,7 +27,7 @@ from . import datapipe_queries  # noqa: F401  (chunk/split/pack/decontaminate)
 from . import extended_queries  # noqa: F401  (OLAP b-family)
 from .registry import ORACLES, QUERIES
 
-# IDs with a green (hash_match) row in CORRECTNESS_r01/r02 — the driver
+# IDs with a green (hash_match) row in CORRECTNESS_r01/r02/r03 — the driver
 # contract is already banked for these, so the round-3 rotation moves
 # them BEHIND the not-yet-driver-checked queries. The driver sweeps
 # ~50 queries per round in `queries()` dict order; rotating converts the
@@ -39,10 +39,13 @@ _BANKED_GREEN = frozenset(
         "a4_missing_cells", "a5_grouped_min", "a6_component_representative",
         "a7_vector_assemble", "a8_distinct", "a9_count",
         "b10_exact_percentiles", "b13_grouping_sets", "b14_lateral_posexplode",
-        "b19_unpivot", "b1_topk", "b21_scd2_dimension", "b2_rollup",
-        "b3_window_running_sum", "b5_intersect_except", "b6_full_outer_join",
-        "b8_pivot_counts", "flagship_revenue_by_nation", "g2_triangle_count",
-        "i1_c3_connected_components", "j11_asof_tolerance_join",
+        "b19_unpivot", "b1_topk", "b21_scd2_dimension", "b22_recursive_cte",
+        "b2_rollup", "b3_window_running_sum", "b5_intersect_except",
+        "b6_full_outer_join", "b8_pivot_counts", "c2_pearson_corr_edges",
+        "flagship_revenue_by_nation", "g1_pagerank", "g2_triangle_count",
+        "g3_label_propagation", "g4_bfs_distances",
+        "i1_c3_connected_components", "i1b_cc_star",
+        "j10_interval_overlap_join", "j11_asof_tolerance_join",
         "j1_equi_join_flat", "j2_join_filter", "j3_join_on_array",
         "j4_cross_join", "j5_broadcast_nested_loop", "j6_semi_join",
         "j7_anti_join", "j8_asof_join", "j9_range_count_join",
@@ -50,75 +53,149 @@ _BANKED_GREEN = frozenset(
         "ll16_ngram_vocab", "ll17_window_byte_stats", "ll18_stratified_sample",
         "ll19_sequence_packing", "ll20_decontaminate", "ll22_user_sequences",
         "ll23_dedup_clusters", "ll2_lang_id", "ll3_fingerprint",
-        "ll4_dedup_exact", "ll7_simhash_pairs", "o1_sort_in_group",
-        "o2_grouped_ewma", "p1_project_tuple", "p2_filter_semi",
-        "p3_filter_split", "p4_flatmap_symmetrize", "p5_dict_decode",
-        "p6_scalar_funcs", "p7_json_extract", "p8_null_safe_join",
-        "p9_try_cast", "s10_schema_merge_scan", "s11_sorted_clustered_write",
-        "s13_dynamic_partition_overwrite", "s1_scan_csv_defs",
+        "ll41_audio_features", "ll42_semantic_dedup",
+        "ll43_gopher_quality_rules", "ll44_video_frame_stats",
+        "ll45_incremental_dedup", "ll46_winnowing_overlap",
+        "ll47_unicode_normalize", "ll48_token_runs_udtf", "ll49_pq_ann_topk",
+        "ll4_dedup_exact", "ll50_kmeans_clusters", "ll51_ngram_span_coverage",
+        "ll7_simhash_pairs", "o1_sort_in_group", "o2_grouped_ewma",
+        "o3_gap_fill_interpolate", "o4_range_interval_window",
+        "o5_rolling_zscore", "o6_ohlc_bars", "o7_bar_momentum",
+        "p10_variant_json", "p12_collated_aggregation", "p13_parameterized_sql",
+        "p1_project_tuple", "p2_filter_semi", "p3_filter_split",
+        "p4_flatmap_symmetrize", "p5_dict_decode", "p6_scalar_funcs",
+        "p7_json_extract", "p8_null_safe_join", "p9_try_cast",
+        "s10_schema_merge_scan", "s11_sorted_clustered_write",
+        "s12_orc_roundtrip", "s13_dynamic_partition_overwrite",
+        "s14_binaryfile_ingest", "s15_xml_roundtrip",
+        "s16_python_datasource_fixedwidth", "s17_file_provenance",
+        "s18_aggregate_pushdown_scan", "s1_scan_csv_defs",
         "s2_scan_csv_projected", "s3_from_collection", "s4_sink_print",
         "s5_sink_csv_roundtrip", "s6_sink_path_template",
         "s7_scan_json_roundtrip", "s8_sink_parquet_partitioned",
-        "s9_bucketed_colocated_join", "u1_union_all", "u2_rebalance",
+        "s9_bucketed_colocated_join", "sql10_tpch_q22_shared_text",
+        "sql11_tpch_q4_shared_text", "sql12_tpch_q7_shared_text",
+        "sql13_tpch_q8_shared_text", "sql14_tpch_q13_shared_text",
+        "sql15_tpch_q15_shared_text", "sql16_tpch_q21_shared_text",
+        "sql2_tpch_q3_shared_text", "sql3_tpch_q5_shared_text",
+        "sql4_tpch_q10_shared_text", "sql5_tpch_q6_shared_text",
+        "sql6_tpch_q14_shared_text", "sql7_tpch_q17_shared_text",
+        "sql8_tpch_q18_shared_text", "sql9_tpch_q19_shared_text",
+        "ss10_snapshot_dedup_ingest", "ss11_transform_with_state",
+        "ss12_late_data_drop", "u1_union_all", "u2_rebalance",
         "x1_salted_agg", "x3_salted_skew_join", "x4_zorder_clustered_scan",
     }
 )
 
 
-# Queries NEW this round — ahead even of the round-2 front, so the
-# driver window can't miss them (the front is slightly wider than the
-# ~50-query window; the overflow converts next round).
+# Queries whose LAST driver check was red (all fixed since r01 and
+# exact-verified by the round-3 judge sweep, but the contract still
+# shows red). They are the cheapest green rows available, so they go
+# FIRST in the sweep order (VERDICT r3, item 1).
+_RED_LAST_CHECK = (
+    "b4_cube_agg",
+    "b7_window_rank",
+    "b9_sql_subqueries",
+    "b11_distinct_aggregates",
+    "b12_moving_average",
+    "b15_window_navigation",
+    "b16_ordered_string_agg",
+    "b17_time_bucket_agg",
+    "b18_upsert_compaction",
+    "b20_array_hof",
+    "ll1_text_stats",
+    "ll5_jaccard_pairs",
+    "ll6_minhash_lsh",
+    "ll8_cosine_topk",
+    "ll9_ann_lsh_topk",
+    "ll10_multimodal_features",
+    "ll11_embedding_neardup",
+    "ll12_ivf_ann_topk",
+    "ll21_quality_filter",
+)
+
+
+# Never-driver-checked oracle-backed queries, in the judge's priority
+# order (VERDICT r3, item 2): streaming first (13 oracle-backed
+# streaming queries with zero contractual rows is the biggest gap),
+# then the named OLAP/graph/pipeline stragglers, then the rest of the
+# never-checked tier.
+_NEVER_CHECKED = (
+    "ss1_tumbling_window",
+    "ss2_sliding_window",
+    "ss3_session_window",
+    "ss4_streaming_dedup",
+    "ss5_stateful_totals",
+    "ss6_stream_stream_join",
+    "ss7_stream_static_enrich",
+    "ss8_foreach_batch_sink",
+    "ss9_stateful_ewma",
+    "ss13_streaming_ohlc",
+    "ss14_dedup_within_watermark",
+    "ss15_stream_stream_left_outer",
+    "ss16_chained_stateful_ops",
+    "sql1_tpch_q1_shared_text",
+    "sql17_tpch_q12_shared_text",
+    "b23_sessionize",
+    "b24_incremental_agg_merge",
+    "c6_ridge_closed_form",
+    "g5_kcore",
+    "g6_weighted_sssp",
+    "g7_random_walks",
+    "ll34_deduped_corpus",
+    "ll40_pipeline_end2end",
+    "ll52_ann_recall",
+    "ll53_dsir_weights",
+    "ll54_contrastive_pairs",
+    "ll55_semantic_decontaminate",
+    "ll56_remove_repeated_segments",
+    "ll57_source_quota_cap",
+    "ll58_contamination_attribution",
+    "ll11b_neardup_exact",
+    "ll24_fuzzy_match",
+    "ll25_bpe_token_count",
+    "ll26_corpus_datacard",
+    "ll27_source_overlap",
+    "ll28_tfidf_topterms",
+    "ll29_repetition_signals",
+    "ll32_unigram_logprob",
+    "ll35_mixture_sample",
+    "ll36_epoch_shuffle",
+)
+
+
+# Queries NEW this round — after the red/never-checked conversion tiers
+# (those are the contractual priority per VERDICT r3); anything past
+# the ~50-query window converts next round.
 _NEW_THIS_ROUND = (
-    "ll50_kmeans_clusters",
-    "ll51_ngram_span_coverage",
-    "o5_rolling_zscore",
-    "ss11_transform_with_state",
-    "ss12_late_data_drop",
-    "sql11_tpch_q4_shared_text",
-    "sql12_tpch_q7_shared_text",
-    "sql13_tpch_q8_shared_text",
-    "sql14_tpch_q13_shared_text",
-    "sql15_tpch_q15_shared_text",
-    "sql16_tpch_q21_shared_text",
-    "sql2_tpch_q3_shared_text",
-    "sql3_tpch_q5_shared_text",
-    "sql4_tpch_q10_shared_text",
-    "sql5_tpch_q6_shared_text",
-    "sql6_tpch_q14_shared_text",
-    "sql7_tpch_q17_shared_text",
-    "sql8_tpch_q18_shared_text",
-    "sql9_tpch_q19_shared_text",
-    "sql10_tpch_q22_shared_text",
-    "ll41_audio_features",
-    "ll42_semantic_dedup",
-    "ll43_gopher_quality_rules",
-    "ll44_video_frame_stats",
-    "ll45_incremental_dedup",
-    "ll46_winnowing_overlap",
-    "ll47_unicode_normalize",
-    "ss10_snapshot_dedup_ingest",
-    "o3_gap_fill_interpolate",
-    "o4_range_interval_window",
-    "g3_label_propagation",
-    "ll48_token_runs_udtf",
-    "ll49_pq_ann_topk",
+    "ll60_ivfpq_ann_topk",
+    "ll61_containment_pairs",
+    "o8_twap",
+    "g8_two_hop_reach",
 )
 
 
 def _rotated() -> list[str]:
-    """Driver-sweep order: this round's new queries, then unchecked
-    oracle-backed queries (in registration order), then banked-green
-    ones, then the no-oracle queries last (they can never be
-    hash-green, so they must not spend window slots)."""
-    new = [k for k in _NEW_THIS_ROUND if k in QUERIES]
-    front = [
+    """Driver-sweep order: ever-red (fixed) queries first, then the
+    never-driver-checked tier in the judge's priority order, then this
+    round's new queries, then any unchecked stragglers in registration
+    order, then banked-green ones, then the no-oracle queries last
+    (they can never be hash-green, so they must not spend window
+    slots)."""
+    front_tiers = [
+        k
+        for k in (*_RED_LAST_CHECK, *_NEVER_CHECKED, *_NEW_THIS_ROUND)
+        if k in QUERIES
+    ]
+    seen = set(front_tiers)
+    stragglers = [
         k
         for k in QUERIES
-        if k not in _BANKED_GREEN and k in ORACLES and k not in _NEW_THIS_ROUND
+        if k not in seen and k not in _BANKED_GREEN and k in ORACLES
     ]
-    banked = [k for k in QUERIES if k in _BANKED_GREEN]
-    no_oracle = [k for k in QUERIES if k not in ORACLES]
-    return new + front + banked + no_oracle
+    banked = [k for k in QUERIES if k in _BANKED_GREEN and k not in seen]
+    no_oracle = [k for k in QUERIES if k not in ORACLES and k not in seen]
+    return front_tiers + stragglers + banked + no_oracle
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

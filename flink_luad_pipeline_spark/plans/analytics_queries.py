@@ -728,3 +728,54 @@ def g7_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     starts = part.where(F.col("p_partkey") % 100 == 0)
     return random_walks(edges, starts, steps=3)
+
+
+_G8_ORACLE = (
+    # Same wedge-graph construction as g2, then the 2-hop closure
+    # relationally: distinct(1-hop ∪ sym⋈sym) minus self, counted per
+    # vertex.
+    "WITH base AS (SELECT p_partkey AS k FROM part),"
+    " raw AS (SELECT p_partkey AS src, p_partkey + d.d AS dst"
+    "   FROM part CROSS JOIN (VALUES (1), (2), (3)) d(d)"
+    "   WHERE p_partkey % 10 < 3"
+    "   AND (p_partkey + d.d) IN (SELECT k FROM base)),"
+    " sym AS (SELECT DISTINCT src AS u, dst AS w FROM ("
+    "   SELECT src, dst FROM raw UNION ALL SELECT dst, src FROM raw)"
+    "   WHERE src <> dst),"
+    " hop2 AS (SELECT a.u, b.w FROM sym a JOIN sym b ON b.u = a.w),"
+    " reach AS (SELECT DISTINCT u, w FROM"
+    "   (SELECT u, w FROM sym UNION ALL SELECT u, w FROM hop2)"
+    "   WHERE u <> w)"
+    " SELECT u AS vertex, CAST(count(*) AS BIGINT) AS reach"
+    " FROM reach GROUP BY u"
+)
+
+
+@query("g8_two_hop_reach", oracle=_G8_ORACLE)
+def g8_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G8 — friend-of-friend reach over the g2 wedge graph: distinct
+    vertices within <= 2 hops, self excluded. The non-iterative member
+    of the neighborhood family (one vertex-keyed self-join; g4 answers
+    unbounded depth with a frontier loop) — the metric behind audience
+    estimation and sampling-fanout budgets. Oracle repeats the closure
+    relationally, so the symmetrize/distinct/self-drop conventions are
+    all value-checked."""
+    from ..operators.graph import two_hop_reach
+
+    part = load(spark, sf_dir, "part").select("p_partkey")
+    keys = part.select(F.col("p_partkey").alias("k"))
+    edges = (
+        part.where(F.col("p_partkey") % 10 < 3)
+        .select(
+            F.col("p_partkey").alias("src"),
+            F.explode(
+                F.array(
+                    F.col("p_partkey") + 1,
+                    F.col("p_partkey") + 2,
+                    F.col("p_partkey") + 3,
+                )
+            ).alias("dst"),
+        )
+        .join(keys, F.col("dst") == F.col("k"), "left_semi")
+    )
+    return two_hop_reach(edges)

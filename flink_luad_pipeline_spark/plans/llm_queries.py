@@ -2464,3 +2464,132 @@ def ll59_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.round(T.compression_ratio(F.col("text")), 6).alias("zlib_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ll60 — IVF-PQ composed ANN (coarse-cell pruning x ADC scoring)
+# ---------------------------------------------------------------------------
+
+_IVFPQ_ORACLE = (
+    # The _IVF_ORACLE cell CTEs (mod-25 coarse centroids, nprobe 3)
+    # feeding the _PQ_ORACLE encode/LUT CTEs (mod-64 codebooks, m=4),
+    # scored only on the shortlisted (query, cand) pairs.
+    "WITH cents AS (SELECT vec_id AS centroid_id, embedding AS centv"
+    " FROM embeddings WHERE vec_id % 25 = 0),"
+    " cand_sc AS (SELECT c.vec_id AS cand_id, centroid_id,"
+    f" {_cos_sql('c.embedding', 'centv')} AS csim FROM embeddings c, cents),"
+    " assigned AS (SELECT cand_id, centroid_id FROM ("
+    " SELECT cand_id, centroid_id, row_number() OVER ("
+    " PARTITION BY cand_id ORDER BY csim DESC, centroid_id) AS r"
+    " FROM cand_sc WHERE csim IS NOT NULL) WHERE r = 1),"
+    " q_sc AS (SELECT q.vec_id AS query_id, centroid_id,"
+    f" {_cos_sql('q.embedding', 'centv')} AS csim"
+    " FROM embeddings q, cents WHERE q.vec_id < 5),"
+    " probes AS (SELECT query_id, centroid_id FROM ("
+    " SELECT query_id, centroid_id, row_number() OVER ("
+    " PARTITION BY query_id ORDER BY csim DESC, centroid_id) AS r"
+    " FROM q_sc WHERE csim IS NOT NULL) WHERE r <= 3),"
+    " short AS (SELECT query_id, cand_id"
+    "  FROM assigned JOIN probes USING (centroid_id)),"
+    " sp AS (SELECT unnest([0, 1, 2, 3]) AS s),"
+    " cb AS (SELECT e.vec_id AS code, sp.s,"
+    "  list_slice(e.embedding, sp.s * 16 + 1, sp.s * 16 + 16) AS cent"
+    "  FROM embeddings e, sp WHERE e.vec_id % 64 = 0),"
+    " csub AS (SELECT e.vec_id AS cand_id, sp.s,"
+    "  list_slice(e.embedding, sp.s * 16 + 1, sp.s * 16 + 16) AS sub"
+    "  FROM embeddings e, sp"
+    "  WHERE e.vec_id IN (SELECT cand_id FROM short)),"
+    " enc AS (SELECT cand_id, c.s, c.code,"
+    f" {_dot6_sql('sub', 'cent')} AS d"
+    "  FROM csub JOIN cb c ON c.s = csub.s),"
+    " codes AS (SELECT cand_id, s, code FROM ("
+    "  SELECT cand_id, s, code, row_number() OVER ("
+    "   PARTITION BY cand_id, s ORDER BY d DESC, code) AS rk"
+    "  FROM enc WHERE d IS NOT NULL) WHERE rk = 1),"
+    " qsub AS (SELECT e.vec_id AS query_id, sp.s,"
+    "  list_slice(e.embedding, sp.s * 16 + 1, sp.s * 16 + 16) AS sub"
+    "  FROM embeddings e, sp WHERE e.vec_id < 5),"
+    " lut AS (SELECT query_id, c.s, c.code,"
+    f" {_dot6_sql('sub', 'cent')} AS qd"
+    "  FROM qsub JOIN cb c ON c.s = qsub.s),"
+    " scored AS (SELECT sh.query_id, sh.cand_id,"
+    "  CAST(sum(qd) AS DECIMAL(18,6)) AS sim"
+    "  FROM short sh JOIN codes ON codes.cand_id = sh.cand_id"
+    "  JOIN lut ON lut.query_id = sh.query_id AND lut.s = codes.s"
+    "   AND lut.code = codes.code"
+    "  WHERE sh.query_id <> sh.cand_id AND qd IS NOT NULL"
+    "  GROUP BY 1, 2)"
+    " SELECT query_id, cand_id, CAST(sim AS DOUBLE) AS sim, rank FROM ("
+    "  SELECT query_id, cand_id, sim, CAST(row_number() OVER ("
+    "   PARTITION BY query_id ORDER BY sim DESC, cand_id) AS BIGINT)"
+    "   AS rank FROM scored) WHERE rank <= 10"
+)
+
+
+@query("ll60_ivfpq_ann_topk", oracle=_IVFPQ_ORACLE)
+def ll60_ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed top-10 — the billion-scale ANN layout (FAISS
+    default) completing the family: brute ll8 / hyperplane-LSH ll9 /
+    IVF ll12 / PQ ll49 / IVF×PQ here, one output contract. The coarse
+    quantizer prunes WHICH candidates are scored (nprobe=3 cells of
+    ~20), PQ-ADC prunes HOW (4 code lookups instead of a 64-dim dot).
+    Every stage is deterministic (shared mod-sampled quantizers,
+    rounded-DECIMAL partials, explicit tie-breaks), so the oracle
+    reproduces cells, codes, LUT, and ranking — BOTH approximation
+    losses are value-checked in composition."""
+    emb = load(spark, sf_dir, "embeddings")
+    out = similarity.ivfpq_topk(emb.where(F.col("vec_id") < 5), emb, k=10)
+    return out.select("query_id", "cand_id", "sim", "rank")
+
+
+# ---------------------------------------------------------------------------
+# ll61 — asymmetric shingle containment (quote / superset detection)
+# ---------------------------------------------------------------------------
+
+_CONTAIN_ORACLE = (
+    f"WITH aug AS ({_AUG_SQL}),"
+    f" tok AS (SELECT doc_id, {_TOKENS_SQL} AS tokens FROM aug),"
+    " sh AS (SELECT doc_id, list_distinct(CASE WHEN len(tokens) >= 3 THEN"
+    "   list_transform(range(1, len(tokens) - 1),"
+    "     i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])"
+    "   ELSE [] END) AS shingles FROM tok),"
+    " nz AS (SELECT doc_id, shingles, len(shingles) AS n_sh FROM sh"
+    "   WHERE len(shingles) > 0),"
+    " inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM nz),"
+    " inter AS (SELECT a.doc_id AS u, b.doc_id AS v, count(*) AS i"
+    "   FROM inv a JOIN inv b ON a.shingle = b.shingle"
+    "    AND a.doc_id < b.doc_id"
+    "   GROUP BY a.doc_id, b.doc_id),"
+    " both_dirs AS ("
+    "  SELECT u AS doc_a, v AS doc_b, i * 1.0 / nu.n_sh AS containment"
+    "   FROM inter JOIN nz nu ON nu.doc_id = u"
+    "  UNION ALL"
+    "  SELECT v AS doc_a, u AS doc_b, i * 1.0 / nv.n_sh AS containment"
+    "   FROM inter JOIN nz nv ON nv.doc_id = v)"
+    " SELECT doc_a, doc_b,"
+    " CAST(CAST(round(containment, 6) AS DECIMAL(18,6)) AS DOUBLE)"
+    "  AS containment"
+    " FROM both_dirs WHERE containment >= 0.8"
+)
+
+
+@query("ll61_containment_pairs", oracle=_CONTAIN_ORACLE)
+def ll61_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric 3-gram containment join at threshold 0.8 over the
+    augmented corpus: C(a→b) = |S(a)∩S(b)| / |S(a)| — the quote /
+    superset detector Jaccard (ll5) structurally misses (a short doc
+    embedded in a long one has tiny J but containment ≈ 1 short→long),
+    and the signal for keeping the SUPERSET member of a near-dup pair.
+    Planted exact copies surface at 1.0 in both directions. Same
+    inverted-index dataflow and 100 TB df-cutoff guard as ll5; the
+    intersection is computed once per unordered pair, both directions
+    derived arithmetically."""
+    pairs = dedup.containment_pairs(
+        _augmented(spark, sf_dir), "doc_id", "text", k=3, threshold=0.8
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        F.round("containment", 6).cast("decimal(18,6)").cast("double")
+        .alias("containment"),
+    )

@@ -2122,3 +2122,71 @@ def p13_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         " GROUP BY n_name",
         args={"region": "ASIA", "min_bal": 1000.0},
     )
+
+
+@query(
+    "o8_twap",
+    oracle=(
+        # Per-user time-weighted average: each event's value holds
+        # until the next event (lead over the deterministic (ts,
+        # event_id) order); weights are exact integer microseconds.
+        # Each segment's value·seconds product is computed in double
+        # with the identical expression text on both engines, rounded
+        # to 6 digits, and summed as exact DECIMAL — the _dot6_sql
+        # device — so segment order can't perturb the total (a raw
+        # DECIMAL(18,6) × µs product overflows DuckDB's int64 path).
+        "WITH b AS (SELECT user_id, value, epoch_us(ts) AS ep,"
+        " lead(epoch_us(ts)) OVER (PARTITION BY user_id"
+        "  ORDER BY ts, event_id) AS nxt FROM events),"
+        " seg AS (SELECT user_id, value, nxt - ep AS dt"
+        "  FROM b WHERE nxt IS NOT NULL)"
+        " SELECT user_id, CAST(count(*) AS BIGINT) AS n_segments,"
+        " CAST(sum(dt) AS BIGINT) AS span_us,"
+        " round(CAST(sum(CAST(round(value * (CAST(dt AS DOUBLE)"
+        "  / 1000000.0), 6) AS DECIMAL(18,6))) AS DOUBLE)"
+        "  / (CAST(sum(dt) AS DOUBLE) / 1000000.0), 6) AS twap"
+        " FROM seg GROUP BY user_id"
+    ),
+)
+def o8_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O8 — time-weighted average value (TWAP) per user: each event's
+    value is held until the user's next event, so the average weights
+    each reading by how long it was current — the right mean for
+    irregularly-sampled telemetry (o6's OHLC summarizes within a bar;
+    this integrates across the whole series; a value that flickers for
+    1 ms no longer counts like one that held for an hour).
+
+    Dataflow: ONE shuffle on user_id shared by the lead() window and
+    the aggregation (same partitioning, Catalyst reuses the exchange);
+    weights are exact integer microseconds from the NTZ timestamp
+    under a pinned-UTC cast (differences cancel the offset); each
+    segment's value·seconds product is a double computed from the
+    identical expression on both engines, rounded to 6 digits and
+    summed as exact DECIMAL (the rounded-then-exact partials device)
+    so segment order can't perturb the total, and the final double
+    division lands in round(x, 6) on both engines. The last event of each user spans no time and contributes
+    nothing (users with a single event have no row — no span to
+    average over)."""
+    ev = load(spark, sf_dir, "events")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ep = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = (
+        ev.select(
+            "user_id", "value", ep.alias("ep"), F.lead(ep).over(w).alias("nxt")
+        )
+        .where(F.col("nxt").isNotNull())
+        .select("user_id", "value", (F.col("nxt") - F.col("ep")).alias("dt"))
+    )
+    prod = F.round(
+        F.col("value") * (F.col("dt").cast("double") / F.lit(1000000.0)), 6
+    ).cast("decimal(18,6)")
+    return seg.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+        F.sum("dt").cast("bigint").alias("span_us"),
+        F.round(
+            F.sum(prod).cast("double")
+            / (F.sum("dt").cast("double") / F.lit(1000000.0)),
+            6,
+        ).alias("twap"),
+    )

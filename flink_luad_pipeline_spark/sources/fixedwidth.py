@@ -17,8 +17,9 @@ executor-side reader, not a driver-side preprocessor:
 - the declared schema drives Arrow conversion; no inference pass.
 
 Options: ``path`` (file or directory), ``widths`` (comma-separated
-byte widths, one per schema field). Blank/short lines are skipped
-(malformed-row convention shared with the TSV scan, csv_io.py).
+byte widths, one per schema field). Blank/short lines AND full-length
+lines whose declared-INT field is non-numeric (e.g. blank padding) are
+skipped (malformed-row convention shared with the TSV scan, csv_io.py).
 """
 
 from __future__ import annotations
@@ -50,7 +51,19 @@ class FixedWidthReader(DataSourceReader):
         path = options.get("path")
         if not path:
             raise ValueError("fixedwidth source requires option 'path'")
-        self._widths = [int(w) for w in options["widths"].split(",")]
+        widths = options.get("widths")
+        if not widths:
+            raise ValueError(
+                "fixedwidth source requires option 'widths' "
+                "(comma-separated byte widths, one per schema field)"
+            )
+        try:
+            self._widths = [int(w) for w in widths.split(",")]
+        except ValueError:
+            raise ValueError(
+                f"fixedwidth option 'widths' must be comma-separated "
+                f"integers, got {widths!r}"
+            ) from None
         if len(self._widths) != len(schema.fields):
             raise ValueError("one width per schema field required")
         if os.path.isdir(path):
@@ -80,10 +93,13 @@ class FixedWidthReader(DataSourceReader):
                 if len(line) < rec_len:
                     continue  # malformed/short row: drop (csv_io rule)
                 out, off = [], 0
-                for w, is_int in zip(self._widths, self._ints):
-                    raw = line[off : off + w].rstrip()
-                    out.append(int(raw) if is_int else raw)
-                    off += w
+                try:
+                    for w, is_int in zip(self._widths, self._ints):
+                        raw = line[off : off + w].rstrip()
+                        out.append(int(raw) if is_int else raw)
+                        off += w
+                except ValueError:
+                    continue  # non-numeric INT field: same drop rule
                 yield tuple(out)
 
 

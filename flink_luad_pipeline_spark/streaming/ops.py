@@ -734,7 +734,16 @@ def chained_stateful_dedup_agg(events: DataFrame) -> DataFrame:
     Dedup keys include the hour bucket, so each (user, type) counts
     once per hour REGARDLESS of arrival order — that's what keeps the
     result a pure function of the input (= DISTINCT per hour in batch)
-    rather than of micro-batch timing."""
+    rather than of micro-batch timing.
+
+    State-bound caveat: the derived ``hour`` column carries no
+    watermark metadata, so the dedup state here never expires —
+    acceptable for a replayed/bounded feed (this oracle-checked shape),
+    UNBOUNDED on a true endless stream. The production variant is
+    ``dropDuplicatesWithinWatermark`` (ss14,
+    ``streaming_dedup_within_watermark``), whose state is evicted once
+    the watermark passes; chain THAT before the windowed count for an
+    endless ingest topology."""
     return (
         events.withWatermark("ts", "1 hour")
         .withColumn("hour", F.date_trunc("hour", F.col("ts")))

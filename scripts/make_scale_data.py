@@ -46,12 +46,11 @@ SHIFT = {
 VERBATIM = ["region", "nation"]
 
 
-def main() -> None:
-    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_sf1"
+def materialize(spark, out: str) -> None:
+    """Write the 10x replica tables under ``out`` using an existing
+    session (bench.py calls this in-process to build its sf1 input)."""
     from flink_luad_pipeline_spark.catalog import load
-    from flink_luad_pipeline_spark.session import get_spark
 
-    spark = get_spark("make_scale_data")
     os.makedirs(out, exist_ok=True)
     for table in VERBATIM:
         load(spark, SRC, table).write.mode("overwrite").parquet(
@@ -84,6 +83,13 @@ def main() -> None:
         n = spark.read.parquet(f"{out}/{table}.parquet").count()
         print(f"{table}: {n} rows")
     print(f"done -> {out}")
+
+
+def main() -> None:
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_sf1"
+    from flink_luad_pipeline_spark.session import get_spark
+
+    materialize(get_spark("make_scale_data"), out)
 
 
 if __name__ == "__main__":

@@ -487,3 +487,88 @@ def test_compression_ratio_separates_repetitive_text(spark):
     assert abs(got[2] - exp(varied)) < 1e-12
     assert got[3] == 1.0
     assert got[1] < 0.3 * got[2]
+
+
+def test_derive_centroid_mod_tracks_sqrt_n(spark):
+    """VERDICT r3 item 3: with centroid_mod=None the IVF family sizes
+    its centroid count from the corpus — M ≈ √N — so assignment cost is
+    O(N·√N) by construction instead of the fixed default's O(N²/25).
+    Checked across a 10× size spread (the sf0.01 vs sf0.1 embedding
+    row counts): both mod and the realized centroid count track √N
+    within 2×, and the end-to-end derived-mod semantic_dedup runs."""
+    import math
+
+    emb_small = load(spark, "/root/testdata/sf0.01", "embeddings")
+    emb_big = load(spark, "/root/testdata/sf0.1", "embeddings")
+    for emb in (emb_small, emb_big):
+        n = emb.count()
+        mod = similarity.derive_centroid_mod(emb)
+        root = math.sqrt(n)
+        assert root / 2 <= mod <= root * 2
+        m_real = emb.where(F.col("vec_id") % mod == 0).count()
+        assert root / 2 <= m_real <= root * 2
+    # 10x the rows must grow the modulus by ~sqrt(10)
+    ratio = similarity.derive_centroid_mod(emb_big) / similarity.derive_centroid_mod(emb_small)
+    assert 2.0 <= ratio <= 5.0
+    out = similarity.semantic_dedup(emb_small.limit(100), centroid_mod=None)
+    assert out.count() > 0
+
+
+def test_ivf_trained_centroids_improve_recall(spark, sf_dir):
+    """VERDICT r3 item 4: closing the ANN quality loop — k-means
+    centroids (ll50's trainer via clustering.kmeans_fit) fed into
+    ivf_topk must beat the training-free id-modulo quantizer on
+    recall@10 against the exact baseline, same fixture, same k/nprobe
+    (measured 0.37 → 0.86 on the sf0.001 embeddings). The modulo path
+    stays the oracle-deterministic default; this pins the trained
+    variant's wiring AND its reason to exist."""
+    from flink_luad_pipeline_spark.operators import clustering
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20)
+    exact10: dict[int, set[int]] = {}
+    for r in similarity.brute_force_topk(queries, emb, k=10).collect():
+        exact10.setdefault(r.query_id, set()).add(r.cand_id)
+
+    def recall(rows) -> float:
+        got: dict[int, set[int]] = {}
+        for r in rows:
+            got.setdefault(r.query_id, set()).add(r.cand_id)
+        per_q = [len(exact10[q] & got.get(q, set())) / 10 for q in exact10]
+        return sum(per_q) / len(per_q)
+
+    modulo = recall(similarity.ivf_topk(queries, emb, k=10).collect())
+    cents = clustering.kmeans_fit(emb, k=20, iters=3).select(
+        F.col("cid").alias("centroid_id"), F.col("cv").alias("centv")
+    )
+    trained = recall(
+        similarity.ivf_topk(queries, emb, k=10, centroids=cents).collect()
+    )
+    assert trained > modulo + 0.1
+    assert trained >= 0.6
+
+
+def test_ll59_exact_values_on_corpus(spark, sf_dir):
+    """VERDICT r3 item 6: ll59 has no DuckDB twin (no SQL zlib), so its
+    driver row is rows-only by design — but the values ARE
+    deterministic, so this test recomputes every document's ratio with
+    Python's zlib on the same parquet rows and compares exactly (the
+    query rounds to 6 digits; so do we)."""
+    import zlib
+
+    import duckdb
+
+    from flink_luad_pipeline_spark.plans.registry import QUERIES
+
+    got = {
+        r["doc_id"]: r["zlib_ratio"]
+        for r in QUERIES["ll59_compression_ratio"](spark, sf_dir).collect()
+    }
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    assert len(got) == len(docs) > 0
+    for doc_id, text in docs:
+        raw = text.encode("utf-8")
+        exp = len(zlib.compress(raw, 6)) / len(raw) if raw else 1.0
+        assert abs(got[doc_id] - round(exp, 6)) < 1e-9, doc_id

@@ -198,6 +198,8 @@ INTENTIONAL_CARTESIAN = {
     "ll8_cosine_topk",        # brute-force baseline (scale path: ll9/ll12)
     "ll11b_neardup_exact",    # exact recall baseline (scale path: ll11)
     "ll12_ivf_ann_topk",      # query×centroid BNLJ: centroid side is tiny
+    "ll60_ivfpq_ann_topk",    # same tiny-centroid assignment broadcast as
+                              # ll12; code/LUT joins are (s, code) equi-joins
     "ll54_contrastive_pairs", # mines from ll12's shortlist — same tiny
                               # centroid-assignment broadcast, nothing else
     "ll52_ann_recall",        # composes ll8 (brute-force baseline, its BNLJ
