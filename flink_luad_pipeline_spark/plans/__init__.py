@@ -172,6 +172,9 @@ _NEW_THIS_ROUND = (
     "ll61_containment_pairs",
     "o8_twap",
     "g8_two_hop_reach",
+    "ll62_bpe_merges",
+    "j12_pit_join",
+    "ss17_dynamic_session_window",
 )
 
 

@@ -871,15 +871,21 @@ def ll10_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _semdedup_oracle(threshold: float = 0.35, centroid_mod: int = 25) -> str:
-    """DuckDB twin of similarity.semantic_dedup: identical training-free
-    quantizer (every Nth vector is a centroid, rounded cosine, (sim
-    desc, id asc) tie-break), identical within-cell pair rule."""
+def _semdedup_oracle(threshold: float = 0.35) -> str:
+    """DuckDB twin of similarity.semantic_dedup with the DERIVED
+    centroid modulus (round 4): mod = round(sqrt(N)) computed in SQL
+    from the same corpus count the Spark side uses
+    (derive_centroid_mod), so the scale-correct O(N^1.5) path is the
+    value-checked one — identical training-free quantizer (every
+    mod-th vector is a centroid, rounded cosine, (sim desc, id asc)
+    tie-break), identical within-cell pair rule."""
     asg_cos = _cos_sql("e.embedding", "c.centv")
     pair_cos = _cos_sql("a.v", "b.v")
     return (
-        "WITH cents AS (SELECT vec_id AS centroid_id, embedding AS centv"
-        f" FROM embeddings WHERE vec_id % {centroid_mod} = 0),"
+        "WITH md AS (SELECT CAST(greatest(1, round(sqrt(count(*)), 0))"
+        " AS BIGINT) AS m FROM embeddings),"
+        " cents AS (SELECT vec_id AS centroid_id, embedding AS centv"
+        " FROM embeddings, md WHERE vec_id % md.m = 0),"
         " scored AS (SELECT e.vec_id AS m_id, e.embedding AS v,"
         f" c.centroid_id, {asg_cos} AS csim"
         " FROM embeddings e CROSS JOIN cents c),"
@@ -907,11 +913,15 @@ def ll42_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     lexical tiers (exact ll4, MinHash ll6, SimHash ll7) with the tier
     that catches paraphrases sharing no n-grams — and confines the
     quadratic comparison to one cluster at a time, which is what makes
-    embedding dedup feasible at corpus scale. Oracle recomputes the
-    identical closed-form pipeline, so the verdict (dropped + dup_of)
-    is value-checked per vector."""
+    embedding dedup feasible at corpus scale. Round 4: the registered
+    query runs the DERIVED √N centroid modulus (the scale-correct
+    O(N^1.5) path), and the oracle derives the same modulus in SQL —
+    the derivation itself is value-checked, not just the fixed-mod
+    test override. Oracle recomputes the identical closed-form
+    pipeline, so the verdict (dropped + dup_of) is value-checked per
+    vector."""
     emb = load(spark, sf_dir, "embeddings")
-    return similarity.semantic_dedup(emb, threshold=0.35, centroid_mod=25)
+    return similarity.semantic_dedup(emb, threshold=0.35, centroid_mod=None)
 
 
 _AUDIO_ORACLE = (
@@ -2304,15 +2314,17 @@ def ll54_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _semdecon_oracle(threshold: float = 0.35, centroid_mod: int = 25) -> str:
-    """DuckDB twin of similarity.semantic_decontaminate: same quantizer
-    as ll42's oracle, TRAIN x EVAL pair join, (sim desc, eval_id asc)
-    match pick."""
+def _semdecon_oracle(threshold: float = 0.35) -> str:
+    """DuckDB twin of similarity.semantic_decontaminate: same DERIVED
+    √N quantizer as ll42's oracle (round 4), TRAIN x EVAL pair join,
+    (sim desc, eval_id asc) match pick."""
     asg_cos = _cos_sql("e.embedding", "c.centv")
     pair_cos = _cos_sql("t.v", "v.ve")
     return (
-        "WITH cents AS (SELECT vec_id AS centroid_id, embedding AS centv"
-        f" FROM embeddings WHERE vec_id % {centroid_mod} = 0),"
+        "WITH md AS (SELECT CAST(greatest(1, round(sqrt(count(*)), 0))"
+        " AS BIGINT) AS m FROM embeddings),"
+        " cents AS (SELECT vec_id AS centroid_id, embedding AS centv"
+        " FROM embeddings, md WHERE vec_id % md.m = 0),"
         " scored AS (SELECT e.vec_id AS m_id, e.embedding AS v,"
         " e.vec_id % 5 = 0 AS is_eval,"
         f" c.centroid_id, {asg_cos} AS csim"
@@ -2345,10 +2357,14 @@ def ll55_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged with their closest eval match. The paraphrase-leakage
     complement to ll20's verbatim 5-gram decontamination — same
     cell-scoped shape as ll42, but the pair join is train x eval (the
-    tiny benchmark side), never train x train."""
+    tiny benchmark side), never train x train. Runs the derived √N
+    centroid modulus like ll42, mirrored in the oracle."""
     emb = load(spark, sf_dir, "embeddings")
     out = similarity.semantic_decontaminate(
-        emb, is_eval=F.col("vec_id") % 5 == 0, threshold=0.35, centroid_mod=25
+        emb,
+        is_eval=F.col("vec_id") % 5 == 0,
+        threshold=0.35,
+        centroid_mod=None,
     )
     return out.select(
         "vec_id",
@@ -2593,3 +2609,70 @@ def ll61_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("containment", 6).cast("decimal(18,6)").cast("double")
         .alias("containment"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ll62 — BPE merge training (tokenizer-training step, value-checked)
+# ---------------------------------------------------------------------------
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    """Unrolled BPE training rounds. Every round CTE is MATERIALIZED —
+    round k references round k-1 twice (pair count + merge apply), so
+    inlining would re-expand the whole prefix 2^k times (the g5 CTE
+    trap). The merge fold is list_reduce seeded with the first symbol,
+    exactly the Spark F.aggregate in operators/bpe._merge_fold."""
+    parts = [
+        f"WITH tok AS (SELECT unnest({_TOKENS_SQL}) AS w FROM documents),",
+        " vocab AS (SELECT w, count(*) AS cnt FROM tok GROUP BY w),",
+        " w0 AS MATERIALIZED (SELECT array_to_string("
+        "list_transform(range(1, length(w) + 1), i -> substr(w, i, 1)),"
+        " '|') AS s, cnt FROM vocab)",
+    ]
+    for k in range(1, n_merges + 1):
+        parts.append(
+            f", p{k} AS MATERIALIZED (SELECT syms[i] AS l, syms[i+1] AS r,"
+            " sum(cnt) AS total"
+            " FROM (SELECT cnt, syms, unnest(range(1, len(syms))) AS i"
+            f"  FROM (SELECT string_split(s, '|') AS syms, cnt FROM w{k-1})"
+            "  WHERE len(syms) >= 2) GROUP BY 1, 2)"
+        )
+        parts.append(
+            f", b{k} AS MATERIALIZED (SELECT l, r, l || r AS m, total"
+            f" FROM p{k} ORDER BY total DESC, l, r LIMIT 1)"
+        )
+        if k < n_merges:
+            parts.append(
+                f", w{k} AS MATERIALIZED (SELECT"
+                " list_reduce(string_split(s, '|'), (acc, x) ->"
+                " CASE WHEN string_split(acc, '|')[-1] = b.l AND x = b.r"
+                " THEN substr(acc, 1, length(acc) - length(b.l)) || b.m"
+                " ELSE acc || '|' || x END) AS s, cnt"
+                f" FROM w{k-1}, b{k} b)"
+            )
+    parts.append(
+        " "
+        + " UNION ALL ".join(
+            f"SELECT CAST({k} AS INT) AS merge_idx, l AS left_sym,"
+            f" r AS right_sym, m AS merged, CAST(total AS BIGINT)"
+            f" AS pair_count FROM b{k}"
+            for k in range(1, n_merges + 1)
+        )
+    )
+    return "".join(parts)
+
+
+@query("ll62_bpe_merges", oracle=_bpe_oracle(5))
+def ll62_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING on the corpus — 5 merge rounds, each the
+    corpus-wide argmax adjacent symbol pair (count desc, lexicographic
+    tie-break), greedily applied left-to-right. ll25 applies a
+    tokenizer; this trains one, and deterministically, so the DuckDB
+    oracle replays every round (pair counts, the winning merge, AND
+    the fold that rewrites the vocabulary) — the whole training loop
+    is value-checked. All rounds run on the distinct-word vocabulary
+    weighted by counts: the corpus is scanned exactly once, so 100 TB
+    of text costs one tokenize pass plus vocab-sized rounds."""
+    from ..operators.bpe import bpe_merge_table
+
+    return bpe_merge_table(load(spark, sf_dir, "documents"), n_merges=5)

@@ -2190,3 +2190,119 @@ def o8_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("twap"),
     )
+
+
+@query(
+    "j12_pit_join",
+    oracle=(
+        # Point-in-time lookup via explicit interval containment: the
+        # SCD2 versions (last-wins per (custkey, day), lag-compressed)
+        # get valid_to = lead(valid_from); each lineitem matches the
+        # version whose half-open interval contains its ship date.
+        "WITH snap AS (SELECT o_custkey AS custkey,"
+        "  o_orderdate AS d, o_orderpriority AS priority FROM ("
+        "  SELECT o_custkey, o_orderdate, o_orderpriority,"
+        "   row_number() OVER (PARTITION BY o_custkey, o_orderdate"
+        "    ORDER BY o_orderkey DESC) AS rn FROM orders) WHERE rn = 1),"
+        " ver AS (SELECT custkey, d AS valid_from, priority,"
+        "  lead(d) OVER (PARTITION BY custkey ORDER BY d) AS valid_to"
+        "  FROM (SELECT custkey, d, priority,"
+        "   lag(priority) OVER (PARTITION BY custkey ORDER BY d) AS prev"
+        "   FROM snap) WHERE prev IS NULL OR prev <> priority),"
+        " facts AS (SELECT l.l_orderkey, l.l_linenumber,"
+        "  o.o_custkey AS custkey, l.l_shipdate"
+        "  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey)"
+        " SELECT f.l_orderkey, CAST(f.l_linenumber AS INT) AS l_linenumber,"
+        " f.custkey,"
+        " strftime(f.l_shipdate, '%Y-%m-%d %H:%M:%S') AS ship_at,"
+        " v.priority AS priority_at_ship"
+        " FROM facts f LEFT JOIN ver v ON v.custkey = f.custkey"
+        "  AND f.l_shipdate >= v.valid_from"
+        "  AND (v.valid_to IS NULL OR f.l_shipdate < v.valid_to)"
+    ),
+)
+def j12_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J12 — point-in-time (temporal) join: each lineitem is enriched
+    with the customer's order-priority VERSION that was active at its
+    ship date — the feature-store primitive (training rows must see
+    attribute values as-of the event, never leakage from the future)
+    and the lookup half of b21's SCD2 build.
+
+    Spark has no PIT join; the naive interval-containment join is an
+    inequality join that BNLJ-explodes. This is the j8 single-shuffle
+    merge instead: union versions and facts tagged, sort within each
+    custkey by (ts, side) with versions before facts at equal ts (a
+    version active FROM t applies to a fact AT t), carry the latest
+    version forward with last(ignorenulls) over unbounded-preceding —
+    one hash shuffle, one sort, zero joins for the temporal part (the
+    only equi-join fetches custkey onto lineitem). The lag-compression
+    and last-per-day dedup reuse one (custkey, date) partitioning.
+    Facts that predate the customer's first version (the synthetic
+    data ships some lineitems before their order date) carry a NULL
+    feature — the leakage-safe answer, never the future value; the
+    oracle's containment LEFT join proves the merge exact, version
+    boundaries and the NULL tier included."""
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    wd = Window.partitionBy("o_custkey", "o_orderdate").orderBy(
+        F.col("o_orderkey").desc()
+    )
+    snap = (
+        orders.withColumn("rn", F.row_number().over(wd))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderdate").alias("d"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+    )
+    wc = Window.partitionBy("custkey").orderBy("d")
+    ver = snap.withColumn("prev", F.lag("priority").over(wc)).where(
+        F.col("prev").isNull() | (F.col("prev") != F.col("priority"))
+    )
+    facts = lineitem.join(
+        orders.select(
+            F.col("o_orderkey").alias("l_orderkey"),
+            F.col("o_custkey").alias("custkey"),
+        ),
+        "l_orderkey",
+    ).select("l_orderkey", "l_linenumber", "custkey", "l_shipdate")
+
+    # single-shuffle PIT merge (j8 pattern, string-valued carry)
+    v_tag = ver.select(
+        F.col("custkey").alias("k"),
+        F.col("d").alias("t"),
+        F.lit(0).alias("side"),
+        F.struct(F.col("priority").alias("rv")).alias("rrec"),
+        F.lit(None).cast(
+            "struct<l_orderkey:bigint,l_linenumber:int,ship:timestamp>"
+        ).alias("lrow"),
+    )
+    f_tag = facts.select(
+        F.col("custkey").alias("k"),
+        F.col("l_shipdate").alias("t"),
+        F.lit(1).alias("side"),
+        F.lit(None).cast("struct<rv:string>").alias("rrec"),
+        F.struct(
+            F.col("l_orderkey"),
+            F.col("l_linenumber").cast("int").alias("l_linenumber"),
+            F.col("l_shipdate").alias("ship"),
+        ).alias("lrow"),
+    )
+    wm = (
+        Window.partitionBy("k")
+        .orderBy("t", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = (
+        v_tag.unionByName(f_tag)
+        .withColumn("carried", F.last("rrec", ignorenulls=True).over(wm))
+        .where(F.col("side") == 1)
+    )
+    return merged.select(
+        F.col("lrow.l_orderkey").alias("l_orderkey"),
+        F.col("lrow.l_linenumber").alias("l_linenumber"),
+        F.col("k").alias("custkey"),
+        F.date_format("lrow.ship", "yyyy-MM-dd HH:mm:ss").alias("ship_at"),
+        F.col("carried.rv").alias("priority_at_ship"),
+    )

@@ -444,3 +444,47 @@ def ss16_chained_stateful_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     in complete mode."""
     agg = ops.chained_stateful_dedup_agg(_events(spark, sf_dir))
     return _drain(agg, "ss16_chained", "complete")
+
+
+@query(
+    "ss17_dynamic_session_window",
+    oracle=(
+        # Generalized gaps-and-islands for per-event gaps: an event
+        # opens a new session iff its ts reaches the RUNNING MAX end
+        # (ts+gap) of all earlier events — lag(ts) alone is wrong when
+        # an earlier long-gap event covers past its successor's end.
+        # Session end = max(ts+gap) within the island; append mode
+        # emits only sessions sealed by the final watermark.
+        "WITH g AS (SELECT user_id, ts, event_id,"
+        " ts + CASE WHEN event_type = 'purchase'"
+        "  THEN INTERVAL 45 MINUTE ELSE INTERVAL 15 MINUTE END AS e"
+        " FROM events),"
+        " m AS (SELECT user_id, ts, event_id, e,"
+        " max(e) OVER (PARTITION BY user_id ORDER BY ts, event_id"
+        "  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end"
+        " FROM g),"
+        " o AS (SELECT user_id, ts, event_id, e,"
+        " CASE WHEN prev_end IS NULL OR ts >= prev_end THEN 1 ELSE 0 END"
+        "  AS new_sess FROM m),"
+        " s AS (SELECT user_id, ts, e, sum(new_sess) OVER ("
+        " PARTITION BY user_id ORDER BY ts, event_id"
+        " ROWS UNBOUNDED PRECEDING) AS sess_id FROM o),"
+        " agg AS (SELECT user_id, min(ts) AS session_start,"
+        " max(e) AS session_end, count(*) AS n_events"
+        " FROM s GROUP BY user_id, sess_id)"
+        " SELECT user_id,"
+        " strftime(session_start, '%Y-%m-%d %H:%M:%S') AS session_start,"
+        " strftime(session_end, '%Y-%m-%d %H:%M:%S') AS session_end,"
+        " CAST(n_events AS BIGINT) AS n_events FROM agg"
+        " WHERE session_end <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)"
+    ),
+)
+def ss17_dynamic_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-gap session windows (purchase = 45 min hold, other
+    events 15 min), append mode — the per-event-gap generalization of
+    ss3 that fixed-gap sessionization can't express. The oracle is the
+    generalized gaps-and-islands closure (running-max end, not lag),
+    so the merge rule, the session-end arithmetic, AND the watermark
+    seal are all value-checked."""
+    agg = ops.dynamic_session_window_agg(_events(spark, sf_dir))
+    return _drain(agg, "ss17_dynsession", "append")

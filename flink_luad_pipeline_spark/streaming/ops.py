@@ -172,6 +172,30 @@ def session_window_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def dynamic_session_window_agg(events: DataFrame) -> DataFrame:
+    """Session windows with a PER-EVENT gap (Spark's dynamic session
+    window): purchases hold a session open 45 minutes, everything else
+    15 — the real-world sessionization rule (high-intent events extend
+    the session) that a fixed-gap window (ss3) can't express. Each
+    event contributes the range [ts, ts+gap); overlapping ranges merge,
+    session end = max(ts + gap) over the members. Same watermark/append
+    contract as ss3, so only sealed sessions emit under replay."""
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("45 minutes")
+    ).otherwise(F.lit("15 minutes"))
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def streaming_dedup_keys(events: DataFrame) -> DataFrame:
     """Streaming dropDuplicates on (user_id, event_type): emits the
     first occurrence of each key — projected to the key, that's exactly

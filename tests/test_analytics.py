@@ -416,3 +416,108 @@ def test_asof_tolerance_null_right_value_keeps_sync(spark):
         left, right2, on="k", tolerance_sec=30, out_col="v"
     ).collect()
     assert out2[0]["v"] == 7.0
+
+
+def test_graph_loops_warn_on_round_exhaustion(spark):
+    """The ADVICE r3 contract: exiting a peel/relax loop by round
+    exhaustion (not fixpoint) must emit a RuntimeWarning instead of
+    silently returning truncated results."""
+    import warnings
+
+    from flink_luad_pipeline_spark.operators.graph import (
+        core_numbers,
+        weighted_shortest_paths,
+    )
+
+    # path graph: the 2-core peel removes one endpoint pair per round,
+    # so max_rounds=1 exhausts mid-cascade
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "src int, dst int"
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        core_numbers(path, k_max=2, max_rounds=1).collect()
+    assert any(
+        issubclass(w.category, RuntimeWarning)
+        and "core_numbers" in str(w.message)
+        for w in caught
+    )
+
+    # chain: distances need 8 relax rounds; 1 round leaves the frontier
+    # non-empty
+    wchain = spark.createDataFrame(
+        [(i, i + 1, 1) for i in range(8)], "src int, dst int, wt int"
+    )
+    srcs = spark.createDataFrame([(0,)], "vertex int")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        weighted_shortest_paths(wchain, srcs, max_iterations=1).collect()
+    assert any(
+        issubclass(w.category, RuntimeWarning)
+        and "weighted_shortest_paths" in str(w.message)
+        for w in caught
+    )
+
+    # and NO warning when the loop converges
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        core_numbers(path, k_max=2, max_rounds=10).collect()
+        weighted_shortest_paths(wchain, srcs, max_iterations=20).collect()
+    assert not any(issubclass(w.category, RuntimeWarning) for w in caught)
+
+
+def test_bpe_merge_table_matches_python(spark):
+    """The distributed BPE trainer must reproduce a sequential
+    reference implementation exactly — pair counts, tie-breaks, and
+    the greedy left-to-right merge application."""
+    from flink_luad_pipeline_spark.operators.bpe import bpe_merge_table
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new newer",
+        "wide wider widest",
+        "aaa abab",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+    # sequential reference
+    vocab: dict[tuple[str, ...], int] = {}
+    for t in texts:
+        for w in t.split():
+            k = tuple(w)
+            vocab[k] = vocab.get(k, 0) + 1
+    expected = []
+    for idx in range(1, 6):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] = (
+                    counts.get((syms[i], syms[i + 1]), 0) + c
+                )
+        if not counts:
+            break
+        (l, r), total = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        expected.append((idx, l, r, l + r, total))
+        nv: dict[tuple[str, ...], int] = {}
+        for syms, c in vocab.items():
+            out: list[str] = []
+            for x in syms:
+                if out and out[-1] == l and x == r:
+                    out[-1] = l + r
+                else:
+                    out.append(x)
+            key = tuple(out)
+            nv[key] = nv.get(key, 0) + c
+        vocab = nv
+
+    got = [
+        (r.merge_idx, r.left_sym, r.right_sym, r.merged, r.pair_count)
+        for r in bpe_merge_table(docs, n_merges=5)
+        .orderBy("merge_idx")
+        .collect()
+    ]
+    assert got == expected

@@ -132,3 +132,37 @@ def test_end_to_end_predictions(spark, fixture_root, tmp_path):
     # S5/S6: output written to the templated path
     out_files = glob.glob(f"{fixture_root[0]}/predictions_test.tsv/*.csv")
     assert out_files, "templated TSV output missing"
+
+
+def test_fixedwidth_source_drops_malformed_rows(spark, tmp_path):
+    """The fixed-width Python DataSource must apply the csv_io
+    malformed-row convention to BOTH failure modes: short lines AND
+    full-length lines whose declared-INT field is non-numeric (blank
+    padding); and the widths option must fail with a clear message."""
+    import pytest
+
+    from flink_luad_pipeline_spark.sources import fixedwidth
+
+    p = tmp_path / "fw.txt"
+    p.write_text(
+        "  1alpha  \n"      # good: id=1, name='alpha'
+        "xxxbeta   \n"      # bad: non-numeric INT field -> dropped
+        "   gamma  \n"      # bad: blank-padded INT field -> dropped
+        " 12\n"             # bad: short line -> dropped
+        " 42delta  \n"      # good: id=42, name='delta'
+    )
+    fixedwidth.register(spark)
+    rows = (
+        spark.read.format("fixedwidth")
+        .schema("id INT, name STRING")
+        .option("path", str(p))
+        .option("widths", "3,7")
+        .load()
+        .collect()
+    )
+    assert sorted((r.id, r.name) for r in rows) == [(1, "alpha"), (42, "delta")]
+
+    with pytest.raises(Exception, match="widths"):
+        spark.read.format("fixedwidth").schema("id INT").option(
+            "path", str(p)
+        ).load().collect()
