@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.ml.classification import LinearSVC, LinearSVCModel
 from pyspark.ml.functions import array_to_vector
 from pyspark.ml.recommendation import ALS
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -272,4 +272,126 @@ def svm_predict(model: LinearSVCModel, features: DataFrame) -> DataFrame:
         F.when(F.col("prediction") == 1.0, F.lit(1.0))
         .otherwise(F.lit(-1.0))
         .alias("prediction"),
+    )
+
+
+def naive_bayes_langid(
+    docs: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+    holdout_mod: int = 3,
+    id_col: str = "doc_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Multinomial Naive Bayes with add-one smoothing, trained on the
+    ``id % holdout_mod != 0`` split and applied to the held-out third —
+    the LEARNED language-ID next to ll2's n-gram heuristic, and the
+    supervised member of the ML family (ALS C1, SVM C4/C5, ridge c6,
+    k-means ll50) that is exactly reproducible: log-likelihoods and
+    log-priors are rounded to ``round_digits`` and accumulated as
+    DECIMAL, so per-class scores are order-free sums a SQL oracle
+    replays digit-for-digit, argmax tie-broken by class name.
+
+    Scale shape: training is two grouped counts over the tokenized
+    train split (class-word and class totals — vocab-sized shuffles,
+    map-side combinable); the vocabulary size V and the k-row
+    class/prior tables are legitimate driver/broadcast boundaries
+    (same contract as the k-means centroids). Scoring explodes each
+    held-out doc's words across the k classes (k is small and fixed),
+    left-joins the (class, word) log-likelihood table — a word-keyed
+    equi-join — and sums per (doc, class). Docs with zero tokens fall
+    back to the prior argmax.
+
+    Returns (doc_id, true label, predicted, correct).
+    """
+    from .functions.text import tokenize
+
+    train = docs.where(F.col(id_col) % holdout_mod != 0)
+    test = docs.where(F.col(id_col) % holdout_mod == 0)
+
+    ttok = train.select(
+        F.col(label_col).alias("c"),
+        F.explode(tokenize(F.col(text_col))).alias("w"),
+    )
+    cw = ttok.groupBy("c", "w").agg(F.count(F.lit(1)).alias("n_cw"))
+    ctot = cw.groupBy("c").agg(F.sum("n_cw").alias("n_c"))
+    v = ttok.select("w").distinct().count()  # one scalar, like k-means' k
+
+    dec = f"decimal(18,{round_digits})"
+    ll = (
+        cw.join(ctot, "c")
+        .select(
+            "c",
+            "w",
+            F.round(
+                F.log((F.col("n_cw") + 1.0) / (F.col("n_c") + float(v))),
+                round_digits,
+            ).cast(dec).alias("ll"),
+        )
+    )
+    classes = ctot.select(
+        "c",
+        F.round(F.log(1.0 / (F.col("n_c") + float(v))), round_digits)
+        .cast(dec)
+        .alias("dflt"),
+    )
+    priors = (
+        train.groupBy(F.col(label_col).alias("c"))
+        .agg(F.count(F.lit(1)).alias("d_c"))
+        .withColumn("d_tot", F.sum("d_c").over(Window.partitionBy(F.lit(1))))
+        .select(
+            "c",
+            F.round(F.log(F.col("d_c") / F.col("d_tot")), round_digits)
+            .cast(dec)
+            .alias("prior"),
+        )
+    )
+
+    testtok = (
+        test.select(F.col(id_col).alias("doc_id"),
+                    F.explode(tokenize(F.col(text_col))).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    likes = (
+        testtok.crossJoin(F.broadcast(classes))
+        .join(ll, ["c", "w"], "left")
+        .select(
+            "doc_id",
+            "c",
+            (
+                F.col("k").cast("decimal(18,0)")
+                * F.coalesce(F.col("ll"), F.col("dflt"))
+            ).alias("contrib"),
+        )
+        .groupBy("doc_id", "c")
+        .agg(F.sum("contrib").alias("like"))
+    )
+    scored = (
+        test.select(F.col(id_col).alias("doc_id"))
+        .crossJoin(F.broadcast(classes.select("c")))
+        .join(likes, ["doc_id", "c"], "left")
+        .join(F.broadcast(priors), "c")
+        .select(
+            "doc_id",
+            "c",
+            (F.col("prior") + F.coalesce(F.col("like"), F.lit(0).cast(dec)))
+            .alias("score"),
+        )
+    )
+    wr = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("c"))
+    pred = (
+        scored.withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("c").alias("predicted"))
+    )
+    return (
+        test.select(F.col(id_col).alias("doc_id"), F.col(label_col).alias("label"))
+        .join(pred, "doc_id")
+        .select(
+            "doc_id",
+            "label",
+            "predicted",
+            (F.col("predicted") == F.col("label")).alias("correct"),
+        )
     )

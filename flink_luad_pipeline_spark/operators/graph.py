@@ -695,3 +695,73 @@ def two_hop_reach(
         .groupBy(F.col("u").alias("vertex"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("reach"))
     )
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    vertices: DataFrame,
+    sources: DataFrame,
+    iterations: int = 10,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Personalized PageRank: same power iteration as ``pagerank`` but
+    the restart mass teleports to the SOURCE SET instead of uniformly —
+    rank_{i+1}(v) = (1-d)·r(v) + d·Σ_{u→v} rank_i(u)/outdeg(u) with
+    r(v) = 1/|S| for v ∈ S else 0 — the proximity-to-seed measure
+    behind recommendation ("nodes relevant to THESE users"), trust
+    propagation, and local community scoring. Dangling mass is not
+    redistributed (same documented choice as g1: keeps the recurrence
+    a pure join+agg a SQL oracle can replay exactly).
+
+    Same scale shape as g1: restart vector built once (a broadcast-able
+    |S|-row table), two vertex-keyed shuffles per iteration, lineage
+    truncated per iteration.
+
+    Returns ``DataFrame[vertex, rank]`` (restart-set vertices outside
+    ``vertices`` are ignored).
+    """
+    v_col = vertices.columns[0]
+    nodes = (
+        vertices.select(F.col(v_col).alias("vertex")).distinct().localCheckpoint()
+    )
+    s_col = sources.columns[0]
+    seeds = (
+        sources.select(F.col(s_col).alias("vertex"))
+        .distinct()
+        .join(nodes, "vertex", "left_semi")
+        .localCheckpoint()
+    )
+    n_seeds = seeds.count()
+    restart = nodes.join(
+        seeds.withColumn("r", F.lit(1.0 / n_seeds)), "vertex", "left"
+    ).select("vertex", F.coalesce("r", F.lit(0.0)).alias("r")).localCheckpoint()
+
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    e_deg = e.join(outdeg, "src").localCheckpoint()
+
+    ranks = restart.select("vertex", F.col("r").alias("rank"))
+    for _ in range(iterations):
+        contrib = (
+            e_deg.join(ranks, e_deg.src == ranks.vertex)
+            .select(
+                F.col("dst").alias("vertex"),
+                (F.col("rank") / F.col("deg")).alias("c"),
+            )
+            .groupBy("vertex")
+            .agg(F.sum("c").alias("mass"))
+        )
+        ranks = (
+            restart.join(contrib, "vertex", "left")
+            .select(
+                "vertex",
+                (
+                    F.lit(1.0 - damping) * F.col("r")
+                    + F.lit(damping) * F.coalesce("mass", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

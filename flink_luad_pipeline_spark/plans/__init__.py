@@ -175,6 +175,8 @@ _NEW_THIS_ROUND = (
     "ll62_bpe_merges",
     "j12_pit_join",
     "ss17_dynamic_session_window",
+    "c7_naive_bayes_langid",
+    "g9_personalized_pagerank",
 )
 
 

@@ -245,13 +245,20 @@ def _pagerank_oracle(iterations: int = 10, damping: float = 0.85) -> str:
         f"e AS ({edges})",
         "n AS (SELECT count(*) AS total FROM nodes)",
         "outdeg AS (SELECT src, count(*) AS deg FROM e GROUP BY src)",
-        "pr0 AS (SELECT v, 1.0 / (SELECT total FROM n) AS pr FROM nodes)",
+        # literals CAST to DOUBLE: DuckDB parses bare 0.85 as DECIMAL
+        # and folds (1.0 - 0.85) EXACTLY, while the Spark side holds
+        # the IEEE double 0.15000000000000002 — a one-ulp constant
+        # divergence that round(..., 12) only masks by luck
+        "pr0 AS (SELECT v, CAST(1.0 AS DOUBLE) / (SELECT total FROM n)"
+        " AS pr FROM nodes)",
     ]
     for i in range(1, iterations + 1):
         parts.append(
             f"pr{i} AS (SELECT nodes.v,"
-            f" (1.0 - {damping}) / (SELECT total FROM n)"
-            f" + {damping} * coalesce(s.mass, 0.0) AS pr"
+            f" (CAST(1.0 AS DOUBLE) - CAST({damping} AS DOUBLE))"
+            " / (SELECT total FROM n)"
+            f" + CAST({damping} AS DOUBLE)"
+            " * coalesce(s.mass, CAST(0.0 AS DOUBLE)) AS pr"
             " FROM nodes LEFT JOIN"
             f" (SELECT e.dst AS v, sum(p.pr / outdeg.deg) AS mass"
             f"  FROM e JOIN pr{i - 1} p ON p.v = e.src"
@@ -260,9 +267,24 @@ def _pagerank_oracle(iterations: int = 10, damping: float = 0.85) -> str:
         )
     return (
         ", ".join(parts)
-        + f" SELECT v AS vertex,"
-        f" CAST(CAST(round(pr, 12) AS DECIMAL(20,14)) AS DOUBLE) AS rank"
+        + f" SELECT v AS vertex, {_round12_like_spark('pr')} AS rank"
         f" FROM pr{iterations}"
+    )
+
+
+def _round12_like_spark(col: str) -> str:
+    """Spark's round() on a DOUBLE rounds the value's SHORTEST decimal
+    representation (BigDecimal.valueOf = Double.toString) HALF_UP;
+    DuckDB's round() works on the binary expansion, so a value whose
+    shortest repr ends exactly in ...5 at the cut digit rounds down in
+    DuckDB and up in Spark (one observed ulp hit: 0.0005757421875 →
+    ...188 vs ...187 in g9). Replicate Spark exactly: double → VARCHAR
+    (shortest repr) → exact DECIMAL(38,28) (scale 28 holds the full 17
+    significant digits for every value ≥ 1e-11; ranks are ≥ ~1e-6 or
+    exactly 0) → HALF_UP round at 12."""
+    return (
+        f"CAST(CAST(round(CAST(CAST({col} AS VARCHAR) AS DECIMAL(38,28)),"
+        " 12) AS DECIMAL(20,14)) AS DOUBLE)"
     )
 
 
@@ -779,3 +801,145 @@ def g8_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(keys, F.col("dst") == F.col("k"), "left_semi")
     )
     return two_hop_reach(edges)
+
+
+_NB_TOKENS = (
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),"
+    " x -> x <> '')"
+)
+
+_NB_ORACLE = (
+    # Same add-one-smoothed multinomial NB: log-likelihoods/priors
+    # rounded to 6 digits into DECIMAL, per-class scores as order-free
+    # DECIMAL sums, argmax tie-broken by class name — digit-for-digit
+    # the ml.naive_bayes_langid math.
+    "WITH train AS (SELECT doc_id, lang, text FROM documents"
+    "  WHERE doc_id % 3 <> 0),"
+    " test AS (SELECT doc_id, lang, text FROM documents"
+    "  WHERE doc_id % 3 = 0),"
+    f" ttok AS (SELECT lang AS c, unnest({_NB_TOKENS}) AS w FROM train),"
+    " cw AS (SELECT c, w, count(*) AS n_cw FROM ttok GROUP BY 1, 2),"
+    " ctot AS (SELECT c, sum(n_cw) AS n_c FROM cw GROUP BY 1),"
+    " vs AS (SELECT count(DISTINCT w) AS v FROM ttok),"
+    " ll AS (SELECT c, w, CAST(round(ln((n_cw + 1.0)"
+    "  / (n_c + CAST(v AS DOUBLE))), 6) AS DECIMAL(18,6)) AS ll"
+    "  FROM cw JOIN ctot USING (c), vs),"
+    " classes AS (SELECT c, CAST(round(ln(1.0"
+    "  / (n_c + CAST(v AS DOUBLE))), 6) AS DECIMAL(18,6)) AS dflt"
+    "  FROM ctot, vs),"
+    " priors AS (SELECT lang AS c, CAST(round(ln(count(*) * 1.0"
+    "  / (SELECT count(*) FROM train)), 6) AS DECIMAL(18,6)) AS prior"
+    "  FROM train GROUP BY 1),"
+    " testtok AS (SELECT doc_id, w, count(*) AS k FROM ("
+    f"  SELECT doc_id, unnest({_NB_TOKENS}) AS w FROM test) GROUP BY 1, 2),"
+    " likes AS (SELECT doc_id, cl.c,"
+    "  sum(CAST(k AS DECIMAL(18,0)) * coalesce(ll.ll, cl.dflt)) AS lk"
+    "  FROM testtok tt CROSS JOIN classes cl"
+    "  LEFT JOIN ll ON ll.c = cl.c AND ll.w = tt.w GROUP BY 1, 2),"
+    " scored AS (SELECT t.doc_id, cl.c,"
+    "  p.prior + coalesce(l.lk, CAST(0 AS DECIMAL(18,6))) AS score"
+    "  FROM test t CROSS JOIN classes cl JOIN priors p ON p.c = cl.c"
+    "  LEFT JOIN likes l ON l.doc_id = t.doc_id AND l.c = cl.c),"
+    " pred AS (SELECT doc_id, c AS predicted FROM ("
+    "  SELECT doc_id, c, row_number() OVER (PARTITION BY doc_id"
+    "   ORDER BY score DESC, c) AS rn FROM scored) WHERE rn = 1)"
+    " SELECT t.doc_id, t.lang AS label, p.predicted,"
+    " p.predicted = t.lang AS correct"
+    " FROM test t JOIN pred p USING (doc_id)"
+)
+
+
+@query("c7_naive_bayes_langid", oracle=_NB_ORACLE)
+def c7_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7 — multinomial Naive Bayes language classifier, trained on the
+    2/3 split (doc_id % 3 != 0) and applied to the held-out third: the
+    LEARNED language-ID next to ll2's character-heuristic, and the
+    supervised-text member of the ML family (ALS, SVM, ridge, k-means,
+    BPE). Unlike pyspark.ml's NaiveBayes (float-order-dependent), the
+    rounded-DECIMAL formulation is exactly reproducible, so training
+    AND inference are value-checked by the oracle — per-class counts,
+    smoothing, priors, the argmax, everything. (The driver's synthetic
+    texts carry no real lang signal, so holdout accuracy here sits at
+    the majority prior; tests/test_analytics.py pins that the learner
+    reaches 100% on class-disjoint vocabularies.)"""
+    docs = load(spark, sf_dir, "documents")
+    return ml.naive_bayes_langid(docs)
+
+
+def _ppr_oracle(iterations: int = 10, damping: float = 0.85) -> str:
+    """Unrolled personalized-PageRank oracle — g1's generator with the
+    uniform restart replaced by the seed-set restart vector r(v)
+    (1/|S| on seeds, 0 elsewhere); same in-degree <= 2 graph, so the
+    double summation order cannot diverge between engines."""
+    nodes = "SELECT p_partkey AS v FROM part"
+    edges = (
+        "SELECT p_partkey AS src, p_partkey + 1 AS dst FROM part p"
+        " WHERE p_partkey % 10 < 3"
+        " AND EXISTS (SELECT 1 FROM part q WHERE q.p_partkey = p.p_partkey + 1)"
+        " UNION ALL "
+        "SELECT p_partkey AS src, p_partkey + 3 AS dst FROM part p"
+        " WHERE p_partkey % 10 < 3"
+        " AND EXISTS (SELECT 1 FROM part q WHERE q.p_partkey = p.p_partkey + 3)"
+    )
+    parts = [
+        f"WITH nodes AS ({nodes})",
+        f"e AS ({edges})",
+        "seeds AS (SELECT v FROM nodes WHERE v % 100 = 0)",
+        "ns AS (SELECT count(*) AS t FROM seeds)",
+        # DOUBLE-cast literals for the same reason as g1's generator:
+        # DuckDB's bare decimals fold exactly, Spark's are IEEE
+        "rv AS (SELECT nodes.v, CASE WHEN s.v IS NOT NULL"
+        " THEN CAST(1.0 AS DOUBLE) / (SELECT t FROM ns)"
+        " ELSE CAST(0.0 AS DOUBLE) END AS r"
+        " FROM nodes LEFT JOIN seeds s ON s.v = nodes.v)",
+        "outdeg AS (SELECT src, count(*) AS deg FROM e GROUP BY src)",
+        "pr0 AS (SELECT v, r AS pr FROM rv)",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"pr{i} AS (SELECT rv.v,"
+            f" (CAST(1.0 AS DOUBLE) - CAST({damping} AS DOUBLE)) * rv.r"
+            f" + CAST({damping} AS DOUBLE)"
+            " * coalesce(s.mass, CAST(0.0 AS DOUBLE)) AS pr"
+            " FROM rv LEFT JOIN"
+            f" (SELECT e.dst AS v, sum(p.pr / outdeg.deg) AS mass"
+            f"  FROM e JOIN pr{i - 1} p ON p.v = e.src"
+            "  JOIN outdeg ON outdeg.src = e.src GROUP BY e.dst) s"
+            " ON s.v = rv.v)"
+        )
+    return (
+        ", ".join(parts)
+        + f" SELECT v AS vertex, {_round12_like_spark('pr')} AS rank"
+        f" FROM pr{iterations}"
+    )
+
+
+@query("g9_personalized_pagerank", oracle=_ppr_oracle())
+def g9_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G9 — personalized PageRank from the %100 seed set over g1's
+    chain graph: restart mass teleports to the seeds, so rank measures
+    proximity to THOSE vertices — the recommendation / trust-
+    propagation primitive (g1 answers "globally important", this
+    answers "important to these users"). Same driver-loop shape and
+    the same oracle guarantee as g1: 10 unrolled iterations replayed
+    in SQL with exact double parity."""
+    part = load(spark, sf_dir, "part").select("p_partkey")
+    keys = part.select(F.col("p_partkey").alias("k"))
+    hop = lambda d: (
+        part.where(F.col("p_partkey") % 10 < 3)
+        .select(
+            F.col("p_partkey").alias("src"),
+            (F.col("p_partkey") + d).alias("dst"),
+        )
+        .join(keys, F.col("dst") == F.col("k"), "left_semi")
+    )
+    edges = hop(1).unionAll(hop(3))
+    sources = part.where(F.col("p_partkey") % 100 == 0)
+    from ..operators.graph import personalized_pagerank
+
+    out = personalized_pagerank(
+        edges, part, sources, iterations=10, damping=0.85
+    )
+    return out.select(
+        "vertex", F.round("rank", 12).cast("decimal(20,14)").alias("rank")
+    )

@@ -521,3 +521,59 @@ def test_bpe_merge_table_matches_python(spark):
         .collect()
     ]
     assert got == expected
+
+
+def test_naive_bayes_learns_separable_vocab(spark):
+    """On a corpus whose classes use disjoint vocabularies the NB
+    classifier must label every held-out doc correctly (the synthetic
+    documents table has no real text-label signal, so c7's quality
+    there sits at the prior — this pins that the LEARNER itself works
+    when signal exists)."""
+    from flink_luad_pipeline_spark.ml import naive_bayes_langid
+
+    rows = []
+    for i in range(30):
+        if i % 2 == 0:
+            rows.append((i, "aa", "alpha beta gamma alpha beta"))
+        else:
+            rows.append((i, "bb", "zulu yankee xray zulu yankee"))
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = naive_bayes_langid(docs).collect()
+    assert len(out) == 10  # doc_id % 3 == 0 holdout
+    assert all(r.correct for r in out)
+
+
+def test_pit_join_never_leaks_future_versions(spark, sf_dir):
+    """Feature-store contract for j12: every attached priority must be
+    a version whose valid_from <= the fact's ship date (no future
+    leakage), and facts predating the first version carry NULL."""
+    import duckdb
+
+    from flink_luad_pipeline_spark.plans.registry import QUERIES
+
+    out = QUERIES["j12_pit_join"](spark, sf_dir).collect()
+    con = duckdb.connect()
+    vers = con.sql(
+        "WITH snap AS (SELECT o_custkey AS ck, o_orderdate AS d,"
+        " o_orderpriority AS pr FROM (SELECT o_custkey, o_orderdate,"
+        " o_orderpriority, row_number() OVER (PARTITION BY o_custkey,"
+        " o_orderdate ORDER BY o_orderkey DESC) AS rn"
+        f" FROM '{sf_dir}/orders.parquet') WHERE rn = 1)"
+        " SELECT ck, strftime(d, '%Y-%m-%d %H:%M:%S') AS d, pr FROM ("
+        " SELECT ck, d, pr, lag(pr) OVER (PARTITION BY ck ORDER BY d)"
+        " AS prev FROM snap) WHERE prev IS NULL OR prev <> pr"
+    ).fetchall()
+    by_cust: dict[int, list[tuple[str, str]]] = {}
+    for ck, d, pr in vers:
+        by_cust.setdefault(ck, []).append((d, pr))
+    assert len(out) > 0
+    n_null = 0
+    for r in out:
+        versions = sorted(by_cust.get(r.custkey, []))
+        active = None
+        for d, pr in versions:
+            if d <= r.ship_at:
+                active = pr
+        assert r.priority_at_ship == active, (r.custkey, r.ship_at)
+        n_null += active is None
+    assert n_null > 0  # the synthetic data does exercise the NULL tier
