@@ -66,6 +66,12 @@ HEADLINE = [
     "ll55_semantic_decontaminate",
     "o6_ohlc_bars",
     "ll56_remove_repeated_segments",
+    # round 4: the composed IVF-PQ ANN tier, BPE merge training, the
+    # point-in-time feature join, and the NB classifier
+    "ll60_ivfpq_ann_topk",
+    "ll62_bpe_merges",
+    "j12_pit_join",
+    "c7_naive_bayes_langid",
 ]
 
 
@@ -137,9 +143,11 @@ def main() -> None:
     # the 10x key-shifted replica so the sf0.1 -> sf1 scale factor is a
     # driver-reproducible artifact, not just a SCALE.md note. Runs only
     # for the default sf0.1 bench; SPARK_GRAFT_SKIP_SF1=1 opts out.
-    # Protocol: replica materialized once under /tmp, per-query min of
-    # 2 warm runs (the session/codegen are already hot from the sf0.1
-    # pass; min suppresses GC noise without tripling the added time).
+    # Protocol: replica materialized once under /tmp, ONE warm run per
+    # query (the session/codegen are already hot from the sf0.1 pass) —
+    # the section exists to measure the sf0.1 -> sf1 growth FACTOR, and
+    # bounding its wall-time keeps the whole bench inside any driver
+    # budget.
     if sf == "0.1" and not os.environ.get("SPARK_GRAFT_SKIP_SF1"):
         try:
             out["sf1"] = _sf1_section(spark, queries, total)
@@ -159,12 +167,9 @@ def _sf1_section(spark, queries, sf01_total) -> dict:
     failed = []
     for name in HEADLINE:
         try:
-            runs = []
-            for _ in range(2):
-                t0 = time.perf_counter()
-                queries[name](spark, sf1_dir).toPandas()
-                runs.append(time.perf_counter() - t0)
-            per_query[name] = round(min(runs), 4)
+            t0 = time.perf_counter()
+            queries[name](spark, sf1_dir).toPandas()
+            per_query[name] = round(time.perf_counter() - t0, 4)
         except Exception as exc:
             print(f"bench: sf1 {name} FAILED: {exc}", file=sys.stderr)
             per_query[name] = None

@@ -82,7 +82,11 @@ def jaccard_pairs(
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b,
     jaccard >= threshold.
     """
-    sh = _shingled(df, id_col, text_col, k)
+    # materialize the tokenize+shingle pass once: it feeds sizes, the
+    # df index, and BOTH join sides — without the boundary Catalyst
+    # re-runs the heavy explode per consumer (localCheckpoint, not
+    # cache: released when dereferenced)
+    sh = _shingled(df, id_col, text_col, k).localCheckpoint(eager=True)
     sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
     inv = sh.select("doc_id", F.explode("shingles").alias("shingle"))
     if max_shingle_df is not None:
@@ -145,7 +149,9 @@ def containment_pairs(
     Returns (doc_a, doc_b, containment): directional rows, doc_a ≠
     doc_b, containment of doc_a IN doc_b, >= threshold.
     """
-    sh = _shingled(df, id_col, text_col, k)
+    # same load-bearing boundary as jaccard_pairs: one tokenize+shingle
+    # pass serves sizes, the df index, and both join sides
+    sh = _shingled(df, id_col, text_col, k).localCheckpoint(eager=True)
     sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
     inv = sh.select("doc_id", F.explode("shingles").alias("shingle"))
     if max_shingle_df is not None:

@@ -396,6 +396,11 @@ def ll49_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "cand_id", "sim", "rank")
 
 
+# (ll60 below uses the derived-mod coarse quantizer; ll49 keeps the
+# fixed codebook modulus — the codebook table is m·(N/64) rows, linear
+# in N by construction, unlike the coarse-cell count.)
+
+
 _RUNS_ORACLE = (
     # gaps-and-islands twin of the UDTF's single forward pass
     f"WITH tok AS (SELECT doc_id, {_TOKENS_SQL} AS tokens FROM documents),"
@@ -2487,11 +2492,15 @@ def ll59_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _IVFPQ_ORACLE = (
-    # The _IVF_ORACLE cell CTEs (mod-25 coarse centroids, nprobe 3)
-    # feeding the _PQ_ORACLE encode/LUT CTEs (mod-64 codebooks, m=4),
-    # scored only on the shortlisted (query, cand) pairs.
-    "WITH cents AS (SELECT vec_id AS centroid_id, embedding AS centv"
-    " FROM embeddings WHERE vec_id % 25 = 0),"
+    # The _IVF_ORACLE cell CTEs feeding the _PQ_ORACLE encode/LUT CTEs
+    # (mod-64 codebooks, m=4), scored only on the shortlisted (query,
+    # cand) pairs. Coarse centroids use the DERIVED √N modulus like
+    # ll42/ll55 — mirrored here so the scale-correct path is the
+    # value-checked one.
+    "WITH md AS (SELECT CAST(greatest(1, round(sqrt(count(*)), 0))"
+    " AS BIGINT) AS m FROM embeddings),"
+    " cents AS (SELECT vec_id AS centroid_id, embedding AS centv"
+    " FROM embeddings, md WHERE vec_id % md.m = 0),"
     " cand_sc AS (SELECT c.vec_id AS cand_id, centroid_id,"
     f" {_cos_sql('c.embedding', 'centv')} AS csim FROM embeddings c, cents),"
     " assigned AS (SELECT cand_id, centroid_id FROM ("
@@ -2547,14 +2556,18 @@ def ll60_ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ composed top-10 — the billion-scale ANN layout (FAISS
     default) completing the family: brute ll8 / hyperplane-LSH ll9 /
     IVF ll12 / PQ ll49 / IVF×PQ here, one output contract. The coarse
-    quantizer prunes WHICH candidates are scored (nprobe=3 cells of
-    ~20), PQ-ADC prunes HOW (4 code lookups instead of a 64-dim dot).
-    Every stage is deterministic (shared mod-sampled quantizers,
-    rounded-DECIMAL partials, explicit tie-breaks), so the oracle
-    reproduces cells, codes, LUT, and ranking — BOTH approximation
-    losses are value-checked in composition."""
+    quantizer prunes WHICH candidates are scored (nprobe=3 of M ≈ √N
+    cells — the DERIVED modulus, mirrored in the oracle, so cell count
+    grows with the corpus instead of cell size), PQ-ADC prunes HOW (4
+    code lookups instead of a 64-dim dot). Every stage is
+    deterministic (shared mod-sampled quantizers, rounded-DECIMAL
+    partials, explicit tie-breaks), so the oracle reproduces cells,
+    codes, LUT, and ranking — BOTH approximation losses are
+    value-checked in composition."""
     emb = load(spark, sf_dir, "embeddings")
-    out = similarity.ivfpq_topk(emb.where(F.col("vec_id") < 5), emb, k=10)
+    out = similarity.ivfpq_topk(
+        emb.where(F.col("vec_id") < 5), emb, k=10, centroid_mod=None
+    )
     return out.select("query_id", "cand_id", "sim", "rank")
 
 
@@ -2571,7 +2584,15 @@ _CONTAIN_ORACLE = (
     "   ELSE [] END) AS shingles FROM tok),"
     " nz AS (SELECT doc_id, shingles, len(shingles) AS n_sh FROM sh"
     "   WHERE len(shingles) > 0),"
-    " inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM nz),"
+    " inv0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM nz),"
+    # the df-cutoff is part of the REGISTERED operator (not just a
+    # scale option): shingles in > 50 docs are boilerplate whose df^2
+    # join cost dominates; |S(a)| keeps counting them, so surviving
+    # containments only under-count — same contract as ll5's guard
+    " rare AS (SELECT shingle FROM inv0 GROUP BY shingle"
+    "   HAVING count(*) <= 50),"
+    " inv AS (SELECT doc_id, shingle FROM inv0"
+    "   WHERE shingle IN (SELECT shingle FROM rare)),"
     " inter AS (SELECT a.doc_id AS u, b.doc_id AS v, count(*) AS i"
     "   FROM inv a JOIN inv b ON a.shingle = b.shingle"
     "    AND a.doc_id < b.doc_id"
@@ -2597,11 +2618,17 @@ def ll61_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedded in a long one has tiny J but containment ≈ 1 short→long),
     and the signal for keeping the SUPERSET member of a near-dup pair.
     Planted exact copies surface at 1.0 in both directions. Same
-    inverted-index dataflow and 100 TB df-cutoff guard as ll5; the
-    intersection is computed once per unordered pair, both directions
-    derived arithmetically."""
+    inverted-index dataflow as ll5, and the df-cutoff guard
+    (max_shingle_df=50, mirrored in the oracle) runs IN the registered
+    query: without it the boilerplate shingles of the shared-pool
+    synthetic texts blow the join up df²-fold (26 s at sf0.1 measured;
+    ~1 s with the guard), and dropped index keys only ever under-count
+    intersections, so every surviving containment is a lower bound.
+    The intersection is computed once per unordered pair, both
+    directions derived arithmetically."""
     pairs = dedup.containment_pairs(
-        _augmented(spark, sf_dir), "doc_id", "text", k=3, threshold=0.8
+        _augmented(spark, sf_dir), "doc_id", "text", k=3, threshold=0.8,
+        max_shingle_df=50,
     )
     return pairs.select(
         "doc_a",
