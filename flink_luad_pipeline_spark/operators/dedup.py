@@ -367,6 +367,31 @@ def _minhash_index(
     return sh, banded
 
 
+def build_minhash_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    max_shingle_df: int | float | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Public index-build step for the persisted-index dedup flow:
+    returns the two materializable artifacts — ``sh`` (doc_id,
+    shingles, sig) and ``banded`` (doc_id, band, bhash) — that a
+    production pipeline writes to storage once per snapshot and probes
+    per batch (``minhash_dedup_incremental(snapshot_index=...)``).
+    Both are plain parquet-writable tables. With
+    ``max_shingle_df=None`` every artifact is a pure per-document
+    function, so a frozen snapshot index unioned with freshly-computed
+    delta artifacts is IDENTICAL to indexing snapshot ∪ delta — the
+    property that makes the persisted flow's verdicts provably equal to
+    the in-memory one's."""
+    return _minhash_index(
+        df, id_col, text_col, k, num_hashes, bands, max_shingle_df
+    )
+
+
 def _pair_jaccard(cand: DataFrame, sh: DataFrame) -> DataFrame:
     """Exact-Jaccard verification of candidate (doc_a, doc_b) pairs
     against the filtered shingle sets in ``sh`` — candidates only, the
@@ -411,6 +436,7 @@ def minhash_dedup_incremental(
     bands: int = 16,
     threshold: float = 0.5,
     max_shingle_df: int | float | None = None,
+    snapshot_index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Incremental near-dup dedup: a verdict per DELTA document against
     the snapshot corpus plus the delta batch itself — WITHOUT ever
@@ -430,14 +456,36 @@ def minhash_dedup_incremental(
     production the snapshot's index and df-stats are frozen
     materializations and only the delta side is computed per batch.
 
+    ``snapshot_index`` is the persisted-index production path: pass the
+    snapshot's (sh, banded) artifacts (``build_minhash_index``, e.g.
+    read back from parquet) and ONLY the delta's artifacts are computed
+    this batch — the snapshot corpus is never re-tokenized. Requires
+    ``max_shingle_df=None``: with no corpus-level stats every artifact
+    is a per-document function, so frozen-index verdicts are provably
+    identical to the from-scratch ones.
+
     Returns (doc_id, dropped, dup_of) — one row per delta document.
     """
     sid = snapshot.select(F.col(id_col), F.col(text_col))
     did = delta.select(F.col(id_col), F.col(text_col))
-    sh, banded = _minhash_index(
-        sid.unionAll(did), id_col, text_col, k, num_hashes, bands,
-        max_shingle_df,
-    )
+    if snapshot_index is not None:
+        if max_shingle_df is not None:
+            raise ValueError(
+                "snapshot_index requires max_shingle_df=None: a df-cutoff"
+                " is a corpus-level statistic, so a frozen snapshot index"
+                " cannot reproduce it over snapshot ∪ delta"
+            )
+        sh_s, banded_s = snapshot_index
+        sh_d, banded_d = _minhash_index(
+            did, id_col, text_col, k, num_hashes, bands, None
+        )
+        sh = sh_s.unionByName(sh_d)
+        banded = banded_s.unionByName(banded_d)
+    else:
+        sh, banded = _minhash_index(
+            sid.unionAll(did), id_col, text_col, k, num_hashes, bands,
+            max_shingle_df,
+        )
     delta_ids = did.select(F.col(id_col).alias("doc_id"))
     banded_delta = banded.join(delta_ids, "doc_id", "left_semi")
     cand = (

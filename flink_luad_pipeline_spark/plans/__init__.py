@@ -177,6 +177,7 @@ _NEW_THIS_ROUND = (
     "ss17_dynamic_session_window",
     "c7_naive_bayes_langid",
     "g9_personalized_pagerank",
+    "ll63_incremental_dedup_persisted",
 )
 
 

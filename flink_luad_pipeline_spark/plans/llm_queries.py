@@ -2703,3 +2703,63 @@ def ll62_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.bpe import bpe_merge_table
 
     return bpe_merge_table(load(spark, sf_dir, "documents"), n_merges=5)
+
+
+# ---------------------------------------------------------------------------
+# ll63 — incremental dedup against a PERSISTED snapshot index
+# ---------------------------------------------------------------------------
+
+# no-cutoff pair list: the fraction cutoff relaxed to 1.0 keeps every
+# shingle, making each index artifact a pure per-document function —
+# the property that lets a frozen parquet snapshot index union with
+# fresh delta artifacts and still equal a from-scratch indexing.
+_MINHASH_ORACLE_NOCUT = _MINHASH_ORACLE.replace(
+    "HAVING count(*) <= 0.5 * (SELECT count(*) FROM aug)",
+    "HAVING count(*) <= 1.0 * (SELECT count(*) FROM aug)",
+)
+assert _MINHASH_ORACLE_NOCUT != _MINHASH_ORACLE
+
+_INCR_PERSIST_ORACLE = (
+    f"WITH p AS ({_MINHASH_ORACLE_NOCUT}),"
+    f" aug AS ({_AUG_SQL}),"
+    " delta AS (SELECT doc_id FROM aug WHERE doc_id % 5 = 0),"
+    " both_dirs AS (SELECT doc_a AS d, doc_b AS o FROM p"
+    "  UNION ALL SELECT doc_b AS d, doc_a AS o FROM p),"
+    " m AS (SELECT d AS doc_id, min(o) AS dup_of FROM both_dirs"
+    "  WHERE d % 5 = 0 AND (o % 5 <> 0 OR o < d) GROUP BY d)"
+    " SELECT delta.doc_id, m.dup_of IS NOT NULL AS dropped, m.dup_of"
+    " FROM delta LEFT JOIN m USING (doc_id)"
+)
+
+
+@query("ll63_incremental_dedup_persisted", oracle=_INCR_PERSIST_ORACLE)
+def ll63_incremental_dedup_persisted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The PRODUCTION shape of ll45: the snapshot's MinHash index
+    artifacts — (doc_id, shingles, sig) and the (doc_id, band, bhash)
+    band table — are WRITTEN TO PARQUET and read back before the delta
+    probes them, exactly how a 100 TB corpus absorbs a daily batch
+    without re-tokenizing the snapshot (ll45 rebuilds both sides
+    in-memory each run; here only the delta's artifacts are computed
+    at probe time). No df-cutoff, so every artifact is a pure
+    per-document function and the frozen-index verdicts are provably
+    identical to a from-scratch dedup — which is exactly what the
+    oracle asserts, deriving expected verdicts from the no-cutoff full
+    pair list. The round-trip through parquet also pins the artifact
+    schemas as stable on-disk contracts."""
+    from .relational_queries import sink_path
+
+    corpus = _augmented(spark, sf_dir)
+    snapshot = corpus.where(F.col("doc_id") % 5 != 0)
+    delta = corpus.where(F.col("doc_id") % 5 == 0)
+    sh, banded = dedup.build_minhash_index(snapshot, "doc_id", "text", k=3)
+    base = sink_path("ll63_index", sf_dir)
+    sh.write.mode("overwrite").parquet(f"{base}/sh.parquet")
+    banded.write.mode("overwrite").parquet(f"{base}/banded.parquet")
+    sh_l = spark.read.parquet(f"{base}/sh.parquet")
+    banded_l = spark.read.parquet(f"{base}/banded.parquet")
+    return dedup.minhash_dedup_incremental(
+        snapshot, delta, "doc_id", "text", k=3, threshold=0.4,
+        snapshot_index=(sh_l, banded_l),
+    )

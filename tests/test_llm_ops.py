@@ -620,3 +620,46 @@ def test_ivfpq_recall_floor_and_shortlist_subset(spark, sf_dir):
     # (kmeans_fit) are the quality lever, pinned in the trained-
     # centroid recall test.
     assert sum(recalls) / len(recalls) >= 0.05
+
+
+def test_persisted_index_verdicts_equal_from_scratch(spark, sf_dir, tmp_path):
+    """The frozen-snapshot-index path (build_minhash_index written to
+    parquet, delta probes it) must yield verdicts IDENTICAL to the
+    in-memory from-scratch path on the same split — the property that
+    makes the persisted production flow (ll63) sound. Only holds with
+    max_shingle_df=None, which the operator enforces."""
+    corpus = _augmented(spark, sf_dir)
+    snapshot = corpus.where(F.col("doc_id") % 5 != 0)
+    delta = corpus.where(F.col("doc_id") % 5 == 0)
+
+    scratch = {
+        (r.doc_id, r.dropped, r.dup_of)
+        for r in dedup.minhash_dedup_incremental(
+            snapshot, delta, "doc_id", "text", k=3, threshold=0.4
+        ).collect()
+    }
+
+    sh, banded = dedup.build_minhash_index(snapshot, "doc_id", "text", k=3)
+    sh.write.mode("overwrite").parquet(str(tmp_path / "sh.parquet"))
+    banded.write.mode("overwrite").parquet(str(tmp_path / "banded.parquet"))
+    persisted = {
+        (r.doc_id, r.dropped, r.dup_of)
+        for r in dedup.minhash_dedup_incremental(
+            snapshot, delta, "doc_id", "text", k=3, threshold=0.4,
+            snapshot_index=(
+                spark.read.parquet(str(tmp_path / "sh.parquet")),
+                spark.read.parquet(str(tmp_path / "banded.parquet")),
+            ),
+        ).collect()
+    }
+    assert persisted == scratch and len(persisted) > 0
+
+    # the guard: a df-cutoff is a corpus statistic a frozen index
+    # cannot reproduce, so combining both must be rejected loudly
+    import pytest
+
+    with pytest.raises(ValueError, match="max_shingle_df"):
+        dedup.minhash_dedup_incremental(
+            snapshot, delta, "doc_id", "text",
+            max_shingle_df=0.5, snapshot_index=(sh, banded),
+        )
