@@ -178,6 +178,8 @@ _NEW_THIS_ROUND = (
     "c7_naive_bayes_langid",
     "g9_personalized_pagerank",
     "ll63_incremental_dedup_persisted",
+    "b25_running_distinct",
+    "ll64_quality_calibration",
 )
 
 

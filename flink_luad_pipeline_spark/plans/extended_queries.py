@@ -1497,3 +1497,54 @@ def sql17_tpch_q12_shared_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     the lateness predicate is a join residual on the shuffled
     fact⋈fact edge; CASE-count pairs collapse map-side."""
     return _shared_text_query(SQL17_SHARED_TEXT)(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# B25 — running distinct count over a window (no DISTINCT-OVER in Spark)
+# ---------------------------------------------------------------------------
+
+B25_ORACLE = (
+    "SELECT event_id, event_type,"
+    " CAST(count(DISTINCT user_id) OVER"
+    "  (PARTITION BY event_type ORDER BY ts) AS BIGINT)"
+    "  AS running_distinct_users"
+    " FROM events"
+)
+
+
+@query("b25_running_distinct", oracle=B25_ORACLE)
+def b25_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) over an ordered window — an operator
+    Spark's window functions don't offer (no DISTINCT aggregates OVER)
+    and the naive emulation (`size(collect_set() OVER ...)`) buys at
+    the cost of materializing the full distinct set per row, O(n·d)
+    memory in a single window partition. The scale-safe form used here
+    is the first-occurrence-flag trick: within each event_type sort by
+    (user_id, ts) and lag-mark each user's first row, then re-sort by
+    ts and take a running RANGE-framed sum of the flags. A user is
+    counted at ts T iff their earliest event is ≤ T iff they have any
+    event ≤ T — exactly COUNT(DISTINCT) over the default RANGE frame
+    (same-ts peers included), which is what the oracle computes
+    natively. Both windows share the event_type hash partitioning, so
+    Catalyst plans ONE exchange with two in-partition sorts — per-key
+    state is O(1), not O(distinct users)."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "user_id"
+    )
+    w_user = Window.partitionBy("event_type").orderBy(
+        "user_id", "ts", "event_id"
+    )
+    prev = F.lag("user_id").over(w_user)
+    flagged = ev.withColumn(
+        "first_flag",
+        F.when(prev.isNull() | (prev != F.col("user_id")), 1).otherwise(0),
+    )
+    w_run = Window.partitionBy("event_type").orderBy("ts")
+    return flagged.select(
+        "event_id",
+        "event_type",
+        F.sum("first_flag")
+        .over(w_run)
+        .cast("bigint")
+        .alias("running_distinct_users"),
+    )

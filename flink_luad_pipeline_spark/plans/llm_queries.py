@@ -2763,3 +2763,70 @@ def ll63_incremental_dedup_persisted(
         snapshot, delta, "doc_id", "text", k=3, threshold=0.4,
         snapshot_index=(sh_l, banded_l),
     )
+
+
+# ---------------------------------------------------------------------------
+# ll64 — per-source quality-score percentile calibration
+# ---------------------------------------------------------------------------
+
+_LL64_ORACLE = (
+    f"WITH tok AS (SELECT doc_id, source, text, {_TOKENS_SQL} AS tokens"
+    "  FROM documents),"
+    " q AS (SELECT doc_id, source,"
+    "  CAST(round("
+    "   least(len(tokens) / 100.0, 1.0) * 0.4"
+    f"  + coalesce(CASE WHEN len(tokens) = 0 THEN NULL ELSE"
+    f"    {_HITS.format(words=_EN)} * 1.0 / len(tokens) END, 0.0) * 0.4"
+    "   + (1.0 - least(coalesce(CASE WHEN length(text) = 0 THEN NULL ELSE"
+    "     length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0 /"
+    "     length(text) END, 1.0) * 5.0, 1.0)) * 0.2"
+    "  , 6) AS DECIMAL(18,6)) AS qs FROM tok),"
+    " r AS (SELECT doc_id, source, qs, percent_rank() OVER"
+    "  (PARTITION BY source ORDER BY qs, doc_id) AS pct FROM q)"
+    " SELECT doc_id, source, CAST(qs AS DOUBLE) AS quality_score,"
+    " CAST(CAST(round(pct, 6) AS DECIMAL(18,6)) AS DOUBLE) AS source_pct,"
+    " pct >= 0.2 AS keep FROM r"
+)
+
+
+@query("ll64_quality_calibration", oracle=_LL64_ORACLE)
+def ll64_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality-score CALIBRATION: a single global threshold
+    on ll1's quality score systematically starves sources whose style
+    differs from the stopword/punctuation priors (code, non-English),
+    so production corpora gate on the score's percentile WITHIN each
+    source instead (CCNet-style per-shard quantile buckets). percent_
+    rank over (source, score) gives every source the same survival
+    rate by construction; `keep` drops each source's bottom 20%.
+
+    Ranking happens on the 6dp-DECIMAL-rounded score with doc_id as
+    the tiebreak so the permutation — hence every percentile — is
+    engine-independent; the keep comparison runs on the unrounded
+    (rank-1)/(n-1) double, identical IEEE arithmetic in both engines.
+
+    Scale: one hash exchange on source + in-partition sort — the same
+    shape as any windowed rank. Sources are few and fat, so skew is
+    the real risk at 100 TB; the mitigation is the usual two-phase
+    quantile path (approx per-partition histograms merged driver-side,
+    x1-style), which trades exact ranks for bounded-error thresholds —
+    exact ranks only matter for the oracle, not the gate."""
+    docs = load(spark, sf_dir, "documents")
+    tokens = T.tokenize(F.col("text"))
+    q = T.quality_features(F.col("text"), tokens)
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.round(q["quality_score"], 6).cast("decimal(18,6)").alias("qs"),
+    )
+    pct = F.percent_rank().over(
+        W.partitionBy("source").orderBy("qs", "doc_id")
+    )
+    return scored.select(
+        "doc_id",
+        "source",
+        F.col("qs").cast("double").alias("quality_score"),
+        F.round(pct, 6).cast("decimal(18,6)").cast("double").alias(
+            "source_pct"
+        ),
+        (pct >= 0.2).alias("keep"),
+    )
