@@ -328,18 +328,24 @@ def _minhash_index(
         "doc_id",
         "shingles",
         F.transform(F.col("shingles"), portable_hash40).alias("base"),
-    ).cache()
+    ).localCheckpoint(eager=True)
     sh = base.select(
         "doc_id",
         "shingles",
         _minhash_signature(F.col("base"), num_hashes).alias("sig"),
-    ).cache()
-    # Both caches are load-bearing, not optimization niceties: without
-    # materialization boundaries Catalyst collapses the projections and
+    ).localCheckpoint(eager=True)
+    # Both boundaries are load-bearing, not optimization niceties:
+    # without materialization Catalyst collapses the projections and
     # re-inlines (a) the per-shingle md5 base hash into all num_hashes
     # probes and (b) the whole signature expression into every band of
     # the explode below AND into the verification join — observed 60x
-    # slowdown at sf0.1.
+    # slowdown at sf0.1. localCheckpoint rather than cache() for the
+    # same reason as ll42/ll53/ll55 (SCALE.md round-4 notes): a plan-
+    # keyed cache() entry silently survives across repeated invocations
+    # with an identical plan, so a warmed bench iteration skips the
+    # whole index build and the timing measures a warm-cache path;
+    # eager localCheckpoint materializes per invocation (honest
+    # end-to-end cost) and releases storage on dereference.
     banded = sh.select(
         "doc_id",
         F.explode(
@@ -575,13 +581,15 @@ def simhash_pairs(
     hashed = df.select(
         F.col(id_col).alias("doc_id"),
         F.transform(tokenize(F.col(text_col)), portable_hash40).alias("th"),
-    ).cache()
-    # cache boundaries keep Catalyst from re-inlining (a) the md5 token
-    # hashes into all `bits` vote aggregates and (b) the whole
-    # signature into every chunk of the explode below
+    ).localCheckpoint(eager=True)
+    # materialization boundaries keep Catalyst from re-inlining (a) the
+    # md5 token hashes into all `bits` vote aggregates and (b) the
+    # whole signature into every chunk of the explode below;
+    # localCheckpoint, not cache(), so repeated invocations can't reuse
+    # a plan-keyed cache entry (see _minhash_index)
     sh = hashed.select(
         "doc_id", simhash(F.col("th"), bits).alias("sh")
-    ).cache()
+    ).localCheckpoint(eager=True)
     mask = (1 << width) - 1
     banded = sh.select(
         "doc_id",
