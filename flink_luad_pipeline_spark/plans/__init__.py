@@ -27,14 +27,36 @@ from . import datapipe_queries  # noqa: F401  (chunk/split/pack/decontaminate)
 from . import extended_queries  # noqa: F401  (OLAP b-family)
 from .registry import ORACLES, QUERIES
 
-# IDs with a green (hash_match) row in CORRECTNESS_r01/r02/r03 — the driver
-# contract is already banked for these, so the round-3 rotation moves
-# them BEHIND the not-yet-driver-checked queries. The driver sweeps
+# IDs with a green (hash_match) row in CORRECTNESS_r01..r04 — the driver
+# contract is already banked for these, so the rotation moves them
+# BEHIND the not-yet-driver-checked queries. The driver sweeps
 # ~50 queries per round in `queries()` dict order; rotating converts the
 # judge-verified-but-driver-unchecked majority into contractual rows
 # without re-spending window slots on banked ones (VERDICT r2, item 1).
 _BANKED_GREEN = frozenset(
     {
+        # r04 greens (CORRECTNESS_r04: 50/50 hash-green)
+        "b4_cube_agg", "b7_window_rank", "b9_sql_subqueries",
+        "b11_distinct_aggregates", "b12_moving_average",
+        "b15_window_navigation", "b16_ordered_string_agg",
+        "b17_time_bucket_agg", "b18_upsert_compaction", "b20_array_hof",
+        "b23_sessionize", "b24_incremental_agg_merge",
+        "c6_ridge_closed_form", "g5_kcore", "g6_weighted_sssp",
+        "g7_random_walks", "ll1_text_stats", "ll5_jaccard_pairs",
+        "ll6_minhash_lsh", "ll8_cosine_topk", "ll9_ann_lsh_topk",
+        "ll10_multimodal_features", "ll11_embedding_neardup",
+        "ll11b_neardup_exact", "ll12_ivf_ann_topk", "ll21_quality_filter",
+        "ll34_deduped_corpus", "ll40_pipeline_end2end", "ll52_ann_recall",
+        "ll53_dsir_weights", "ll54_contrastive_pairs",
+        "ll55_semantic_decontaminate", "ll56_remove_repeated_segments",
+        "ll57_source_quota_cap", "ll58_contamination_attribution",
+        "sql1_tpch_q1_shared_text", "sql17_tpch_q12_shared_text",
+        "ss1_tumbling_window", "ss2_sliding_window", "ss3_session_window",
+        "ss4_streaming_dedup", "ss5_stateful_totals",
+        "ss6_stream_stream_join", "ss7_stream_static_enrich",
+        "ss8_foreach_batch_sink", "ss9_stateful_ewma",
+        "ss13_streaming_ohlc", "ss14_dedup_within_watermark",
+        "ss15_stream_stream_left_outer", "ss16_chained_stateful_ops",
         "a1_defs_last_wins", "a2_dict_encode", "a3_probe_moments",
         "a4_missing_cells", "a5_grouped_min", "a6_component_representative",
         "a7_vector_assemble", "a8_distinct", "a9_count",
@@ -88,70 +110,18 @@ _BANKED_GREEN = frozenset(
 )
 
 
-# Queries whose LAST driver check was red (all fixed since r01 and
-# exact-verified by the round-3 judge sweep, but the contract still
-# shows red). They are the cheapest green rows available, so they go
-# FIRST in the sweep order (VERDICT r3, item 1).
-_RED_LAST_CHECK = (
-    "b4_cube_agg",
-    "b7_window_rank",
-    "b9_sql_subqueries",
-    "b11_distinct_aggregates",
-    "b12_moving_average",
-    "b15_window_navigation",
-    "b16_ordered_string_agg",
-    "b17_time_bucket_agg",
-    "b18_upsert_compaction",
-    "b20_array_hof",
-    "ll1_text_stats",
-    "ll5_jaccard_pairs",
-    "ll6_minhash_lsh",
-    "ll8_cosine_topk",
-    "ll9_ann_lsh_topk",
-    "ll10_multimodal_features",
-    "ll11_embedding_neardup",
-    "ll12_ivf_ann_topk",
-    "ll21_quality_filter",
-)
+# Queries whose LAST driver check was red. Empty since r04
+# (CORRECTNESS_r04 went 50/50 green); kept as a tier so future
+# regressions re-enter the sweep front.
+_RED_LAST_CHECK = ()
 
 
-# Never-driver-checked oracle-backed queries, in the judge's priority
-# order (VERDICT r3, item 2): streaming first (13 oracle-backed
-# streaming queries with zero contractual rows is the biggest gap),
-# then the named OLAP/graph/pipeline stragglers, then the rest of the
-# never-checked tier.
+# Never-driver-checked queries, judge-verified in the round-4 sweep
+# (VERDICT r4 "What's missing" #1): the 9 round-3 stragglers first,
+# then the 12 round-4 operators, then ll59 (no oracle — zlib ratio has
+# no DuckDB twin; the driver records its weaker rows-only row, and the
+# exact-value pytest twin lives at tests/test_llm_ops.py).
 _NEVER_CHECKED = (
-    "ss1_tumbling_window",
-    "ss2_sliding_window",
-    "ss3_session_window",
-    "ss4_streaming_dedup",
-    "ss5_stateful_totals",
-    "ss6_stream_stream_join",
-    "ss7_stream_static_enrich",
-    "ss8_foreach_batch_sink",
-    "ss9_stateful_ewma",
-    "ss13_streaming_ohlc",
-    "ss14_dedup_within_watermark",
-    "ss15_stream_stream_left_outer",
-    "ss16_chained_stateful_ops",
-    "sql1_tpch_q1_shared_text",
-    "sql17_tpch_q12_shared_text",
-    "b23_sessionize",
-    "b24_incremental_agg_merge",
-    "c6_ridge_closed_form",
-    "g5_kcore",
-    "g6_weighted_sssp",
-    "g7_random_walks",
-    "ll34_deduped_corpus",
-    "ll40_pipeline_end2end",
-    "ll52_ann_recall",
-    "ll53_dsir_weights",
-    "ll54_contrastive_pairs",
-    "ll55_semantic_decontaminate",
-    "ll56_remove_repeated_segments",
-    "ll57_source_quota_cap",
-    "ll58_contamination_attribution",
-    "ll11b_neardup_exact",
     "ll24_fuzzy_match",
     "ll25_bpe_token_count",
     "ll26_corpus_datacard",
@@ -161,13 +131,6 @@ _NEVER_CHECKED = (
     "ll32_unigram_logprob",
     "ll35_mixture_sample",
     "ll36_epoch_shuffle",
-)
-
-
-# Queries NEW this round — after the red/never-checked conversion tiers
-# (those are the contractual priority per VERDICT r3); anything past
-# the ~50-query window converts next round.
-_NEW_THIS_ROUND = (
     "ll60_ivfpq_ann_topk",
     "ll61_containment_pairs",
     "o8_twap",
@@ -180,7 +143,14 @@ _NEW_THIS_ROUND = (
     "ll63_incremental_dedup_persisted",
     "b25_running_distinct",
     "ll64_quality_calibration",
+    "ll59_compression_ratio",
 )
+
+
+# Queries NEW this round (round 5) — after the never-checked conversion
+# tier (contractual priority per VERDICT r3/r4); anything past the
+# ~50-query window converts next round.
+_NEW_THIS_ROUND = ()
 
 
 def _rotated() -> list[str]:
@@ -202,6 +172,12 @@ def _rotated() -> list[str]:
         if k not in seen and k not in _BANKED_GREEN and k in ORACLES
     ]
     banked = [k for k in QUERIES if k in _BANKED_GREEN and k not in seen]
+    # The no-oracle tail (c1_als_completion, c4_c5_svm_train_predict,
+    # c2b_dimsum_corr_edges, x2_sketch_aggs) can never be hash-green —
+    # their values are optimizer-/sampling-dependent by design (SURVEY
+    # §5.2), each covered by an exact/statistical pytest instead. They
+    # stay LAST so the driver's ~50-slot window never spends a slot on
+    # a row that can only ever read `err: no_oracle` (VERDICT r4 #3).
     no_oracle = [k for k in QUERIES if k not in ORACLES and k not in seen]
     return front_tiers + stragglers + banked + no_oracle
 
