@@ -148,21 +148,54 @@ def main() -> None:
     # the section exists to measure the sf0.1 -> sf1 growth FACTOR, and
     # bounding its wall-time keeps the whole bench inside any driver
     # budget.
-    if sf == "0.1" and not os.environ.get("SPARK_GRAFT_SKIP_SF1"):
+    is_default_sf = False
+    try:
+        is_default_sf = float(sf) == 0.1
+    except ValueError:
+        pass
+    if is_default_sf and not os.environ.get("SPARK_GRAFT_SKIP_SF1"):
         try:
             out["sf1"] = _sf1_section(spark, queries, total)
         except Exception as exc:  # the probe must not kill the metric
             print(f"bench: sf1 probe FAILED: {exc}", file=sys.stderr)
             out["sf1"] = {"error": str(exc)[:200]}
-    print(json.dumps(out))
+    # Full-detail artifact to a file; stdout gets ONE compact line.
+    # The driver tail-captures stdout with a bounded buffer — r04's
+    # line overflowed it and the recorded artifact had parsed:null —
+    # so the printed line is shrunk (2-decimal times, no sf1 per-query
+    # dict, compact separators) to fit any plausible tail window,
+    # while bench_full.json keeps full precision and the sf1
+    # per-query breakdown.
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "bench_full.json"), "w"
+    ) as fh:
+        json.dump(out, fh, indent=1)
+    compact = dict(out)
+    compact["queries"] = {
+        k: (round(v, 2) if v is not None else None)
+        for k, v in out["queries"].items()
+    }
+    if isinstance(compact.get("sf1"), dict):
+        compact["sf1"] = {
+            k: v for k, v in compact["sf1"].items() if k != "queries"
+        }
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 def _sf1_section(spark, queries, sf01_total) -> dict:
     sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1")
-    if not os.path.isdir(os.path.join(sf1_dir, "lineitem.parquet")):
+    # _SUCCESS sentinel, written only after materialize() returns: a
+    # crashed prior run leaves table dirs (even lineitem's) behind, and
+    # reusing a partial replica would silently time queries over wrong
+    # data. No sentinel -> rebuild from scratch.
+    sentinel = os.path.join(sf1_dir, "_SUCCESS")
+    if not os.path.isfile(sentinel):
         from scripts.make_scale_data import materialize
 
         materialize(spark, sf1_dir)
+        with open(sentinel, "w") as fh:
+            fh.write("ok\n")
     per_query: dict[str, float | None] = {}
     failed = []
     for name in HEADLINE:

@@ -49,11 +49,42 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Small-input parallelism guard for the CPU-heavy shingle pass.
+
+    A test-scale corpus arrives in 1-2 parquet row-group partitions,
+    which serializes tokenize+ngram+distinct onto 2 of local[32]'s
+    cores (measured 10x slowdown at sf0.1). Round-robin the raw
+    (id, text) rows up to defaultParallelism when the scan is
+    under-partitioned; at cluster scale the scan already carries
+    >= cores partitions and this is a no-op — no unconditional
+    full-corpus shuffle is introduced."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 def _shingled(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
     return df.select(
         F.col(id_col).alias("doc_id"),
         word_shingles(tokenize(F.col(text_col)), k).alias("shingles"),
     ).where(F.size("shingles") > 0)
+
+
+def _shingled_spread(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """_shingled for the materializing dedup tiers: rebalances the raw
+    (id, text) rows FIRST (see _spread) and skips the empty-set
+    filter — a size(shingles) > 0 predicate gets pushed below the
+    repartition exchange by PushDownPredicates, re-serializing the
+    heavy tokenize+ngram+distinct pass onto the scan's 1-2 row-group
+    partitions (measured 8x at sf0.1). Callers drop empty-shingle docs
+    on the MATERIALIZED arrays instead, where the check is free."""
+    return _spread(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    ).select("doc_id", word_shingles(tokenize(F.col("text")), k).alias("shingles"))
 
 
 def jaccard_pairs(
@@ -86,7 +117,9 @@ def jaccard_pairs(
     # df index, and BOTH join sides — without the boundary Catalyst
     # re-runs the heavy explode per consumer (localCheckpoint, not
     # cache: released when dereferenced)
-    sh = _shingled(df, id_col, text_col, k).localCheckpoint(eager=True)
+    sh = _shingled_spread(df, id_col, text_col, k).localCheckpoint(
+        eager=True
+    ).where(F.size("shingles") > 0)
     sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
     inv = sh.select("doc_id", F.explode("shingles").alias("shingle"))
     if max_shingle_df is not None:
@@ -151,7 +184,9 @@ def containment_pairs(
     """
     # same load-bearing boundary as jaccard_pairs: one tokenize+shingle
     # pass serves sizes, the df index, and both join sides
-    sh = _shingled(df, id_col, text_col, k).localCheckpoint(eager=True)
+    sh = _shingled_spread(df, id_col, text_col, k).localCheckpoint(
+        eager=True
+    ).where(F.size("shingles") > 0)
     sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
     inv = sh.select("doc_id", F.explode("shingles").alias("shingle"))
     if max_shingle_df is not None:
@@ -206,23 +241,54 @@ def portable_hash40(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 10), 16, 10).cast("bigint")
 
 
+def fast_hash40(col: Column) -> Column:
+    """40-bit hash, FAST variant: xxhash64 folded into [0, 2^40).
+
+    The 100 TB scale path — xxhash64 is a single JVM intrinsic vs
+    md5+hex-parse (~3 expression evaluations and a string round-trip
+    per shingle). NOT reproducible in DuckDB, so portable_hash40 stays
+    the default everywhere an oracle checks values; the pair sets the
+    two modes produce agree wherever banding recall does (verification
+    is exact Jaccard on the shingle sets, which no hash touches) —
+    pinned by tests/test_llm_ops.py.
+    """
+    return F.pmod(F.xxhash64(col), F.lit(1 << 40))
+
+
+_HASHERS = {"portable": portable_hash40, "fast": fast_hash40}
+
+
 def _minhash_signature(base_hashes: Column, num_hashes: int) -> Column:
     """k minhashes: min over shingles of the i-th affine probe
     (a_i*h + b_i) mod P over the per-shingle base hash.
 
-    The md5 base hash is computed ONCE per shingle (the caller
-    materializes it); the k probes are pure integer arithmetic — one
-    array pass per hash function, all in codegen, no 64x row explosion
-    and no 64x rehash.
+    Shaped as ONE aggregate pass over the base-hash array — the
+    running element-wise min of the k probe values per shingle
+    (zip_with/least) — so ``base_hashes`` is referenced exactly once
+    in the expression tree. That single reference is what lets callers
+    inline the md5 transform directly (no separate materialization of
+    the base array): even after Catalyst collapses the projections,
+    the per-shingle base hash is evaluated once, because only the
+    aggregate's lambda variable (a cheap attribute) fans out k ways.
+    The probe coefficients are Python-side constants, so the arithmetic
+    ((40503*i+12345)*h + 94261*i+57) % P is identical to the unrolled
+    per-i formulation mirrored by every DuckDB oracle
+    (plans/llm_queries.py).
     """
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(
-                base_hashes,
-                lambda h: ((40503 * i + 12345) * h + 94261 * i + 57)
-                % F.lit(MINHASH_P),
-            )
+    init = F.array(*[F.lit(MINHASH_P).cast("bigint")] * num_hashes)
+    return F.aggregate(
+        base_hashes,
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    ((40503 * i + 12345) * h + (94261 * i + 57))
+                    % F.lit(MINHASH_P)
+                    for i in range(num_hashes)
+                ]
+            ),
+            lambda a, b: F.least(a, b),
         ),
     )
 
@@ -236,6 +302,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.5,
     max_shingle_df: int | float | None = None,
+    hasher: str = "portable",
 ) -> DataFrame:
     """MinHash + banded LSH near-duplicate pairs, exact-verified.
 
@@ -263,10 +330,15 @@ def minhash_lsh_pairs(
     cutoff reproduces it); documents with no surviving shingles drop
     out. None disables the guard.
 
+    ``hasher``: "portable" (default, oracle-reproducible md5 40-bit)
+    or "fast" (xxhash64 — the 100 TB scale path; identical exact-
+    verified semantics, different candidate sampling, see fast_hash40).
+
     Returns (doc_a, doc_b, jaccard).
     """
     sh, banded = _minhash_index(
-        df, id_col, text_col, k, num_hashes, bands, max_shingle_df
+        df, id_col, text_col, k, num_hashes, bands, max_shingle_df,
+        hasher=hasher,
     )
     cand = (
         banded.alias("x")
@@ -280,6 +352,42 @@ def minhash_lsh_pairs(
     return _pair_jaccard(cand, sh).where(F.col("jaccard") >= F.lit(threshold))
 
 
+def _df_cutoff(sh0: DataFrame, df: DataFrame,
+               max_shingle_df: int | float) -> DataFrame:
+    """Boilerplate-skew guard: drop shingles whose document frequency
+    exceeds the cutoff from every document's shingle set BEFORE
+    signatures exist. The hot keys (license headers, nav chrome) are
+    what make LSH buckets quadratic; removing them here caps bucket
+    occupancy for every downstream consumer. Returns the filtered
+    (doc_id, shingles) — docs with no surviving shingles drop out."""
+    inv0 = sh0.select("doc_id", F.explode("shingles").alias("shingle"))
+    dfs = inv0.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
+    if isinstance(max_shingle_df, float):
+        # fraction-of-corpus cutoff: one broadcast row, no collect.
+        # Plans as a BNLJ whose build side is the single count row —
+        # O(n)·1, not O(n²); the registry-wide no-BNLJ audit
+        # recognizes this exact pattern (condition references
+        # n_docs) and still rejects any other nested-loop join.
+        total = df.agg(F.count(F.lit(1)).alias("n_docs"))
+        keep = (
+            dfs.crossJoin(F.broadcast(total))
+            .where(F.col("sdf") <= F.col("n_docs") * F.lit(max_shingle_df))
+            .select("shingle")
+        )
+    else:
+        keep = dfs.where(
+            F.col("sdf") <= F.lit(int(max_shingle_df))
+        ).select("shingle")
+    # the df-cutoff semi-join: partial-agged df counts, then hot
+    # shingles never re-enter the index (shingle arrays may come
+    # back in any order — every consumer below is order-insensitive)
+    return (
+        inv0.join(keep, "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_list("shingle").alias("shingles"))
+    )
+
+
 def _minhash_index(
     df: DataFrame,
     id_col: str,
@@ -288,64 +396,60 @@ def _minhash_index(
     num_hashes: int,
     bands: int,
     max_shingle_df: int | float | None,
+    hasher: str = "portable",
 ) -> tuple[DataFrame, DataFrame]:
     """Shared signature/band index for the MinHash tiers: returns
-    (sh, banded) where sh = (doc_id, shingles, sig) — cached, see the
-    load-bearing-cache note below — and banded = (doc_id, band, bhash),
-    one row per (doc, band). Both the full self-join tier and the
-    incremental delta-probe tier build on exactly this index, which is
-    what makes their verified pairs consistent with each other."""
+    (sh, banded) where sh = (doc_id, shingles, sig) — materialized
+    once, see the load-bearing-checkpoint note below — and banded =
+    (doc_id, band, bhash), one row per (doc, band). Both the full
+    self-join tier and the incremental delta-probe tier build on
+    exactly this index, which is what makes their verified pairs
+    consistent with each other.
+
+    ``hasher``: "portable" (md5-derived portable_hash40, the default —
+    every DuckDB oracle reproduces it bit-exactly) or "fast"
+    (xxhash64-derived fast_hash40, the 100 TB path — same banding
+    recall characteristics, ~an-order-of-magnitude cheaper per
+    shingle, not oracle-reproducible)."""
+    hash40 = _HASHERS[hasher]
     rows_per_band = num_hashes // bands
-    sh0 = _shingled(df, id_col, text_col, k)
+    sh0 = _shingled_spread(df, id_col, text_col, k)
     if max_shingle_df is not None:
-        inv0 = sh0.select("doc_id", F.explode("shingles").alias("shingle"))
-        dfs = inv0.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
-        if isinstance(max_shingle_df, float):
-            # fraction-of-corpus cutoff: one broadcast row, no collect.
-            # Plans as a BNLJ whose build side is the single count row —
-            # O(n)·1, not O(n²); the registry-wide no-BNLJ audit
-            # recognizes this exact pattern (condition references
-            # n_docs) and still rejects any other nested-loop join.
-            total = df.agg(F.count(F.lit(1)).alias("n_docs"))
-            keep = (
-                dfs.crossJoin(F.broadcast(total))
-                .where(F.col("sdf") <= F.col("n_docs") * F.lit(max_shingle_df))
-                .select("shingle")
-            )
-        else:
-            keep = dfs.where(
-                F.col("sdf") <= F.lit(int(max_shingle_df))
-            ).select("shingle")
-        # the df-cutoff semi-join: partial-agged df counts, then hot
-        # shingles never re-enter the index (shingle arrays may come
-        # back in any order — every consumer below is order-insensitive)
-        sh0 = (
-            inv0.join(keep, "shingle", "left_semi")
-            .groupBy("doc_id")
-            .agg(F.collect_list("shingle").alias("shingles"))
-        )
-    base = sh0.select(
+        # The df-stats pass EXPLODES the shingle arrays (twice: the
+        # df-count side and the semi-join side), and Generate
+        # re-evaluates a computed generator input per OUTPUT row —
+        # measured ~25x the one-shot projection cost at sf0.1 — so the
+        # arrays are materialized first. This boundary exists only on
+        # the cutoff path (a corpus-level statistic inherently needs
+        # the full shingle pass before the index can be built); the
+        # stats-free path runs tokenize-to-signature as one projection
+        # into the single index checkpoint below.
+        sh0 = sh0.localCheckpoint(eager=True)
+        sh0 = _df_cutoff(sh0, df, max_shingle_df)
+    # ONE materialization boundary for the whole index. The signature
+    # is a single-reference expression over the shingle array (see
+    # _minhash_signature): the md5 base hash lives inside the
+    # aggregate's input, so even fully collapsed it is evaluated once
+    # per shingle — no separate base-array checkpoint needed (r4
+    # VERDICT #2: the old two-boundary shape wrote the corpus's
+    # biggest column to block storage twice per invocation). The sh
+    # boundary itself IS load-bearing: without it Catalyst re-inlines
+    # the whole signature expression into every band of the explode
+    # below AND into the verification join — observed 60x slowdown at
+    # sf0.1. localCheckpoint rather than cache() for the same reason
+    # as ll42/ll53/ll55 (SCALE.md round-4 notes): a plan-keyed cache()
+    # entry silently survives across repeated invocations with an
+    # identical plan, so a warmed bench iteration skips the whole
+    # index build and the timing measures a warm-cache path; eager
+    # localCheckpoint materializes per invocation (honest end-to-end
+    # cost) and releases storage on dereference.
+    sh = sh0.select(
         "doc_id",
         "shingles",
-        F.transform(F.col("shingles"), portable_hash40).alias("base"),
-    ).localCheckpoint(eager=True)
-    sh = base.select(
-        "doc_id",
-        "shingles",
-        _minhash_signature(F.col("base"), num_hashes).alias("sig"),
-    ).localCheckpoint(eager=True)
-    # Both boundaries are load-bearing, not optimization niceties:
-    # without materialization Catalyst collapses the projections and
-    # re-inlines (a) the per-shingle md5 base hash into all num_hashes
-    # probes and (b) the whole signature expression into every band of
-    # the explode below AND into the verification join — observed 60x
-    # slowdown at sf0.1. localCheckpoint rather than cache() for the
-    # same reason as ll42/ll53/ll55 (SCALE.md round-4 notes): a plan-
-    # keyed cache() entry silently survives across repeated invocations
-    # with an identical plan, so a warmed bench iteration skips the
-    # whole index build and the timing measures a warm-cache path;
-    # eager localCheckpoint materializes per invocation (honest
-    # end-to-end cost) and releases storage on dereference.
+        _minhash_signature(
+            F.transform(F.col("shingles"), hash40), num_hashes
+        ).alias("sig"),
+    ).localCheckpoint(eager=True).where(F.size("shingles") > 0)
     banded = sh.select(
         "doc_id",
         F.explode(
@@ -353,7 +457,7 @@ def _minhash_index(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.struct(
                     b.alias("band"),
-                    portable_hash40(
+                    hash40(
                         F.concat_ws(
                             ",",
                             F.transform(
@@ -381,6 +485,7 @@ def build_minhash_index(
     num_hashes: int = 64,
     bands: int = 16,
     max_shingle_df: int | float | None = None,
+    hasher: str = "portable",
 ) -> tuple[DataFrame, DataFrame]:
     """Public index-build step for the persisted-index dedup flow:
     returns the two materializable artifacts — ``sh`` (doc_id,
@@ -394,7 +499,8 @@ def build_minhash_index(
     property that makes the persisted flow's verdicts provably equal to
     the in-memory one's."""
     return _minhash_index(
-        df, id_col, text_col, k, num_hashes, bands, max_shingle_df
+        df, id_col, text_col, k, num_hashes, bands, max_shingle_df,
+        hasher=hasher,
     )
 
 
@@ -443,6 +549,7 @@ def minhash_dedup_incremental(
     threshold: float = 0.5,
     max_shingle_df: int | float | None = None,
     snapshot_index: tuple[DataFrame, DataFrame] | None = None,
+    hasher: str = "portable",
 ) -> DataFrame:
     """Incremental near-dup dedup: a verdict per DELTA document against
     the snapshot corpus plus the delta batch itself — WITHOUT ever
@@ -483,14 +590,15 @@ def minhash_dedup_incremental(
             )
         sh_s, banded_s = snapshot_index
         sh_d, banded_d = _minhash_index(
-            did, id_col, text_col, k, num_hashes, bands, None
+            did, id_col, text_col, k, num_hashes, bands, None,
+            hasher=hasher,
         )
         sh = sh_s.unionByName(sh_d)
         banded = banded_s.unionByName(banded_d)
     else:
         sh, banded = _minhash_index(
             sid.unionAll(did), id_col, text_col, k, num_hashes, bands,
-            max_shingle_df,
+            max_shingle_df, hasher=hasher,
         )
     delta_ids = did.select(F.col(id_col).alias("doc_id"))
     banded_delta = banded.join(delta_ids, "doc_id", "left_semi")

@@ -734,6 +734,11 @@ def personalized_pagerank(
         .localCheckpoint()
     )
     n_seeds = seeds.count()
+    if n_seeds == 0:
+        raise ValueError(
+            "personalized_pagerank: no seeds overlap the vertex set —"
+            " the restart distribution would be undefined (ADVICE r4)"
+        )
     restart = nodes.join(
         seeds.withColumn("r", F.lit(1.0 / n_seeds)), "vertex", "left"
     ).select("vertex", F.coalesce("r", F.lit(0.0)).alias("r")).localCheckpoint()

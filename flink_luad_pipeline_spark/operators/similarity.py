@@ -518,9 +518,13 @@ def pq_topk(
     rounded partial dots as exact DECIMALs summed order-free, ties by
     centroid/cand id), so the oracle reproduces codes, LUT, and
     ranking exactly. Plan shape: subvector explode is narrow; encode
-    is an equi-join on subspace id against the broadcast codebook +
-    one argmax window; scoring is an equi-join on (subspace, code)
-    against the broadcast LUT + one sum aggregation.
+    is an equi-join on subspace id against the broadcast codebook
+    (m·(N/centroid_mod) rows — fine at test scale, but a production
+    index caps/trains the codebook to a fixed size per subspace, which
+    the mod-sampling stands in for); scoring is a shuffle equi-join on
+    (subspace, code) against the LUT + one sum aggregation — the LUT
+    is queries × m × codes rows, so it is deliberately NOT
+    broadcast-hinted (AQE may still pick broadcast when small).
     """
     from ..functions.vectors import dot
 
@@ -567,8 +571,11 @@ def pq_topk(
     lut = partial_dots(
         subvectors(queries, "query_id"), "query_id", "qd"
     ).withColumnRenamed("centroid_id", "code")
+    # shuffle equi-join for the LUT (queries × m × codes rows — linear
+    # in the corpus with fixed centroid_mod, so never broadcast-hinted;
+    # AQE may still pick broadcast when it measures small)
     scored = (
-        codes.join(F.broadcast(lut), ["s", "code"])
+        codes.join(lut, ["s", "code"])
         .where(F.col("query_id") != F.col("cand_id"))
         .groupBy("query_id", "cand_id")
         # exact DECIMAL partials summed — order-free, so engines agree
@@ -589,6 +596,7 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ approximate top-k — the composed billion-scale ANN
     layout (FAISS's default): the IVF coarse quantizer prunes WHICH
@@ -605,21 +613,35 @@ def ivfpq_topk(
     (.. desc, id) tie-breaks — so the DuckDB oracle reproduces cells,
     codes, LUT, and ranking exactly.
 
-    Plan shape at 100 TB: both quantizer tables are tiny and broadcast
-    (M ≈ √N rows, m·(N/code_mod) codebook rows); candidate cell
+    Plan shape at 100 TB: the coarse-centroid table is tiny and
+    broadcast (M ≈ √N rows). The PQ codebook is m·(N/code_mod) rows —
+    broadcastable at test scale, but LINEAR in the corpus with a fixed
+    ``code_mod``; a production index trains/caps it to a fixed size
+    (e.g. 256 codes per subspace), which is what the ``codebook``
+    being mod-sampled here stands in for — so its broadcast is scoped
+    to the encode step, and the per-query LUT (same row count, times
+    queries) is joined with a plain shuffle equi-join on its
+    (query_id, s, code) hash key, never broadcast. Candidate cell
     assignment and encoding are narrow passes over the corpus scan;
-    the only corpus-sized shuffles are the cell equi-join and the
-    (s, code) LUT equi-join, both hash-partitioned on small keys.
+    the only corpus-sized shuffles are the cell equi-join and the LUT
+    equi-join, both hash-partitioned on small keys.
     ``centroid_mod=None`` derives mod ≈ √N like the parents.
+    ``centroids`` (a ``(centroid_id, centv)`` DataFrame, e.g.
+    ``clustering.kmeans_fit`` output) replaces the mod-sampled coarse
+    quantizer with trained cells — recall changes, the dataflow
+    doesn't (same as ivf_topk).
     """
     from ..functions.vectors import dot
 
-    if centroid_mod is None:
-        centroid_mod = derive_centroid_mod(candidates)
     subdim = dim // m
-    cents = candidates.where(F.col(id_col) % centroid_mod == 0).select(
-        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centv")
-    )
+    if centroids is not None:
+        cents = centroids.select("centroid_id", "centv")
+    else:
+        if centroid_mod is None:
+            centroid_mod = derive_centroid_mod(candidates)
+        cents = candidates.where(F.col(id_col) % centroid_mod == 0).select(
+            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centv")
+        )
 
     def nearest_cells(df: DataFrame, out_id: str, n: int) -> DataFrame:
         w = Window.partitionBy(out_id).orderBy(
@@ -694,9 +716,14 @@ def ivfpq_topk(
         .select("cand_id", "s", F.col("code"))
     )
     lut = partial_dots(subvectors(queries, "query_id"), "query_id", "qd")
+    # LUT via shuffle equi-join on its hash key, NOT broadcast: the
+    # table is queries × m × codes rows — linear in both the query
+    # batch and the codebook — so at 100 TB a broadcast would be
+    # unbounded (ADVICE r4). AQE still broadcasts it adaptively when
+    # it measures small.
     scored = (
         codes.join(shortlist, "cand_id")
-        .join(F.broadcast(lut), ["query_id", "s", "code"])
+        .join(lut, ["query_id", "s", "code"])
         .where(F.col("query_id") != F.col("cand_id"))
         .groupBy("query_id", "cand_id")
         .agg(F.sum("qd").cast("decimal(18,6)").alias("sim"))

@@ -35,6 +35,20 @@ def get_spark(app_name: str = "flink_luad_pipeline_spark") -> SparkSession:
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # InferFiltersFromGenerate adds a size(arr)>0 filter under every
+        # explode; PushDownPredicates then substitutes the array
+        # DEFINITION into that filter and sinks it into the scan — for
+        # text operators that explode a computed array (shingles,
+        # n-grams, segments) the whole tokenize pipeline is re-evaluated
+        # twice per scan row, below any repartition (measured 10x on
+        # ll6's index build at sf0.1). The rule only prunes rows that
+        # Generate(outer=false) drops anyway, so excluding it never
+        # changes results — it just keeps heavy generator inputs
+        # evaluated once, where they're written.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -577,3 +577,17 @@ def test_pit_join_never_leaks_future_versions(spark, sf_dir):
         assert r.priority_at_ship == active, (r.custkey, r.ship_at)
         n_null += active is None
     assert n_null > 0  # the synthetic data does exercise the NULL tier
+
+
+def test_personalized_pagerank_rejects_empty_seed_overlap(spark):
+    """ADVICE r4: seeds disjoint from the vertex set must raise a clear
+    ValueError, not a ZeroDivisionError from the restart weight."""
+    import pytest
+
+    from flink_luad_pipeline_spark.operators.graph import personalized_pagerank
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src int, dst int")
+    vertices = spark.createDataFrame([(1,), (2,), (3,)], "v int")
+    ghosts = spark.createDataFrame([(99,)], "v int")
+    with pytest.raises(ValueError, match="no seeds overlap"):
+        personalized_pagerank(edges, vertices, ghosts)

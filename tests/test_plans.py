@@ -444,20 +444,22 @@ def test_tpch_shared_text_pushdown_no_cartesian(spark, sf_dir):
 def test_minhash_df_cutoff_semi_join_in_dedup_plans(spark, sf_dir):
     """ll6/ll23/ll34/ll40 run the LSH tier with max_shingle_df=0.5 —
     the boilerplate guard's semi-join against the rare-shingle set must
-    be in the physical plan. ll34/ll40's own final plans start at the
-    checkpointed CC labels (the pair stage materializes inside the
-    connected-components driver loop), so the guard is asserted on the
-    pair stage they consume, plus end-to-end on ll6 whose single plan
-    shows it directly."""
+    be in the physical plan. Every final plan in the tier starts at the
+    checkpointed index (the guard executes upstream of the
+    materialization boundary — the repo's documented
+    checkpoint-truncation pitfall), so the guard is asserted on the
+    manually-built pre-checkpoint stage, exactly as the tier builds it
+    inside _minhash_index."""
     from flink_luad_pipeline_spark.plans.llm_queries import _augmented
 
-    plan = physical(QUERIES["ll6_minhash_lsh"](spark, sf_dir))
+    aug = _augmented(spark, sf_dir)
+    sh0 = dedup._shingled_spread(aug, "doc_id", "text", 3)
+    stage = dedup._df_cutoff(sh0, aug, 0.5)
+    plan = physical(stage)
     assert "LeftSemi" in plan
-    pairs = dedup.minhash_lsh_pairs(
-        _augmented(spark, sf_dir), "doc_id", "text", k=3, threshold=0.4,
-        max_shingle_df=0.5,
-    )
-    assert "LeftSemi" in physical(pairs)
+    # the fractional cutoff's single-count-row broadcast must stay the
+    # build side of the only nested-loop join (see _df_cutoff)
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
 
 
 def test_lsh_neardup_compact_candidate_join_is_ids_only(spark, sf_dir):
