@@ -72,6 +72,10 @@ HEADLINE = [
     "ll62_bpe_merges",
     "j12_pit_join",
     "c7_naive_bayes_langid",
+    # round 5: the ExactSubstr cross-doc span tier and the BPE
+    # train->apply composition
+    "ll65_cross_doc_substrings",
+    "ll66_bpe_encode",
 ]
 
 

@@ -128,3 +128,74 @@ def bpe_merge_table(
         "merge_idx int, left_sym string, right_sym string,"
         " merged string, pair_count bigint",
     )
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a TRAINED merge table to a corpus — the encode half of
+    the BPE train→apply loop (VERDICT r4 item 6), composing with
+    ``bpe_merge_table``'s output or the same table read back from
+    storage.
+
+    The DISTINCT-WORD vocabulary is encoded once — each merge is one
+    narrow fold over the vocab's symbol strings, applied in merge_idx
+    order with the trainer's exact greedy left-to-right semantics
+    (``_merge_fold``) — and the corpus then joins back on the word, so
+    100 TB of text costs one tokenize pass plus one word-keyed join;
+    no merge ever touches corpus-sized data. The merge table itself is
+    collected to the driver (tokenizer merge tables are bounded,
+    ~10^4-10^5 rows — the k-means-centroid/BPE-argmax driver-boundary
+    contract), and the fold chain is localCheckpointed every few
+    merges to bound expression/lineage depth.
+
+    Returns (doc_id, n_words, n_tokens, enc_md5): words in the doc,
+    total symbols after all merges, and an md5 over the encoded stream
+    (symbols '|'-joined within words, words ' '-joined in document
+    order) so value checks never haul the encoded corpus around.
+    """
+    mrows = merges.orderBy("merge_idx").collect()
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokenize(F.col(text_col))).alias("pos", "w"),
+    )
+    vocab = toks.select("w").distinct()
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("w")),
+        lambda i: F.substr(F.col("w"), i, F.lit(1)),
+    )
+    state = vocab.select("w", F.array_join(chars, "|").alias("s"))
+    for i, m in enumerate(mrows):
+        state = state.select(
+            "w",
+            _merge_fold(
+                F.split(F.col("s"), "\\|"), m["left_sym"], m["right_sym"]
+            ).alias("s"),
+        )
+        if (i + 1) % 4 == 0:  # bound the nested-fold expression depth
+            state = state.localCheckpoint()
+    enc = state.select(
+        "w", "s", F.size(F.split(F.col("s"), "\\|")).alias("n_sym")
+    )
+    return (
+        toks.join(enc, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sym").cast("bigint").alias("n_tokens"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct(F.col("pos"), F.col("s")))
+                        ),
+                        lambda x: x["s"],
+                    ),
+                    " ",
+                )
+            ).alias("enc_md5"),
+        )
+    )

@@ -986,3 +986,83 @@ def remove_repeated_segments(
             "clean_md5",
         )
     )
+
+
+def cross_doc_repeated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_len: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document repeated-substring spans — the ExactSubstr dedup
+    tier (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better"): per document, every MAXIMAL token span all of
+    whose length-``min_len`` windows also occur in at least
+    ``min_docs`` distinct documents. ll56 removes segments repeated
+    ANYWHERE (including within one doc) on fixed boundaries; this tier
+    finds arbitrary-offset runs shared ACROSS documents — the licence
+    block pasted mid-file, the quoted paragraph — exactly, not
+    fingerprint-sampled: any shared substring of >= min_len tokens is
+    fully covered by shared min_len-grams, so reported spans are exact
+    maximal unions (winnowing's sparse anchors would only approximate
+    the boundaries).
+
+    Dataflow (no pair join anywhere — candidate volume is POSITIONS,
+    never doc pairs, so a boilerplate gram shared by a million
+    documents costs a million linear rows, not a trillion pairs):
+    one narrow pass computes each doc's stride-1 gram-hash array
+    (40-bit portable hash, materialized — the array feeds one explode,
+    and keeping it out of the scan keeps inferred generate filters
+    from re-running tokenize there on sessions without the
+    InferFiltersFromGenerate exclusion); positions shuffle once on the
+    gram hash for a distinct-doc count; shared positions semi-join
+    back; one gaps-and-islands window per doc (lag + running sum)
+    merges consecutive positions into maximal spans.
+
+    Returns (doc_id, span_start, span_end, span_tokens): 0-based
+    inclusive token offsets, span_tokens = span_end - span_start + 1
+    >= min_len. Docs with no shared spans are absent.
+    """
+    gh = (
+        _spread(
+            df.select(
+                F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+            )
+        )
+        .select(
+            "doc_id",
+            F.transform(
+                word_ngrams(tokenize(F.col("text")), min_len), portable_hash40
+            ).alias("ghs"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    grams = gh.select("doc_id", F.posexplode("ghs").alias("pos", "g"))
+    shared = (
+        grams.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= F.lit(int(min_docs)))
+        .select("g")
+    )
+    hits = grams.join(shared, "g", "left_semi").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    islands = hits.withColumn(
+        "brk",
+        F.when(F.col("pos") - F.lag("pos").over(w) == 1, 0).otherwise(1),
+    ).withColumn("island", F.sum("brk").over(w))
+    return (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(min_len - 1)).alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias(
+                "span_tokens"
+            ),
+        )
+    )

@@ -150,7 +150,10 @@ _NEVER_CHECKED = (
 # Queries NEW this round (round 5) — after the never-checked conversion
 # tier (contractual priority per VERDICT r3/r4); anything past the
 # ~50-query window converts next round.
-_NEW_THIS_ROUND = ()
+_NEW_THIS_ROUND = (
+    "ll65_cross_doc_substrings",
+    "ll66_bpe_encode",
+)
 
 
 def _rotated() -> list[str]:

@@ -2830,3 +2830,122 @@ def ll64_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (pct >= 0.2).alias("keep"),
     )
+
+
+_LL65_GRAM8 = " || ' ' || ".join(f"tokens[i+{j}]" for j in range(8))
+_LL65_ORACLE = (
+    f"WITH aug AS ({_AUG_SQL}),"
+    f" tok AS (SELECT doc_id, {_TOKENS_SQL} AS tokens FROM aug),"
+    " gr AS (SELECT doc_id, CASE WHEN len(tokens) >= 8 THEN"
+    f"   list_transform(range(1, len(tokens) - 6), i -> {_hex10(f'({_LL65_GRAM8})')})"
+    "   ELSE [] END AS ghs FROM tok),"
+    # two unnests in one SELECT zip in DuckDB: (0-based pos, gram hash)
+    " pos AS (SELECT doc_id, unnest(range(len(ghs))) AS pos,"
+    "   unnest(ghs) AS g FROM gr),"
+    " shared AS (SELECT g FROM pos GROUP BY g"
+    "   HAVING count(DISTINCT doc_id) >= 2),"
+    " hits AS (SELECT doc_id, pos FROM pos"
+    "   WHERE g IN (SELECT g FROM shared)),"
+    " isl AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos) OVER"
+    "   (PARTITION BY doc_id ORDER BY pos) = 1 THEN 0 ELSE 1 END AS brk"
+    "   FROM hits),"
+    " isl2 AS (SELECT doc_id, pos, sum(brk) OVER"
+    "   (PARTITION BY doc_id ORDER BY pos) AS island FROM isl)"
+    " SELECT doc_id, CAST(min(pos) AS INT) AS span_start,"
+    " CAST(max(pos) + 7 AS INT) AS span_end,"
+    " CAST(max(pos) + 7 - min(pos) + 1 AS INT) AS span_tokens"
+    " FROM isl2 GROUP BY doc_id, island"
+)
+
+
+@query("ll65_cross_doc_substrings", oracle=_LL65_ORACLE)
+def ll65_cross_doc_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-substring spans (the ExactSubstr tier,
+    Lee et al. 2022 — VERDICT r4 item 5): maximal token runs whose
+    every 8-gram window appears in >= 2 distinct documents, merged per
+    doc with one gaps-and-islands window. Complements ll56 (fixed-
+    boundary segments, within-doc included) and ll46 (winnowing
+    fingerprints, sampled): this one is exact, arbitrary-offset, and
+    strictly cross-document, with NO pair join — candidate volume is
+    token positions, linear in the corpus even for boilerplate shared
+    by millions of docs. The 40-bit portable gram hash keeps the
+    dataflow oracle-reproducible (dedup.portable_hash40 twin)."""
+    spans = dedup.cross_doc_repeated_spans(
+        _augmented(spark, sf_dir), "doc_id", "text", min_len=8, min_docs=2
+    )
+    return spans.select(
+        "doc_id",
+        F.col("span_start").cast("int").alias("span_start"),
+        F.col("span_end").cast("int").alias("span_end"),
+        F.col("span_tokens").cast("int").alias("span_tokens"),
+    )
+
+
+def _bpe_encode_oracle(n: int) -> str:
+    """ll66: _bpe_oracle's training rounds (same MATERIALIZED-CTE
+    discipline) plus an encode chain that carries the WORD through the
+    same fold, then re-joins the corpus positions — train→apply,
+    value-checked end to end."""
+    fold = (
+        "list_reduce(string_split(s, '|'), (acc, x) ->"
+        " CASE WHEN string_split(acc, '|')[-1] = b.l AND x = b.r"
+        " THEN substr(acc, 1, length(acc) - length(b.l)) || b.m"
+        " ELSE acc || '|' || x END)"
+    )
+    char_split = (
+        "array_to_string(list_transform(range(1, length(w) + 1),"
+        " i -> substr(w, i, 1)), '|')"
+    )
+    parts = [
+        f"WITH tok AS (SELECT doc_id, {_TOKENS_SQL} AS tokens FROM documents),",
+        " words AS (SELECT doc_id, unnest(tokens) AS w,"
+        "  unnest(range(len(tokens))) AS pos FROM tok),",
+        " vocab AS (SELECT w, count(*) AS cnt FROM words GROUP BY w),",
+        f" w0 AS MATERIALIZED (SELECT {char_split} AS s, cnt FROM vocab)",
+    ]
+    for k in range(1, n + 1):
+        parts.append(
+            f", p{k} AS MATERIALIZED (SELECT syms[i] AS l, syms[i+1] AS r,"
+            " sum(cnt) AS total"
+            " FROM (SELECT cnt, syms, unnest(range(1, len(syms))) AS i"
+            f"  FROM (SELECT string_split(s, '|') AS syms, cnt FROM w{k-1})"
+            "  WHERE len(syms) >= 2) GROUP BY 1, 2)"
+        )
+        parts.append(
+            f", b{k} AS MATERIALIZED (SELECT l, r, l || r AS m, total"
+            f" FROM p{k} ORDER BY total DESC, l, r LIMIT 1)"
+        )
+        if k < n:
+            parts.append(
+                f", w{k} AS MATERIALIZED (SELECT {fold} AS s, cnt"
+                f" FROM w{k-1}, b{k} b)"
+            )
+    parts.append(
+        f", e0 AS MATERIALIZED (SELECT w, {char_split} AS s FROM vocab)"
+    )
+    for k in range(1, n + 1):
+        parts.append(
+            f", e{k} AS MATERIALIZED (SELECT w, {fold} AS s"
+            f" FROM e{k-1}, b{k} b)"
+        )
+    parts.append(
+        " SELECT doc_id, count(*) AS n_words,"
+        " CAST(sum(len(string_split(e.s, '|'))) AS BIGINT) AS n_tokens,"
+        " md5(string_agg(e.s, ' ' ORDER BY pos)) AS enc_md5"
+        f" FROM words JOIN e{n} e USING (w) GROUP BY doc_id"
+    )
+    return "".join(parts)
+
+
+@query("ll66_bpe_encode", oracle=_bpe_encode_oracle(5))
+def ll66_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE with the trained table (VERDICT r4 item 6): ll62
+    trains the 5-merge table, this applies it back to the corpus —
+    distinct words encoded once through the same greedy fold, corpus
+    re-joined on the word — completing the train→apply loop. The
+    oracle replays training AND encoding, so token counts and the
+    per-doc encoded-stream md5 are value-checked, not rows-only."""
+    from ..operators.bpe import bpe_encode, bpe_merge_table
+
+    docs = load(spark, sf_dir, "documents")
+    return bpe_encode(docs, bpe_merge_table(docs, n_merges=5))

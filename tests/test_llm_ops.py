@@ -699,3 +699,105 @@ def test_persisted_index_verdicts_equal_from_scratch(spark, sf_dir, tmp_path):
             snapshot, delta, "doc_id", "text",
             max_shingle_df=0.5, snapshot_index=(sh, banded),
         )
+
+
+def test_cross_doc_spans_exact_boundaries(spark):
+    """Planted fixture for the ExactSubstr tier: a 12-token run shared
+    by two docs at different offsets must come back as one maximal
+    span per doc with exact 0-based boundaries; a run repeated only
+    WITHIN one doc must not trigger (min_docs counts distinct docs);
+    docs sharing nothing are absent."""
+    shared = " ".join(f"s{i}" for i in range(12))  # 12 shared tokens
+    inner = " ".join(f"r{i}" for i in range(9))  # within-doc repeat
+    docs = [
+        # doc 1: shared run at token offset 3
+        (1, "a1 a2 a3 " + shared + " a4 a5"),
+        # doc 2: same run at token offset 0
+        (2, shared + " b1 b2 b3 b4"),
+        # doc 3: 9-token run repeated twice within ONE doc only
+        (3, inner + " c1 c2 " + inner),
+        # doc 4: nothing shared
+        (4, " ".join(f"d{i}" for i in range(20))),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    spans = {
+        r.doc_id: (r.span_start, r.span_end, r.span_tokens)
+        for r in dedup.cross_doc_repeated_spans(
+            df, "doc_id", "text", min_len=8, min_docs=2
+        ).collect()
+    }
+    assert spans == {1: (3, 14, 12), 2: (0, 11, 12)}
+
+
+def test_cross_doc_spans_merge_adjacent_islands(spark):
+    """Two shared runs separated by one unshared token must stay TWO
+    spans; back-to-back shared windows must merge into one."""
+    run_a = " ".join(f"x{i}" for i in range(8))
+    run_b = " ".join(f"y{i}" for i in range(8))
+    df = spark.createDataFrame(
+        [
+            (1, run_a + " gap1 " + run_b),
+            (2, run_a + " other tokens here " + run_b),
+            # doc 3 shares a 16-token contiguous block with doc 4
+            (3, run_a + " " + run_a),
+            (4, run_a + " " + run_a + " tail"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {}
+    for r in dedup.cross_doc_repeated_spans(
+        df, "doc_id", "text", min_len=8, min_docs=2
+    ).collect():
+        got.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+    # docs 1/2: run_a at 0..7; run_b separated by unshared middle
+    assert sorted(got[1]) == [(0, 7), (9, 16)]
+    assert sorted(got[2]) == [(0, 7), (11, 18)]
+    # docs 3/4: the doubled run (16 tokens, windows starting 0..8) is
+    # one maximal merged span 0..15
+    assert got[3] == [(0, 15)]
+    assert got[4] == [(0, 15)]
+
+
+def test_bpe_encode_matches_python_reference(spark):
+    """Train on a tiny corpus, apply with bpe_encode, and reproduce
+    every doc's (n_words, n_tokens, enc_md5) with a pure-Python greedy
+    fold over the same merge table."""
+    import hashlib as _hl
+    import re
+
+    docs = [
+        (1, "low lower lowest low low"),
+        (2, "newer newest new low"),
+        (3, "wider wide widest lower"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    from flink_luad_pipeline_spark.operators.bpe import (
+        bpe_encode,
+        bpe_merge_table,
+    )
+
+    table = bpe_merge_table(df, n_merges=6)
+    merges = [(m.left_sym, m.right_sym) for m in table.orderBy("merge_idx").collect()]
+    assert len(merges) == 6
+
+    def enc_word(w: str) -> list[str]:
+        syms = list(w)
+        for left, right in merges:
+            out = [syms[0]]
+            for x in syms[1:]:
+                if out[-1] == left and x == right:
+                    out[-1] = left + right
+                else:
+                    out.append(x)
+            syms = out
+        return syms
+
+    got = {r.doc_id: r for r in bpe_encode(df, table).collect()}
+    for doc_id, text in docs:
+        words = [w for w in re.split(r"[^a-z0-9]+", text.lower()) if w]
+        encs = [enc_word(w) for w in words]
+        stream = " ".join("|".join(e) for e in encs)
+        r = got[doc_id]
+        assert r.n_words == len(words)
+        assert r.n_tokens == sum(len(e) for e in encs)
+        assert r.enc_md5 == _hl.md5(stream.encode()).hexdigest()
