@@ -41,6 +41,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .dedup import _spread
+
 
 def _sq_dist(a: Column, b: Column, round_digits: int) -> Column:
     """Rounded squared-L2 distance with a deterministic fold order."""
@@ -83,9 +85,13 @@ def _fit(
     """Shared Lloyd loop: returns (normalized vectors, final centroid
     DataFrame[cid, cv])."""
     spark = emb.sparkSession
-    e = emb.select(
-        F.col(id_col).alias("vec_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    # _spread: every Lloyd round scores N x k distances over this
+    # frame; a single-row-group scan would pin that to 1-2 cores
+    e = _spread(
+        emb.select(
+            F.col(id_col).alias("vec_id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        )
     )
     cent = {
         int(r["cid"]): list(r["cv"])

@@ -40,7 +40,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import tokenize
-from .dedup import portable_hash40
+from .dedup import _spread, portable_hash40
 
 
 def _bigram_buckets(text: Column, buckets: int) -> Column:
@@ -71,10 +71,18 @@ def dsir_logweights(
     Returns ``DataFrame[doc_id, n_bigrams, log_weight]`` — one row per
     input document; docs with no bigrams get (0, 0.0).
     """
-    feat = docs.select(
-        F.col(id_col).alias("doc_id"),
-        target.alias("is_target"),
-        F.explode(_bigram_buckets(F.col(text_col), buckets)).alias("b"),
+    # _spread: tokenize+bigram+hash is the CPU pass; a single-row-group
+    # scan would serialize it onto 1-2 cores (no-op at cluster scale)
+    feat = _spread(
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            target.alias("is_target"),
+            F.col(text_col).alias("text"),
+        )
+    ).select(
+        "doc_id",
+        "is_target",
+        F.explode(_bigram_buckets(F.col("text"), buckets)).alias("b"),
     )
     # ONE corpus pass: collapse to per-(doc, bucket) counts first, then
     # derive both distributions from that small table. db feeds two

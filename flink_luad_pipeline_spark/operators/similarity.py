@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.vectors import cosine_similarity
+from .dedup import _spread
 
 
 def derive_centroid_mod(vectors: DataFrame) -> int:
@@ -64,8 +65,10 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
-    c = candidates.select(
-        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv")
+    c = _spread(
+        candidates.select(
+            F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv")
+        )
     )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("cand_id"))
@@ -148,10 +151,12 @@ def lsh_bucketed_topk(
         F.col(vec_col).alias("qv"),
         _hyperplane_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
     )
-    c = candidates.select(
-        F.col(id_col).alias("cand_id"),
-        F.col(vec_col).alias("cv"),
-        _hyperplane_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
+    c = _spread(
+        candidates.select(
+            F.col(id_col).alias("cand_id"),
+            F.col(vec_col).alias("cv"),
+            _hyperplane_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
+        )
     )
     scored = (
         c.join(q, "bucket")
@@ -205,13 +210,13 @@ def lsh_neardup_pairs(
         keys.append(
             F.struct(
                 F.lit(t).alias("tbl"),
-                _bucket_from_planes(F.col(vec_col), planes).alias("bucket"),
+                _bucket_from_planes(F.col("v"), planes).alias("bucket"),
             )
         )
-    bck = vectors.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        F.explode(F.array(*keys)).alias("k"),
+    bck = _spread(
+        vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    ).select(
+        "id", "v", F.explode(F.array(*keys)).alias("k")
     ).select("id", "v", "k.tbl", "k.bucket")
     a = bck.select(
         F.col("id").alias("doc_a"), F.col("v").alias("va"), "tbl", "bucket"
@@ -274,10 +279,13 @@ def lsh_neardup_pairs_compact(
             )
         )
     # ids-only bucket table: the wide vector is dropped before the
-    # self-join, so the candidate shuffle carries 3 small columns
+    # self-join, so the candidate shuffle carries 3 small columns.
+    # _spread first: the bucket hashing (n_tables x n_planes dot
+    # products per row) is the CPU pass — see dedup._spread.
     bck = (
-        vectors.select(
-            F.col(id_col).alias("id"),
+        _spread(vectors.select(F.col(id_col).alias("id"), F.col(vec_col)))
+        .select(
+            "id",
             F.explode(F.array(*keys)).alias("k"),
         )
         .select("id", "k.tbl", "k.bucket")
@@ -352,7 +360,12 @@ def semantic_dedup(
         F.col("csim").desc(), F.col("centroid_id")
     )
     members = (
-        vectors.select(F.col(id_col).alias("m_id"), F.col(vec_col).alias("v"))
+        # _spread: the N x M cosine assignment is the CPU-heavy pass;
+        # a single-row-group test scan would otherwise serialize it
+        # onto 1-2 cores (no-op at cluster scale — see dedup._spread)
+        _spread(
+            vectors.select(F.col(id_col).alias("m_id"), F.col(vec_col).alias("v"))
+        )
         .crossJoin(F.broadcast(cents))
         .select(
             "m_id",
@@ -448,6 +461,10 @@ def ivf_topk(
         cents = candidates.where(F.col(id_col) % centroid_mod == 0).select(
             F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centv")
         )
+    # _spread AFTER the centroid sampling (the %mod filter pushes below
+    # the exchange, so only sampled rows would shuffle anyway): the
+    # N x M assignment cosines must not run on 1-2 scan partitions
+    candidates = _spread(candidates)
 
     def nearest_cells(df: DataFrame, in_id: str, out_id: str, vec: str, n: int):
         w = Window.partitionBy(out_id).orderBy(
@@ -563,7 +580,9 @@ def pq_topk(
         F.col("d").desc(), F.col("centroid_id")
     )
     codes = (
-        partial_dots(subvectors(candidates, "cand_id"), "cand_id", "d")
+        partial_dots(
+            subvectors(_spread(candidates), "cand_id"), "cand_id", "d"
+        )
         .withColumn("rk", F.row_number().over(enc_w))
         .where(F.col("rk") == 1)
         .select("cand_id", "s", F.col("centroid_id").alias("code"))
@@ -663,7 +682,10 @@ def ivfpq_topk(
             .select(out_id, "centroid_id")
         )
 
-    # the IVF half: (query, cand) pairs allowed to be scored
+    # the IVF half: (query, cand) pairs allowed to be scored.
+    # _spread: assignment cosines + subvector encode are the CPU
+    # passes; must not run on 1-2 scan partitions (see dedup._spread)
+    candidates = _spread(candidates)
     shortlist = nearest_cells(candidates, "cand_id", 1).join(
         nearest_cells(queries, "query_id", nprobe), "centroid_id"
     ).select("query_id", "cand_id")
@@ -770,10 +792,14 @@ def semantic_decontaminate(
         F.col("csim").desc(), F.col("centroid_id")
     )
     members = (
-        vectors.select(
-            F.col(id_col).alias("m_id"),
-            F.col(vec_col).alias("v"),
-            is_eval.alias("is_eval"),
+        # _spread: see semantic_dedup — the assignment pass must not
+        # serialize onto a single-row-group scan's 1-2 partitions
+        _spread(
+            vectors.select(
+                F.col(id_col).alias("m_id"),
+                F.col(vec_col).alias("v"),
+                is_eval.alias("is_eval"),
+            )
         )
         .crossJoin(F.broadcast(cents))
         .select(

@@ -153,6 +153,12 @@ _NEVER_CHECKED = (
 _NEW_THIS_ROUND = (
     "ll65_cross_doc_substrings",
     "ll66_bpe_encode",
+    "ll67_cluster_quality_keeper",
+    "sql18_tpch_q2_shared_text",
+    "sql19_tpch_q9_shared_text",
+    "sql20_tpch_q11_shared_text",
+    "sql21_tpch_q16_shared_text",
+    "sql22_tpch_q20_shared_text",
 )
 
 

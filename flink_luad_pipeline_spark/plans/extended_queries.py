@@ -1491,12 +1491,184 @@ SQL17_SHARED_TEXT = (
 @query("sql17_tpch_q12_shared_text", oracle=SQL17_SHARED_TEXT)
 def sql17_tpch_q12_shared_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12 (shipping priority classes) as one SQL string executed
-    verbatim by both engines — completes the partsupp-free TPC-H set
+    verbatim by both engines — completes the partsupp-free TPC-H set.
     (Q2/Q9/Q11/Q16/Q20 need the partsupp table the synthetic schema
-    doesn't have). Plan: both date filters push to the lineitem scan;
-    the lateness predicate is a join residual on the shuffled
-    fact⋈fact edge; CASE-count pairs collapse map-side."""
+    doesn't have; sql18-sql22 carry those five shapes over a
+    lineitem-derived supply relation — the full 22-query suite.)
+    Plan: both date filters push to the lineitem scan; the lateness
+    predicate is a join residual on the shuffled fact⋈fact edge;
+    CASE-count pairs collapse map-side."""
     return _shared_text_query(SQL17_SHARED_TEXT)(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# SQL18-22 — the five partsupp TPC-H shapes (Q2/Q9/Q11/Q16/Q20) over a
+# DERIVED supply relation, completing the 22-query suite. The synthetic
+# schema has no partsupp table, so each query derives the
+# (part, supplier) relationship from lineitem — distinct pairs as the
+# catalog, min observed unit price as ps_supplycost — and notes the
+# adaptation (the Q3 o_shippriority precedent). Shapes, subquery
+# structure, and determinism devices are TPC-H's: correlated scalar
+# min (Q2), profit expression per nation/year (Q9), HAVING vs a
+# global-fraction scalar (Q11), NOT-IN anti relation count (Q16),
+# nested IN with a half-of-sum threshold (Q20). Comparisons that gate
+# rows run on exact arithmetic (DECIMAL sums; IEEE-identical double
+# division for min-cost) so both engines admit identical row sets;
+# rounding happens only in the projected output.
+# ---------------------------------------------------------------------------
+
+SQL18_SHARED_TEXT = (
+    # Q2: min-cost supplier per part in a region. ps_supplycost :=
+    # min unit price ever observed for the (part, supplier) pair.
+    "WITH supply AS (SELECT l_partkey AS ps_partkey,"
+    "  l_suppkey AS ps_suppkey,"
+    "  min(CAST(l_extendedprice AS DOUBLE) / CAST(l_quantity AS DOUBLE))"
+    "   AS ps_supplycost"
+    "  FROM lineitem GROUP BY l_partkey, l_suppkey)"
+    " SELECT CAST(round(s_acctbal, 2) AS DOUBLE) AS s_acctbal, s_name,"
+    "  n_name, p_partkey, p_brand,"
+    "  CAST(round(ps.ps_supplycost, 6) AS DOUBLE) AS supplycost"
+    " FROM part"
+    " JOIN supply ps ON p_partkey = ps.ps_partkey"
+    " JOIN supplier ON s_suppkey = ps.ps_suppkey"
+    " JOIN nation ON s_nationkey = n_nationkey"
+    " JOIN region ON n_regionkey = r_regionkey"
+    " WHERE p_size = 15 AND p_type = 'ECONOMY' AND r_name = 'AMERICA'"
+    " AND ps.ps_supplycost = ("
+    "  SELECT min(ps2.ps_supplycost) FROM supply ps2"
+    "  JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey"
+    "  JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey"
+    "  JOIN region r2 ON n2.n_regionkey = r2.r_regionkey"
+    "  WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'AMERICA')"
+)
+
+
+@query("sql18_tpch_q2_shared_text", oracle=SQL18_SHARED_TEXT)
+def sql18_tpch_q2_shared_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier) over the derived supply
+    relation. The correlated scalar subquery recomputes the regional
+    minimum per part; Spark decorrelates it into an aggregate +
+    self-join, DuckDB into a delim join — the equality gate runs on
+    the SAME IEEE double both engines derived, so the admitted row
+    sets match exactly. Region/size/type constants adapted to the
+    synthetic domains."""
+    return _shared_text_query(SQL18_SHARED_TEXT)(spark, sf_dir)
+
+
+SQL19_SHARED_TEXT = (
+    # Q9: product-type profit by nation and year. supplycost rounded
+    # to DECIMAL(18,6) once, so the profit sum is exact/order-free.
+    "WITH supply AS (SELECT l_partkey AS ps_partkey,"
+    "  l_suppkey AS ps_suppkey,"
+    "  CAST(round(min(CAST(l_extendedprice AS DOUBLE)"
+    "   / CAST(l_quantity AS DOUBLE)), 6) AS DECIMAL(18,6))"
+    "   AS ps_supplycost"
+    "  FROM lineitem GROUP BY l_partkey, l_suppkey)"
+    " SELECT n_name AS nation,"
+    "  CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,"
+    "  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))"
+    "   * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+    "   - ps_supplycost * CAST(l_quantity AS DECIMAL(18,2))), 2)"
+    "   AS DOUBLE) AS sum_profit"
+    " FROM lineitem"
+    " JOIN part ON p_partkey = l_partkey"
+    " JOIN supply ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey"
+    " JOIN supplier ON s_suppkey = l_suppkey"
+    " JOIN orders ON o_orderkey = l_orderkey"
+    " JOIN nation ON s_nationkey = n_nationkey"
+    " WHERE p_name LIKE '%red%'"
+    " GROUP BY n_name, EXTRACT(YEAR FROM o_orderdate)"
+)
+
+
+@query("sql19_tpch_q9_shared_text", oracle=SQL19_SHARED_TEXT)
+def sql19_tpch_q9_shared_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit) — the 6-table star with the
+    profit expression, grouped by supplier nation x order year. The
+    derived supplycost is frozen to DECIMAL(18,6) before entering the
+    sum so the whole profit aggregate is exact decimal arithmetic:
+    partial-agg order cannot move a digit in either engine."""
+    return _shared_text_query(SQL19_SHARED_TEXT)(spark, sf_dir)
+
+
+SQL20_SHARED_TEXT = (
+    # Q11: important stock. value := revenue per part from NATION_1
+    # suppliers; keep parts above a fraction of the national total.
+    "WITH v AS (SELECT l_partkey,"
+    "  sum(CAST(l_extendedprice AS DECIMAL(18,2))"
+    "   * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS val"
+    "  FROM lineitem"
+    "  JOIN supplier ON s_suppkey = l_suppkey"
+    "  JOIN nation ON s_nationkey = n_nationkey"
+    "  WHERE n_name = 'NATION_1' GROUP BY l_partkey)"
+    " SELECT l_partkey AS ps_partkey,"
+    "  CAST(round(val, 2) AS DOUBLE) AS part_value"
+    " FROM v WHERE val > (SELECT sum(val) * 0.0005 FROM v)"
+)
+
+
+@query("sql20_tpch_q11_shared_text", oracle=SQL20_SHARED_TEXT)
+def sql20_tpch_q11_shared_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock identification): per-part value vs a
+    global-fraction scalar subquery. Both the per-part values and the
+    threshold are exact DECIMAL sums of identical terms, so the strict
+    > gate admits the same parts in both engines — no epsilon games."""
+    return _shared_text_query(SQL20_SHARED_TEXT)(spark, sf_dir)
+
+
+SQL21_SHARED_TEXT = (
+    # Q16: parts/supplier relationship. Catalog := distinct
+    # (part, supplier) pairs from lineitem; 'complaint' suppliers
+    # excluded by NOT IN on a name pattern.
+    "SELECT p_brand, p_type, p_size,"
+    " CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt"
+    " FROM (SELECT DISTINCT l_partkey AS ps_partkey,"
+    "   l_suppkey AS ps_suppkey FROM lineitem) ps"
+    " JOIN part ON p_partkey = ps_partkey"
+    " WHERE p_brand <> 'Brand#1'"
+    " AND p_type NOT IN ('PROMO', 'SMALL')"
+    " AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)"
+    " AND ps_suppkey NOT IN"
+    "  (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%007%')"
+    " GROUP BY p_brand, p_type, p_size"
+)
+
+
+@query("sql21_tpch_q16_shared_text", oracle=SQL21_SHARED_TEXT)
+def sql21_tpch_q16_shared_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship): distinct-supplier
+    counts per (brand, type, size) with the NOT-IN complaint
+    exclusion. Spark plans the NOT IN as a null-aware anti join
+    (s_suppkey is non-null so it degenerates to a plain anti);
+    count(DISTINCT) runs as the standard two-phase expand."""
+    return _shared_text_query(SQL21_SHARED_TEXT)(spark, sf_dir)
+
+
+SQL22_SHARED_TEXT = (
+    # Q20: potential part promotion. availqty := the (supp, part)
+    # pair's all-time shipped quantity; the promotion gate keeps
+    # suppliers who moved more than half of it inside 1997.
+    "SELECT s_name, CAST(round(s_acctbal, 2) AS DOUBLE) AS s_acctbal"
+    " FROM supplier JOIN nation ON s_nationkey = n_nationkey"
+    " WHERE n_name = 'NATION_2' AND s_suppkey IN ("
+    "  SELECT l_suppkey FROM lineitem"
+    "  JOIN part ON p_partkey = l_partkey"
+    "  WHERE p_name LIKE 'red%'"
+    "  GROUP BY l_suppkey, l_partkey"
+    "  HAVING sum(CASE WHEN l_shipdate >= DATE '1997-01-01'"
+    "   AND l_shipdate < DATE '1998-01-01'"
+    "   THEN l_quantity ELSE 0 END) > 0.5 * sum(l_quantity))"
+)
+
+
+@query("sql22_tpch_q20_shared_text", oracle=SQL22_SHARED_TEXT)
+def sql22_tpch_q20_shared_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion): the nested IN subquery
+    with a half-of-total HAVING gate. Quantities are integral doubles
+    summed exactly (< 2^53), so the threshold comparison is
+    deterministic in both engines; the IN materializes as a left-semi
+    join onto the supplier dimension."""
+    return _shared_text_query(SQL22_SHARED_TEXT)(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------

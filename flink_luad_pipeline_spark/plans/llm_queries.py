@@ -2949,3 +2949,77 @@ def ll66_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return bpe_encode(docs, bpe_merge_table(docs, n_merges=5))
+
+
+_QS6_SQL = (  # ll21/ll64's quality score over (doc_id, text, tokens) rows
+    "CAST(round("
+    " least(len(tokens) / 100.0, 1.0) * 0.4"
+    f" + coalesce(CASE WHEN len(tokens) = 0 THEN NULL ELSE"
+    f"   {_HITS.format(words=_EN)} * 1.0 / len(tokens) END, 0.0) * 0.4"
+    " + (1.0 - least(coalesce(CASE WHEN length(text) = 0 THEN NULL ELSE"
+    "   length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0 /"
+    "   length(text) END, 1.0) * 5.0, 1.0)) * 0.2"
+    ", 6) AS DECIMAL(18,6))"
+)
+
+_LL67_ORACLE = (
+    f"WITH RECURSIVE pairs AS (SELECT * FROM ( {_MINHASH_ORACLE} ) mh),"
+    " sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs"
+    "   UNION SELECT doc_b, doc_a FROM pairs),"
+    " nodes AS (SELECT DISTINCT src AS v FROM sym),"
+    " reach(v, lbl) AS ("
+    "   SELECT v, v FROM nodes"
+    "   UNION"
+    "   SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.v),"
+    " comp AS (SELECT v AS doc_id, min(lbl) AS cluster FROM reach"
+    "   GROUP BY v),"
+    f" aug AS ({_AUG_SQL}),"
+    f" tokd AS (SELECT doc_id, text, {_TOKENS_SQL} AS tokens FROM aug),"
+    f" q AS (SELECT doc_id, {_QS6_SQL} AS qs FROM tokd),"
+    " m AS (SELECT c.doc_id, c.cluster, q.qs FROM comp c JOIN q USING (doc_id))"
+    " SELECT doc_id, cluster, CAST(qs AS DOUBLE) AS quality_score,"
+    " row_number() OVER (PARTITION BY cluster"
+    "   ORDER BY qs DESC, doc_id) = 1 AS keep"
+    " FROM m"
+)
+
+
+@query("ll67_cluster_quality_keeper", oracle=_LL67_ORACLE)
+def ll67_cluster_quality_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup DECISION: per near-dup cluster (ll23's CC
+    over the MinHash-LSH pair graph), keep the member with the HIGHEST
+    quality score (ll21's scorer) instead of ll23's lowest-id rule —
+    the production policy: when a document survives in five scraped
+    variants, the corpus should retain the cleanest one, not the one
+    with the smallest key. Argmax is deterministic — the score is
+    rounded to 6dp DECIMAL before ranking with doc_id as the tiebreak
+    (the ll64 device), so both engines pick identical keepers.
+
+    Scale shape: CC runs on the pair graph only (docs with >= 1
+    near-dup); the quality join adds one doc-keyed hash join against
+    the cluster membership (a tiny fraction of the corpus) and one
+    cluster-partitioned window."""
+    from ..operators import graph
+
+    aug = _augmented(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(
+        aug, "doc_id", "text", k=3, threshold=0.4, max_shingle_df=0.5
+    )
+    comp = graph.connected_components(pairs, src="doc_a", dst="doc_b")
+    q = T.quality_features(F.col("text"), T.tokenize(F.col("text")))
+    scored = aug.select(
+        "doc_id",
+        F.round(q["quality_score"], 6).cast("decimal(18,6)").alias("qs"),
+    )
+    mem = comp.select(
+        F.col("vertex").alias("doc_id"), F.col("component").alias("cluster")
+    ).join(scored, "doc_id")
+    rk = F.row_number().over(
+        W.partitionBy("cluster").orderBy(F.col("qs").desc(), F.col("doc_id"))
+    )
+    return mem.select(
+        "doc_id",
+        "cluster",
+        F.col("qs").cast("double").alias("quality_score"),
+        (rk == 1).alias("keep"),
+    )

@@ -34,6 +34,11 @@ def get_spark(app_name: str = "flink_luad_pipeline_spark") -> SparkSession:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
+        # keep stdout clean for the bench contract (ONE JSON line):
+        # the console progress bar writes \r-frames into stdout when
+        # no TTY is attached, which can land inside the driver's
+        # bounded tail capture of bench output
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # InferFiltersFromGenerate adds a size(arr)>0 filter under every
         # explode; PushDownPredicates then substitutes the array

@@ -801,3 +801,45 @@ def test_bpe_encode_matches_python_reference(spark):
         assert r.n_words == len(words)
         assert r.n_tokens == sum(len(e) for e in encs)
         assert r.enc_md5 == _hl.md5(stream.encode()).hexdigest()
+
+
+def test_cluster_quality_keeper_prefers_quality_over_id(spark):
+    """ll67's policy vs ll23's: when the LOWER-id member of a near-dup
+    cluster has the WORSE quality score, ll67 must keep the better doc.
+    Doc 1 is a short noisy variant (heavy punctuation tanks the score);
+    doc 2 is the longer clean variant sharing its opening run (J >= 0.4
+    via shared shingles). Identical-text copies tie on the rounded
+    score and fall back to the doc_id tiebreak."""
+    from flink_luad_pipeline_spark.functions import text as T
+    from flink_luad_pipeline_spark.operators import graph
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = [
+        (1, base + " !!! ,,, ;;; ..."),  # punct-heavy, short
+        (2, base + " " + base + " and then the story simply continues"),
+        (3, "completely unrelated content about spark physical plans"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs = dedup.minhash_lsh_pairs(df, "doc_id", "text", threshold=0.4)
+    got_pairs = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    assert (1, 2) in got_pairs  # fixture really is a near-dup cluster
+
+    comp = graph.connected_components(pairs, src="doc_a", dst="doc_b")
+    q = T.quality_features(F.col("text"), T.tokenize(F.col("text")))
+    scored = df.select(
+        "doc_id",
+        F.round(q["quality_score"], 6).cast("decimal(18,6)").alias("qs"),
+    )
+    from pyspark.sql.window import Window as W
+
+    mem = comp.select(
+        F.col("vertex").alias("doc_id"), F.col("component").alias("cluster")
+    ).join(scored, "doc_id")
+    rk = F.row_number().over(
+        W.partitionBy("cluster").orderBy(F.col("qs").desc(), F.col("doc_id"))
+    )
+    kept = {
+        r.doc_id: r.keep
+        for r in mem.select("doc_id", (rk == 1).alias("keep")).collect()
+    }
+    assert kept == {1: False, 2: True}  # quality wins over min-id
