@@ -770,3 +770,83 @@ def personalized_pagerank(
             .localCheckpoint()
         )
     return ranks
+
+
+def strongly_connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 20,
+) -> DataFrame:
+    """Strongly connected components by transitive-closure intersection:
+    compute the reachability closure R (iterated relational join to a
+    fixpoint — the driver-loop/localCheckpoint contract of the other
+    graph operators), then u,v share an SCC iff (u,v) AND (v,u) are in
+    R; scc_id = min mutual-reachable vertex.
+
+    Scale contract — this is the DOMAIN-GRAPH tier, deliberately: the
+    closure is O(V·E) rows, so it is the right tool when the vertex
+    set is a small derived domain (event types, categories, languages,
+    shard labels) distilled from a corpus-scale table — the distill
+    step (window + distinct) is what touches 100 TB, not the closure.
+    For corpus-scale vertex sets an FW-BW decomposition replaces this;
+    the closure tier stays because it is exact, oracle-replayable
+    (WITH RECURSIVE twin), and converges in diameter rounds with
+    doubling — each round joins R to itself, so round k covers paths
+    of length 2^k.
+
+    Returns (vertex, scc_id, scc_size) for every vertex appearing in
+    the edge set.
+    """
+    e = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).distinct().localCheckpoint(eager=True)
+    verts = (
+        e.select(F.col("u").alias("x"))
+        .unionAll(e.select(F.col("v").alias("x")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    r = e
+    n = r.count()
+    for i in range(max_rounds):
+        # path doubling: R <- R ∪ (R ⋈ R), diameter halves per round
+        grown = (
+            r.unionAll(
+                r.alias("a")
+                .join(r.alias("b"), F.col("a.v") == F.col("b.u"))
+                .select(F.col("a.u").alias("u"), F.col("b.v").alias("v"))
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        m = grown.count()
+        r = grown
+        if m == n:
+            break
+        n = m
+    else:
+        warnings.warn(
+            "strongly_connected_components: closure not at fixpoint after"
+            f" max_rounds={max_rounds} doubling rounds (graph diameter"
+            " > 2^max_rounds?) — results may split SCCs",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    mutual = (
+        r.alias("f")
+        .join(
+            r.alias("g"),
+            (F.col("f.u") == F.col("g.v")) & (F.col("f.v") == F.col("g.u")),
+        )
+        .select(F.col("f.u").alias("x"), F.col("f.v").alias("y"))
+    )
+    # every vertex is mutually reachable with itself
+    mutual = mutual.unionAll(
+        verts.select(F.col("x"), F.col("x").alias("y"))
+    ).distinct()
+    comp = mutual.groupBy("x").agg(F.min("y").alias("scc_id"))
+    sizes = comp.groupBy("scc_id").agg(F.count(F.lit(1)).alias("scc_size"))
+    return comp.join(sizes, "scc_id").select(
+        F.col("x").alias("vertex"), "scc_id", "scc_size"
+    )

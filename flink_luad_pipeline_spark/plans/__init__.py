@@ -159,6 +159,9 @@ _NEW_THIS_ROUND = (
     "sql20_tpch_q11_shared_text",
     "sql21_tpch_q16_shared_text",
     "sql22_tpch_q20_shared_text",
+    "ss18_streaming_neardup_probe",
+    "g10_scc_event_types",
+    "b26_funnel_stages",
 )
 
 

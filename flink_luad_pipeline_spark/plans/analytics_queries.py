@@ -943,3 +943,54 @@ def g9_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "vertex", F.round("rank", 12).cast("decimal(20,14)").alias("rank")
     )
+
+
+_G10_ORACLE = (
+    "WITH RECURSIVE"
+    " t AS (SELECT DISTINCT event_type AS u, lead(event_type) OVER"
+    "   (PARTITION BY user_id ORDER BY ts, event_id) AS v FROM events),"
+    " e AS (SELECT u, v FROM t WHERE v IS NOT NULL),"
+    " verts AS (SELECT u AS x FROM e UNION SELECT v FROM e),"
+    " reach(u, v) AS ("
+    "   SELECT u, v FROM e"
+    "   UNION"
+    "   SELECT r.u, e.v FROM reach r JOIN e ON e.u = r.v),"
+    " mutual AS ("
+    "   SELECT f.u AS x, f.v AS y FROM reach f"
+    "   JOIN reach g ON f.u = g.v AND f.v = g.u"
+    "   UNION SELECT x, x FROM verts),"
+    " comp AS (SELECT x, min(y) AS scc_id FROM mutual GROUP BY x),"
+    " sizes AS (SELECT scc_id, count(*) AS scc_size FROM comp"
+    "   GROUP BY scc_id)"
+    " SELECT x AS vertex, scc_id, CAST(scc_size AS BIGINT) AS scc_size"
+    " FROM comp JOIN sizes USING (scc_id)"
+)
+
+
+@query("g10_scc_event_types", oracle=_G10_ORACLE)
+def g10_scc_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components of the event-type TRANSITION
+    graph — the directed-graph member the family lacked (CC/star are
+    undirected). The graph is a derived DOMAIN graph: vertices are
+    event types, edges are observed consecutive transitions per user —
+    distilling it is the corpus-scale pass (one user-keyed window +
+    distinct over all events); the SCC closure then runs on a
+    |domain|²-bounded relation (operators/graph.strongly_connected_
+    components, path-doubling driver loop, WITH RECURSIVE oracle
+    twin). Answers 'which event types form feedback loops vs flow-
+    through states' — funnel analysis on the type level."""
+    from pyspark.sql.window import Window as W
+
+    from ..operators.graph import strongly_connected_components
+
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .where(F.col("next_type").isNotNull())
+        .select(
+            F.col("event_type").alias("src"), F.col("next_type").alias("dst")
+        )
+        .distinct()
+    )
+    return strongly_connected_components(trans)

@@ -1720,3 +1720,96 @@ def b25_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("running_distinct_users"),
     )
+
+
+B26_ORACLE = (
+    "WITH seqs AS (SELECT user_id,"
+    "  list_transform(list_sort(list_zip(list(ts), list(event_id),"
+    "   list(event_type))), z -> z[3]) AS seq"
+    "  FROM events GROUP BY user_id),"
+    " pos AS (SELECT user_id, seq,"
+    "  list_position(seq, 'view') AS pv FROM seqs),"
+    " pos2 AS (SELECT user_id, seq, pv,"
+    "  CASE WHEN pv IS NOT NULL THEN"
+    "   list_position(seq[pv+1:], 'click') + pv END AS pc FROM pos),"
+    " pos3 AS (SELECT user_id, pv, pc,"
+    "  CASE WHEN pc IS NOT NULL THEN"
+    "   list_position(seq[pc+1:], 'purchase') + pc END AS pp FROM pos2)"
+    " SELECT user_id,"
+    " CAST(CASE WHEN pp IS NOT NULL THEN 3 WHEN pc IS NOT NULL THEN 2"
+    "  WHEN pv IS NOT NULL THEN 1 ELSE 0 END AS INT) AS funnel_stage,"
+    " pp IS NOT NULL AS converted"
+    " FROM pos3"
+)
+
+
+@query("b26_funnel_stages", oracle=B26_ORACLE)
+def b26_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis (the MATCH_RECOGNIZE shape, Spark has
+    no pattern clause): per user, how far through view -> click ->
+    purchase did the event SEQUENCE progress, where each stage must
+    occur strictly after the previous one in (ts, event_id) order —
+    a subsequence test, not a bag test (a purchase BEFORE the first
+    view does not convert). Expressed as first-occurrence positions
+    over the ordered per-user type sequence with progressive slicing:
+    one grouped collect per user (the a7/o1 holistic shape), then
+    narrow array arithmetic — no joins, no explode. DuckDB mirrors it
+    with list_position over identical list slices.
+
+    Scale: one user-keyed shuffle; per-user state is the type
+    sequence. For power users at 100 TB, cap the sequence or fold to
+    the 3-value stage automaton per partial aggregate instead — the
+    automaton (aggregate fold) variant trades the exact positions for
+    O(1) state and stays order-sensitive via the same sort key."""
+    ev = load(spark, sf_dir, "events")
+    seq = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "event_type"))
+        ),
+        lambda z: z["event_type"],
+    )
+    seqs = ev.groupBy("user_id").agg(seq.alias("seq"))
+    pv = F.nullif(F.array_position(F.col("seq"), "view"), F.lit(0))
+    seqs = seqs.select("user_id", "seq", pv.alias("pv"))
+    pc = F.when(
+        F.col("pv").isNotNull(),
+        F.nullif(
+            F.array_position(
+                F.slice(
+                    F.col("seq"),
+                    (F.col("pv") + 1).cast("int"),
+                    (F.size("seq") - F.col("pv")).cast("int"),
+                ),
+                "click",
+            ),
+            F.lit(0),
+        )
+        + F.col("pv"),
+    )
+    seqs = seqs.select("user_id", "seq", "pv", pc.alias("pc"))
+    pp = F.when(
+        F.col("pc").isNotNull(),
+        F.nullif(
+            F.array_position(
+                F.slice(
+                    F.col("seq"),
+                    (F.col("pc") + 1).cast("int"),
+                    (F.size("seq") - F.col("pc")).cast("int"),
+                ),
+                "purchase",
+            ),
+            F.lit(0),
+        )
+        + F.col("pc"),
+    )
+    seqs = seqs.select("user_id", "pv", "pc", pp.alias("pp"))
+    return seqs.select(
+        "user_id",
+        F.when(F.col("pp").isNotNull(), 3)
+        .when(F.col("pc").isNotNull(), 2)
+        .when(F.col("pv").isNotNull(), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("funnel_stage"),
+        F.col("pp").isNotNull().alias("converted"),
+    )

@@ -488,3 +488,51 @@ def ss17_dynamic_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     seal are all value-checked."""
     agg = ops.dynamic_session_window_agg(_events(spark, sf_dir))
     return _drain(agg, "ss17_dynsession", "append")
+
+
+def _ss18_oracle() -> str:
+    """The batch twin of the streaming near-dup probe: the full
+    no-cutoff MinHash-LSH pair list (ll63's oracle machinery) over the
+    PLAIN documents table, restricted to pairs whose one side is a
+    snapshot doc (doc_id < 250) and re-emitted directionally
+    (probe doc -> snapshot neighbor), at the probe's 0.5 threshold."""
+    from .llm_queries import _AUG_SQL, _MINHASH_ORACLE_NOCUT
+
+    plain = _MINHASH_ORACLE_NOCUT.replace(
+        _AUG_SQL, "SELECT doc_id, text FROM documents"
+    )
+    assert plain != _MINHASH_ORACLE_NOCUT
+    return (
+        f"WITH p AS ({plain})"
+        " SELECT doc_a AS doc_id, doc_b AS dup_of, jaccard FROM p"
+        "  WHERE doc_b < 250 AND jaccard >= 0.5"
+        " UNION ALL"
+        " SELECT doc_b AS doc_id, doc_a AS dup_of, jaccard FROM p"
+        "  WHERE doc_a < 250 AND jaccard >= 0.5"
+    )
+
+
+@query("ss18_streaming_neardup_probe", oracle=_ss18_oracle())
+def ss18_streaming_neardup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming NEAR-dup ingestion gate — ss10 catches exact
+    re-ingests (fingerprint anti-join); this catches near-duplicates:
+    the feed probes a PERSISTED MinHash band index
+    (dedup.build_minhash_index over the doc_id < 250 snapshot, the
+    ll63 artifact) via a stateless stream-static band equi-join, and
+    every candidate is exact-Jaccard-verified in-row against the
+    static shingle sets. The oracle replays the identical no-cutoff
+    pipeline in batch, so band collisions, verification scores, and
+    the emitted pair set are all value-checked — the streaming twin of
+    the persisted-index incremental tier."""
+    from ..catalog import load
+    from ..operators import dedup
+
+    snap = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 250)
+        .select("doc_id", "text")
+    )
+    sh, banded = dedup.build_minhash_index(snap, "doc_id", "text", k=3)
+    stream = ops.read_documents_stream(spark, sf_dir)
+    pairs = ops.neardup_probe_stream(stream, sh, banded, threshold=0.5)
+    return _drain(pairs, "ss18_neardup", "append")

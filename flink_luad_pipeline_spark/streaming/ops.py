@@ -781,3 +781,100 @@ def chained_stateful_dedup_agg(events: DataFrame) -> DataFrame:
             F.col("n_distinct_pairs").cast("bigint").alias("n_distinct_pairs"),
         )
     )
+
+
+def neardup_probe_stream(
+    docs_stream: DataFrame,
+    snapshot_sh: DataFrame,
+    snapshot_banded: DataFrame,
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Streaming NEAR-dup probe against a persisted MinHash index —
+    the streaming twin of the batch incremental tier's persisted-index
+    flow (``dedup.minhash_dedup_incremental(snapshot_index=...)``,
+    ll63): each incoming document is shingled and signed in-stream
+    (narrow, per-row — the same portable md5 pipeline as the batch
+    index, so collisions agree exactly), its band keys probe the
+    STATIC band table (stream-static inner equi-join — stateless, the
+    snapshot is a materialized lookup, never rescanned), and every
+    candidate is exact-Jaccard-verified against the static shingle
+    sets with one array_intersect expression — no stream aggregation
+    needed for verification because the shingle SETS ride along with
+    both sides. Multi-band hits of the same pair are collapsed by the
+    keyed dropDuplicates (the only stateful operator; a production
+    feed bounds its state with dropDuplicatesWithinWatermark once doc
+    ids carry event time).
+
+    Emits (doc_id, dup_of, jaccard): one row per verified
+    (delta doc, snapshot neighbor) pair, self-matches excluded.
+    """
+    from ..functions.text import tokenize, word_shingles
+    from ..operators.dedup import _minhash_signature, portable_hash40
+
+    rows_per_band = num_hashes // bands
+    sh = (
+        docs_stream.select(
+            F.col("doc_id"),
+            word_shingles(tokenize(F.col("text")), k).alias("shingles"),
+        )
+        .where(F.size("shingles") > 0)
+        .select(
+            "doc_id",
+            "shingles",
+            _minhash_signature(
+                F.transform(F.col("shingles"), portable_hash40), num_hashes
+            ).alias("sig"),
+        )
+    )
+    banded_d = sh.select(
+        "doc_id",
+        "shingles",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    portable_hash40(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(
+                                    F.col("sig"),
+                                    b * rows_per_band + 1,
+                                    rows_per_band,
+                                ),
+                                lambda h: h.cast("string"),
+                            ),
+                        )
+                    ).alias("bhash"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("doc_id", "shingles", "bk.band", "bk.bhash")
+    snap_b = snapshot_banded.select(
+        F.col("doc_id").alias("snap_id"), "band", "bhash"
+    )
+    snap_sh = snapshot_sh.select(
+        F.col("doc_id").alias("snap_id"), F.col("shingles").alias("snap_sh")
+    )
+    inter = F.size(F.array_intersect(F.col("shingles"), F.col("snap_sh")))
+    union = (
+        F.size("shingles") + F.size("snap_sh") - inter
+    )
+    return (
+        banded_d.join(snap_b, ["band", "bhash"])
+        .where(F.col("doc_id") != F.col("snap_id"))
+        .join(snap_sh, "snap_id")
+        .select(
+            "doc_id",
+            F.col("snap_id").alias("dup_of"),
+            F.round(
+                F.try_divide(inter.cast("double"), union.cast("double")), 6
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= F.lit(threshold))
+        .dropDuplicates(["doc_id", "dup_of"])
+    )

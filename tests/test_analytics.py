@@ -591,3 +591,75 @@ def test_personalized_pagerank_rejects_empty_seed_overlap(spark):
     ghosts = spark.createDataFrame([(99,)], "v int")
     with pytest.raises(ValueError, match="no seeds overlap"):
         personalized_pagerank(edges, vertices, ghosts)
+
+
+def test_scc_multi_component_directed_graph(spark):
+    """SCC must separate mutually-reachable groups from flow-through
+    DAG nodes: cycle {1,2,3}, cycle {4,5}, bridge 3->4 (one-way), and
+    a sink 6. The closure-intersection rule must NOT merge across the
+    one-way bridge (the trap the (f,b) min-label heuristic falls
+    into)."""
+    from flink_luad_pipeline_spark.operators.graph import (
+        strongly_connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (4, 5), (5, 4), (3, 4), (5, 6)],
+        "src int, dst int",
+    )
+    got = {
+        r.vertex: (r.scc_id, r.scc_size)
+        for r in strongly_connected_components(edges).collect()
+    }
+    assert got == {
+        1: (1, 3), 2: (1, 3), 3: (1, 3),
+        4: (4, 2), 5: (4, 2),
+        6: (6, 1),
+    }
+
+
+def test_funnel_stages_are_order_sensitive(spark):
+    """b26's subsequence semantics: a purchase BEFORE the first view
+    must not convert; stages advance only strictly forward in time."""
+    import datetime as dt
+
+    from flink_luad_pipeline_spark.plans.registry import QUERIES
+    import flink_luad_pipeline_spark.plans.extended_queries as X
+
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = []
+    t0 = dt.datetime(2020, 1, 1)
+    def ev(i, uid, typ, mins):
+        return (i, t0 + dt.timedelta(minutes=mins), uid, typ, 1.0, "{}")
+    # user 1: full ordered funnel
+    rows += [ev(1, 1, "view", 0), ev(2, 1, "click", 1), ev(3, 1, "purchase", 2)]
+    # user 2: purchase first, then view+click — stage 2, NOT converted
+    rows += [ev(4, 2, "purchase", 0), ev(5, 2, "view", 1), ev(6, 2, "click", 2)]
+    # user 3: view only
+    rows += [ev(7, 3, "view", 0), ev(8, 3, "error", 1)]
+    # user 4: never views
+    rows += [ev(9, 4, "click", 0), ev(10, 4, "purchase", 1)]
+    # same physical shape as the driver's events table — TIMESTAMP(NANOS),
+    # so catalog.load's nanos conversion path is exercised too
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("ns")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    d = tempfile.mkdtemp(prefix="b26fix")
+    pq.write_table(table, os.path.join(d, "events.parquet"))
+    got = {
+        r.user_id: (r.funnel_stage, r.converted)
+        for r in QUERIES["b26_funnel_stages"](spark, d).collect()
+    }
+    assert got == {1: (3, True), 2: (2, False), 3: (1, False), 4: (0, False)}
