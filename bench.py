@@ -72,10 +72,14 @@ HEADLINE = [
     "ll62_bpe_merges",
     "j12_pit_join",
     "c7_naive_bayes_langid",
-    # round 5: the ExactSubstr cross-doc span tier and the BPE
-    # train->apply composition
+    # round 5: the ExactSubstr cross-doc span tier, the BPE
+    # train->apply composition, the quality-aware dedup decision, the
+    # domain-graph SCC, and the ordered funnel
     "ll65_cross_doc_substrings",
     "ll66_bpe_encode",
+    "ll67_cluster_quality_keeper",
+    "g10_scc_event_types",
+    "b26_funnel_stages",
 ]
 
 

@@ -843,3 +843,59 @@ def test_cluster_quality_keeper_prefers_quality_over_id(spark):
         for r in mem.select("doc_id", (rk == 1).alias("keep")).collect()
     }
     assert kept == {1: False, 2: True}  # quality wins over min-id
+
+
+def test_cross_doc_spans_match_python_reference_randomized(spark):
+    """ll65 vs a brute-force Python reference on random corpora: for
+    every doc, the reference marks exactly the 8-gram start positions
+    whose gram occurs in >= 2 distinct docs, merges consecutive runs,
+    and the operator must return identical span sets. Seeded RNG, two
+    corpus draws."""
+    import random
+    import re
+
+    for seed in (5, 11):
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(30)]  # small vocab -> collisions
+        docs = []
+        for i in range(25):
+            n = rng.randrange(8, 40)
+            docs.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+        # plant one explicit shared run at random offsets
+        run = " ".join(rng.choice(vocab) for _ in range(12))
+        docs.append((100, "x1 x2 " + run))
+        docs.append((101, run + " y1 y2 y3"))
+
+        # python reference
+        grams = {}
+        toks = {}
+        for i, t in docs:
+            w = [x for x in re.split(r"[^a-z0-9]+", t.lower()) if x]
+            toks[i] = w
+            for p in range(len(w) - 7):
+                g = " ".join(w[p : p + 8])
+                grams.setdefault(g, set()).add(i)
+        expect = set()
+        for i, _ in docs:
+            hits = sorted(
+                p
+                for p in range(len(toks[i]) - 7)
+                if len(grams[" ".join(toks[i][p : p + 8])]) >= 2
+            )
+            start = None
+            prev = None
+            for p in hits + [None]:
+                if p is not None and prev is not None and p == prev + 1:
+                    prev = p
+                    continue
+                if prev is not None:
+                    expect.add((i, start, prev + 7, prev + 7 - start + 1))
+                start = prev = p
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+            for r in dedup.cross_doc_repeated_spans(
+                df, "doc_id", "text", min_len=8, min_docs=2
+            ).collect()
+        }
+        assert got == expect, (seed, got ^ expect)
