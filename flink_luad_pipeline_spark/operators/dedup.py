@@ -1066,3 +1066,68 @@ def cross_doc_repeated_spans(
             ),
         )
     )
+
+
+def gram_duplication_profile(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_len: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document duplication profile over the same stride-1 gram
+    table as ``cross_doc_repeated_spans``: what fraction of a doc's
+    length-``min_len`` token windows also occur in >= ``min_docs``
+    distinct documents. The scalar the span tier's threshold decisions
+    are made from — Lee et al. report corpora where >10% of tokens sit
+    in cross-doc repeats; this measures exactly that per document, so
+    a pipeline can rank documents by contamination before deciding to
+    excise spans (ll65) or drop whole docs (ll4-ll7).
+
+    Same scale shape as ll65: positions only, no pair join — one
+    narrow gram-hash pass (materialized, explode-input rule), one
+    distinct-doc count shuffled on the 40-bit gram key, one semi-free
+    aggregation back to doc grain.
+
+    Returns (doc_id, n_grams, n_shared, dup_ratio) for every doc with
+    at least one gram; dup_ratio = n_shared / n_grams rounded to 6.
+    """
+    gh = (
+        _spread(
+            df.select(
+                F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+            )
+        )
+        .select(
+            "doc_id",
+            F.transform(
+                word_ngrams(tokenize(F.col("text")), min_len), portable_hash40
+            ).alias("ghs"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    grams = gh.select("doc_id", F.explode("ghs").alias("g"))
+    shared = (
+        grams.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= F.lit(int(min_docs)))
+        .select("g", F.lit(1).alias("is_shared"))
+    )
+    return (
+        grams.join(shared, "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce("is_shared", F.lit(0)))
+            .cast("bigint")
+            .alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_shared",
+            F.round(
+                F.col("n_shared") / F.col("n_grams"), 6
+            ).alias("dup_ratio"),
+        )
+    )

@@ -162,6 +162,9 @@ _NEW_THIS_ROUND = (
     "ss18_streaming_neardup_probe",
     "g10_scc_event_types",
     "b26_funnel_stages",
+    "ll68_duplication_profile",
+    "ll69_perplexity_buckets",
+    "ll70_leakage_safe_split",
 )
 
 

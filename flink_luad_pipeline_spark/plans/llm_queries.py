@@ -3023,3 +3023,170 @@ def ll67_cluster_quality_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("qs").cast("double").alias("quality_score"),
         (rk == 1).alias("keep"),
     )
+
+
+_LL68_ORACLE = (
+    f"WITH aug AS ({_AUG_SQL}),"
+    f" tok AS (SELECT doc_id, {_TOKENS_SQL} AS tokens FROM aug),"
+    " gr AS (SELECT doc_id, CASE WHEN len(tokens) >= 8 THEN"
+    f"   list_transform(range(1, len(tokens) - 6), i -> {_hex10(f'({_LL65_GRAM8})')})"
+    "   ELSE [] END AS ghs FROM tok),"
+    " pos AS (SELECT doc_id, unnest(ghs) AS g FROM gr),"
+    " shared AS (SELECT g FROM pos GROUP BY g"
+    "   HAVING count(DISTINCT doc_id) >= 2)"
+    " SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,"
+    " CAST(sum(CASE WHEN g IN (SELECT g FROM shared) THEN 1 ELSE 0 END)"
+    "  AS BIGINT) AS n_shared,"
+    " round(sum(CASE WHEN g IN (SELECT g FROM shared) THEN 1 ELSE 0 END)"
+    "  * 1.0 / count(*), 6) AS dup_ratio"
+    " FROM pos GROUP BY doc_id"
+)
+
+
+@query("ll68_duplication_profile", oracle=_LL68_ORACLE)
+def ll68_duplication_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplication profile — the scalar companion of ll65's
+    span tier: fraction of each doc's 8-gram windows occurring in
+    >= 2 distinct documents (planted exact copies score 1.0). The
+    corpus-contamination ranking a pipeline consults BEFORE choosing
+    between span excision (ll65) and whole-doc dedup (ll4-ll7)."""
+    return dedup.gram_duplication_profile(
+        _augmented(spark, sf_dir), "doc_id", "text", min_len=8, min_docs=2
+    )
+
+
+_LL69_ORACLE = (
+    f"WITH tok0 AS (SELECT doc_id, {_TOKENS_SQL} AS tokens FROM documents),"
+    " toks AS (SELECT doc_id, unnest(tokens) AS token FROM tok0),"
+    " vocab AS (SELECT token, count(*) AS c FROM toks GROUP BY token),"
+    " n AS (SELECT sum(c) AS n FROM vocab),"
+    " sc AS (SELECT doc_id, round(avg(-ln(c * 1.0 / n.n)), 6) AS nlp"
+    "   FROM toks JOIN vocab USING (token) CROSS JOIN n GROUP BY doc_id),"
+    " lb AS (SELECT d.doc_id, d.lang, sc.nlp,"
+    "   ntile(3) OVER (PARTITION BY d.lang ORDER BY sc.nlp, d.doc_id) AS b"
+    "   FROM documents d JOIN sc USING (doc_id))"
+    " SELECT doc_id, lang, CAST(nlp AS DOUBLE) AS avg_neg_logprob,"
+    " CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END"
+    "  AS bucket, b <= 2 AS keep FROM lb"
+)
+
+
+@query("ll69_perplexity_buckets", oracle=_LL69_ORACLE)
+def ll69_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score
+    every doc with the corpus-unigram LM proxy (ll32's
+    avg -log p(token)), then split EACH LANGUAGE into head / middle /
+    tail terciles of the score — the canonical 'keep head+middle,
+    drop tail' web-corpus gate, language-balanced by construction
+    (the same reason ll64 calibrates per source: a global cutoff
+    starves whole languages). ntile runs on the 6dp-rounded score
+    with doc_id as tiebreak, so the permutation — hence every bucket
+    boundary — is engine-independent.
+
+    Scale: the LM is one token-keyed grouped count (vocab-bounded);
+    scoring is a token equi-join + doc-keyed average; bucketing is
+    one lang-partitioned window — the ll64 shape, same two-phase
+    approximate-quantile escape hatch at extreme skew."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(T.tokenize(F.col("text"))).alias("token")
+    )
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    n = vocab.agg(F.sum("c").alias("n"))
+    sc = (
+        toks.join(vocab, "token")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.avg(-F.log(F.col("c") * F.lit(1.0) / F.col("n"))), 6
+            ).alias("nlp")
+        )
+    )
+    b = F.ntile(3).over(
+        W.partitionBy("lang").orderBy(F.col("nlp"), F.col("doc_id"))
+    )
+    lb = docs.select("doc_id", "lang").join(sc, "doc_id").select(
+        "doc_id", "lang", "nlp", b.alias("b")
+    )
+    return lb.select(
+        "doc_id",
+        "lang",
+        F.col("nlp").cast("double").alias("avg_neg_logprob"),
+        F.when(F.col("b") == 1, "head")
+        .when(F.col("b") == 2, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+        (F.col("b") <= 2).alias("keep"),
+    )
+
+
+_LL70_BUCKET = (
+    "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100"
+)
+_LL70_ORACLE = (
+    f"WITH p AS ({_MINHASH_ORACLE}),"
+    f" aug AS ({_AUG_SQL}),"
+    f" base AS (SELECT doc_id, CASE WHEN {_LL70_BUCKET} < 80 THEN 'train'"
+    f"   WHEN {_LL70_BUCKET} < 90 THEN 'valid' ELSE 'test' END AS split"
+    "   FROM aug),"
+    " bd AS (SELECT doc_a AS a, doc_b AS b, jaccard FROM p"
+    "   UNION ALL SELECT doc_b, doc_a, jaccard FROM p),"
+    " leaks AS (SELECT bd.a AS doc_id, min(bd.b) AS leak_of"
+    "   FROM bd JOIN base sa ON sa.doc_id = bd.a"
+    "   JOIN base sb ON sb.doc_id = bd.b"
+    "   WHERE sb.split = 'test' AND sa.split <> 'test'"
+    "   AND bd.jaccard >= 0.5 GROUP BY bd.a)"
+    " SELECT b.doc_id, b.split, l.leak_of IS NOT NULL AS dropped,"
+    " l.leak_of FROM base b LEFT JOIN leaks l USING (doc_id)"
+)
+
+
+@query("ll70_leakage_safe_split", oracle=_LL70_ORACLE)
+def ll70_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontaminated train/test split — ll15's hash-mod assignment
+    composed with the near-dup pair graph: any train/valid document
+    with a VERIFIED near-duplicate (MinHash-LSH, J >= 0.5) in the test
+    split is dropped from training, leak_of = its smallest test
+    neighbor. ll20/ll55 decontaminate against an external benchmark;
+    this closes the other leak channel — eval-set leakage created by
+    the split itself (the planted corpus copies land in different hash
+    buckets, so real leaks exist and are value-checked).
+
+    Scale: the split is a narrow hash map; the leak join runs on the
+    PAIR graph (docs with >= 1 near-dup), not the corpus."""
+    aug = _augmented(spark, sf_dir)
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+        ).cast("bigint")
+        % 100
+    )
+    base = aug.select(
+        "doc_id",
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "valid")
+        .otherwise("test")
+        .alias("split"),
+    )
+    pairs = dedup.minhash_lsh_pairs(
+        aug, "doc_id", "text", k=3, threshold=0.4, max_shingle_df=0.5
+    ).where(F.col("jaccard") >= 0.5)
+    bd = pairs.select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    ).unionAll(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+    sa = base.select(F.col("doc_id").alias("a"), F.col("split").alias("sa"))
+    sb = base.select(F.col("doc_id").alias("b"), F.col("split").alias("sb"))
+    leaks = (
+        bd.join(sa, "a")
+        .join(sb, "b")
+        .where((F.col("sb") == "test") & (F.col("sa") != "test"))
+        .groupBy(F.col("a").alias("doc_id"))
+        .agg(F.min("b").alias("leak_of"))
+    )
+    return base.join(leaks, "doc_id", "left").select(
+        "doc_id",
+        "split",
+        F.col("leak_of").isNotNull().alias("dropped"),
+        "leak_of",
+    )

@@ -216,6 +216,8 @@ INTENTIONAL_CARTESIAN = {
                               # needs every (doc, class) pair by definition)
     "ll28_tfidf_topterms",    # 1-row corpus-size scalar broadcast attach
     "ll32_unigram_logprob",   # 1-row corpus-total scalar broadcast attach
+    "ll69_perplexity_buckets",  # same 1-row corpus-total attach as ll32
+                              # (the LM it buckets is ll32's)
 }
 
 
