@@ -1131,3 +1131,81 @@ def gram_duplication_profile(
             ).alias("dup_ratio"),
         )
     )
+
+
+def minhash_estimate_calibration(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    max_shingle_df: int | float | None = None,
+    hasher: str = "portable",
+) -> DataFrame:
+    """MinHash estimator calibration — the dedup-tier analog of the ANN
+    recall loop (ll52): for every LSH *candidate* pair (pre-threshold),
+    the signature estimate of Jaccard (fraction of equal minhash
+    components) next to the exact shingle-set Jaccard and their
+    absolute error. This is the measurement a pipeline runs before
+    trusting signature-only dedup at scale (skipping exact
+    verification saves the shingle-set join, but only if the estimator
+    error at the chosen (num_hashes, bands) is acceptably small —
+    E[err] ~ 1/sqrt(num_hashes)).
+
+    Candidates come from the same banded index as minhash_lsh_pairs
+    (no threshold filter), so the frame is exactly the population the
+    verify stage would score. Estimate = Σ[sig_a_i = sig_b_i] / k over
+    the signature arrays (one zip_with/aggregate pass, multiples of
+    1/num_hashes are exact in 6dp for num_hashes = 64); exact Jaccard
+    via array_intersect on the df-filtered shingle sets. All hashes
+    portable, so every column is oracle-reproducible.
+
+    Returns (doc_a, doc_b, est_jaccard, exact_jaccard, abs_err).
+    """
+    sh, banded = _minhash_index(
+        df, id_col, text_col, k, num_hashes, bands, max_shingle_df,
+        hasher=hasher,
+    )
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "bhash"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingles").alias("sh_a"),
+        F.col("sig").alias("sig_a"),
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("sh_b"),
+        F.col("sig").alias("sig_b"),
+    )
+    eq = F.aggregate(
+        F.zip_with(
+            "sig_a",
+            "sig_b",
+            lambda x, y: F.when(x == y, F.lit(1)).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    i = F.size(F.array_intersect("sh_a", "sh_b"))
+    est = F.round(eq / F.lit(float(num_hashes)), 6)
+    exact = F.round(i / (F.size("sh_a") + F.size("sh_b") - i), 6)
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            est.alias("est_jaccard"),
+            exact.alias("exact_jaccard"),
+            F.round(F.abs(est - exact), 6).alias("abs_err"),
+        )
+    )

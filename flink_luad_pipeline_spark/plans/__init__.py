@@ -165,6 +165,10 @@ _NEW_THIS_ROUND = (
     "ll68_duplication_profile",
     "ll69_perplexity_buckets",
     "ll70_leakage_safe_split",
+    "ll71_temperature_sample",
+    "ll72_minhash_calibration",
+    "ll73_bigram_lm_score",
+    "ll74_soft_dedup_weights",
 )
 
 

@@ -234,10 +234,12 @@ def _hex10(expr: str) -> str:
     )
 
 
-_MINHASH_ORACLE = (
+_MINHASH_CTES = (
     # Mirrors minhash_lsh_pairs(..., max_shingle_df=0.5) exactly, incl.
     # the boilerplate df-cutoff: shingles in more than half the corpus
-    # are dropped from every document's set BEFORE signatures.
+    # are dropped from every document's set BEFORE signatures. Shared
+    # CTE prefix (through the candidate pairs + shingle inverted index)
+    # between the pair oracle below and ll72's calibration oracle.
     f"WITH aug AS ({_AUG_SQL}),"
     f" tok AS (SELECT doc_id, {_TOKENS_SQL} AS tokens FROM aug),"
     " sh0 AS (SELECT doc_id, list_distinct(CASE WHEN len(tokens) >= 3 THEN"
@@ -265,7 +267,12 @@ _MINHASH_ORACLE = (
     "   FROM bands x JOIN bands y ON x.b = y.b AND x.bhash = y.bhash"
     "   AND x.doc_id < y.doc_id),"
     " inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM nz),"
-    " inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i FROM cand c"
+)
+
+
+_MINHASH_ORACLE = (
+    _MINHASH_CTES
+    + " inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i FROM cand c"
     "   JOIN inv a ON a.doc_id = c.doc_a"
     "   JOIN inv b ON b.doc_id = c.doc_b AND b.shingle = a.shingle"
     "   GROUP BY c.doc_a, c.doc_b)"
@@ -3189,4 +3196,240 @@ def ll70_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "split",
         F.col("leak_of").isNotNull().alias("dropped"),
         "leak_of",
+    )
+
+
+_LL71_H = _hex10("'tmx#' || CAST(doc_id AS VARCHAR)")
+_LL71_ORACLE = (
+    "WITH counts AS (SELECT lang, count(*) AS n FROM documents"
+    "   GROUP BY lang),"
+    " tot AS (SELECT sum(n) AS n_total, sum(pow(n, 0.3)) AS z FROM counts),"
+    " rates AS (SELECT lang, round(least(1.0,"
+    "   0.5 * n_total * (pow(n, 0.3) / z) / n), 6) AS rate"
+    "   FROM counts CROSS JOIN tot)"
+    " SELECT d.doc_id, d.lang,"
+    " CAST(r.rate AS DOUBLE) AS rate"
+    " FROM documents d JOIN rates r USING (lang)"
+    f" WHERE {_LL71_H} % 1000000 < CAST(round(r.rate * 1000000, 0) AS BIGINT)"
+)
+
+
+@query("ll71_temperature_sample", oracle=_LL71_ORACLE)
+def ll71_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language sampling (XLM-R, Conneau et al.
+    2020, alpha = 0.3): the per-language keep rate is DERIVED from the
+    corpus counts — p_l ∝ n_l^alpha flattens the language distribution,
+    the 50%-of-corpus token budget turns p_l into a rate B·p_l/n_l
+    (capped at 1.0), so low-resource languages keep everything while
+    the head language is downsampled. The keep decision itself is
+    ll35's machinery: salted portable hash mod 1e6 against rate·1e6 —
+    reproducible across runs, engines, and partitioning.
+
+    ll35 takes the mixture rates as given; this op computes them from
+    the data, which is how multilingual corpora are actually mixed.
+    Scale: one lang-keyed grouped count (5..10^2 rows) + a broadcast
+    rate join + a narrow hash filter — zero corpus-sized shuffles."""
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(
+        F.sum("n").alias("n_total"),
+        F.sum(F.pow("n", F.lit(0.3))).alias("z"),
+    )
+    rates = (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.lit(0.5)
+                    * F.col("n_total")
+                    * (F.pow("n", F.lit(0.3)) / F.col("z"))
+                    / F.col("n"),
+                ),
+                6,
+            ).alias("rate"),
+        )
+    )
+    h = dedup.portable_hash40(
+        F.concat(F.lit("tmx#"), F.col("doc_id").cast("string"))
+    )
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .where(
+            h % F.lit(1000000)
+            < F.round(F.col("rate") * 1000000, 0).cast("bigint")
+        )
+        .select("doc_id", "lang", F.col("rate").cast("double").alias("rate"))
+    )
+
+
+_LL72_ORACLE = (
+    _MINHASH_CTES
+    + " est AS (SELECT c.doc_a, c.doc_b,"
+    "   list_sum(list_transform(range(1, 65), i ->"
+    "     CASE WHEN x.sig[i] = y.sig[i] THEN 1 ELSE 0 END)) / 64.0 AS est"
+    "   FROM cand c JOIN sigs x ON x.doc_id = c.doc_a"
+    "   JOIN sigs y ON y.doc_id = c.doc_b),"
+    " inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i FROM cand c"
+    "   JOIN inv a ON a.doc_id = c.doc_a"
+    "   JOIN inv b ON b.doc_id = c.doc_b AND b.shingle = a.shingle"
+    "   GROUP BY c.doc_a, c.doc_b),"
+    " sc AS (SELECT e.doc_a, e.doc_b, round(e.est, 6) AS est6,"
+    "   round(coalesce(i.i, 0) * 1.0 /"
+    "    (na.n_sh + nb.n_sh - coalesce(i.i, 0)), 6) AS ex6"
+    "   FROM est e LEFT JOIN inter i"
+    "     ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b"
+    "   JOIN nz na ON na.doc_id = e.doc_a"
+    "   JOIN nz nb ON nb.doc_id = e.doc_b)"
+    " SELECT doc_a, doc_b, CAST(est6 AS DOUBLE) AS est_jaccard,"
+    " CAST(ex6 AS DOUBLE) AS exact_jaccard,"
+    " CAST(round(abs(est6 - ex6), 6) AS DOUBLE) AS abs_err FROM sc"
+)
+
+
+@query("ll72_minhash_calibration", oracle=_LL72_ORACLE)
+def ll72_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration over the LSH candidate population
+    — the dedup twin of ll52's ANN recall loop: per candidate pair,
+    signature-estimated Jaccard vs exact shingle Jaccard and the
+    absolute error. The measurement that decides whether the 100 TB
+    path can skip exact verification (signature-only dedup) at the
+    chosen (num_hashes, bands). Same index, same df-cutoff, same
+    portable hashes as ll6, so the oracle replays every column."""
+    return dedup.minhash_estimate_calibration(
+        _augmented(spark, sf_dir), "doc_id", "text", k=3, num_hashes=64,
+        bands=16, max_shingle_df=0.5,
+    )
+
+
+_LL73_ORACLE = (
+    f"WITH tok0 AS (SELECT doc_id, {_TOKENS_SQL} AS tokens FROM documents),"
+    " bg0 AS (SELECT doc_id, unnest(CASE WHEN len(tokens) >= 2 THEN"
+    "   list_transform(range(1, len(tokens)),"
+    "     i -> {'p': tokens[i], 't': tokens[i+1]})"
+    "   ELSE [] END) AS pr FROM tok0),"
+    " bg AS (SELECT doc_id, pr.p AS prev, pr.t AS tok FROM bg0),"
+    " toks AS (SELECT doc_id, unnest(tokens) AS token FROM tok0),"
+    " uni AS (SELECT token, count(*) AS c FROM toks GROUP BY token),"
+    " n AS (SELECT sum(c) AS n FROM uni),"
+    " bi AS (SELECT prev, tok, count(*) AS c2 FROM bg GROUP BY prev, tok),"
+    " sc AS (SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,"
+    "   round(avg(-ln(0.7 * b.c2 * 1.0 / up.c + 0.3 * ut.c * 1.0 / n.n)), 6)"
+    "    AS score"
+    "   FROM bg g JOIN bi b ON b.prev = g.prev AND b.tok = g.tok"
+    "   JOIN uni up ON up.token = g.prev"
+    "   JOIN uni ut ON ut.token = g.tok"
+    "   CROSS JOIN n GROUP BY g.doc_id)"
+    " SELECT doc_id, n_bigrams, CAST(score AS DOUBLE) AS avg_neg_logprob"
+    " FROM sc"
+)
+
+
+@query("ll73_bigram_lm_score", oracle=_LL73_ORACLE)
+def ll73_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram LM scoring — the context-aware upgrade of
+    ll32's unigram proxy (one step toward CCNet's 5-gram KenLM): each
+    doc scored by avg -ln(0.7·P(t_i|t_{i-1}) + 0.3·P(t_i)) under the
+    corpus-trained counts. Interpolation with the unigram term is the
+    classical Jelinek-Mercer smoothing, and keeps unseen-bigram mass
+    finite without Katz backoff machinery (every corpus bigram is seen
+    by construction here; the unigram term still reshapes scores).
+
+    Scale: bigram model = one (prev, tok)-keyed grouped count (vocab²-
+    bounded, in practice Heaps-law sublinear); scoring = two token
+    equi-joins + one doc-keyed average. Docs with < 2 tokens drop out
+    (no bigram events), mirrored by the oracle."""
+    docs = load(spark, sf_dir, "documents")
+    tok0 = docs.select("doc_id", T.tokenize(F.col("text")).alias("tokens"))
+    pair_t = "array<struct<prev:string,tok:string>>"
+    bg = tok0.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("tokens") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("tokens") - 1),
+                    lambda i: F.struct(
+                        F.element_at("tokens", i).alias("prev"),
+                        F.element_at("tokens", i + 1).alias("tok"),
+                    ),
+                ),
+            ).otherwise(F.array().cast(pair_t))
+        ).alias("pr"),
+    ).select("doc_id", "pr.prev", "pr.tok")
+    toks = tok0.select("doc_id", F.explode("tokens").alias("token"))
+    uni = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    n = uni.agg(F.sum("c").alias("n"))
+    bi = bg.groupBy("prev", "tok").agg(F.count(F.lit(1)).alias("c2"))
+    return (
+        bg.join(bi, ["prev", "tok"])
+        .join(uni.select(F.col("token").alias("prev"), F.col("c").alias("cp")), "prev")
+        .join(uni.select(F.col("token").alias("tok"), F.col("c").alias("ct")), "tok")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(
+                F.avg(
+                    -F.log(
+                        F.lit(0.7) * F.col("c2") * F.lit(1.0) / F.col("cp")
+                        + F.lit(0.3) * F.col("ct") * F.lit(1.0) / F.col("n")
+                    )
+                ),
+                6,
+            ).alias("score"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.col("score").cast("double").alias("avg_neg_logprob"),
+        )
+    )
+
+
+_LL74_ORACLE = (
+    f"WITH comp AS ({_CLUSTER_ORACLE}),"
+    f" aug AS ({_AUG_SQL})"
+    " SELECT a.doc_id,"
+    " CAST(coalesce(c.cluster_size, 1) AS BIGINT) AS cluster_size,"
+    " CAST(round(1.0 / coalesce(c.cluster_size, 1), 6) AS DOUBLE) AS weight"
+    " FROM aug a LEFT JOIN comp c ON c.doc_id = a.doc_id"
+)
+
+
+@query("ll74_soft_dedup_weights", oracle=_LL74_ORACLE)
+def ll74_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft deduplication (SlimPajama-DC / 'soft dedup' ablations):
+    instead of DROPPING near-duplicates, reweight them — every doc in
+    a near-dup cluster (ll23's components over the MinHash-LSH verified
+    pairs) gets sampling weight 1/cluster_size, singletons keep 1.0.
+    The cluster's total mass equals one document's, so training sees
+    each distinct content unit once in expectation while retaining
+    every surface variant (the diversity hard dedup destroys).
+
+    Scale: identical to ll23 (pair graph only) plus one left join back
+    to the corpus; weights are a narrow map over cluster_size."""
+    from ..operators import graph
+
+    aug = _augmented(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(
+        aug, "doc_id", "text", k=3, threshold=0.4, max_shingle_df=0.5,
+    )
+    comp = graph.connected_components(pairs, src="doc_a", dst="doc_b")
+    sized = comp.select(
+        F.col("vertex").alias("doc_id"),
+        F.count(F.lit(1))
+        .over(W.partitionBy("component"))
+        .cast("bigint")
+        .alias("cluster_size"),
+    )
+    return aug.join(sized, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_size", F.lit(1)).cast("bigint").alias(
+            "cluster_size"
+        ),
+        F.round(
+            F.lit(1.0) / F.coalesce("cluster_size", F.lit(1)), 6
+        ).alias("weight"),
     )

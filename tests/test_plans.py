@@ -218,6 +218,8 @@ INTENTIONAL_CARTESIAN = {
     "ll32_unigram_logprob",   # 1-row corpus-total scalar broadcast attach
     "ll69_perplexity_buckets",  # same 1-row corpus-total attach as ll32
                               # (the LM it buckets is ll32's)
+    "ll71_temperature_sample",  # 1-row (n_total, z) scalar broadcast attach
+    "ll73_bigram_lm_score",   # same 1-row corpus-total attach as ll32
 }
 
 
