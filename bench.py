@@ -80,6 +80,14 @@ HEADLINE = [
     "ll67_cluster_quality_keeper",
     "g10_scc_event_types",
     "b26_funnel_stages",
+    # round 5b: the per-doc duplication profile (ll65's scalar
+    # companion), derived temperature mixture rates, the MinHash
+    # estimator-calibration sweep over the LSH candidate population,
+    # and interpolated bigram LM scoring
+    "ll68_duplication_profile",
+    "ll71_temperature_sample",
+    "ll72_minhash_calibration",
+    "ll73_bigram_lm_score",
 ]
 
 
