@@ -130,3 +130,80 @@ def dsir_logweights(
             F.coalesce("lw", F.lit(0.0)).cast("double").alias("log_weight"),
         )
     )
+
+
+def bigram_lm_scores(
+    df: DataFrame, id_col: str, text_col: str, lam: float = 0.7
+) -> DataFrame:
+    """Interpolated bigram LM scoring (Jelinek-Mercer): per doc the
+    average -ln(lam·P(t_i|t_{i-1}) + (1-lam)·P(t_i)) under the
+    corpus-trained bigram/unigram counts — the context-aware upgrade
+    of the unigram perplexity proxy (one step toward CCNet's KenLM).
+    Docs with < 2 tokens have no bigram events and drop out.
+
+    Scale: the model is one (prev, tok)-keyed grouped count (vocab²-
+    bounded, Heaps-law sublinear in practice); scoring is three
+    token-keyed equi-joins + one doc-keyed average — every join key is
+    a token string, uniformly distributed after hashing, no corpus-
+    sized broadcast (the 1-row total is the only broadcast).
+
+    Returns (doc_id, n_bigrams, avg_neg_logprob) with the score
+    rounded to 6dp so cross-engine float summation noise can't leak
+    into comparisons.
+    """
+    tok0 = df.select(
+        F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("tokens")
+    )
+    pair_t = "array<struct<prev:string,tok:string>>"
+    bg = tok0.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("tokens") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("tokens") - 1),
+                    lambda i: F.struct(
+                        F.element_at("tokens", i).alias("prev"),
+                        F.element_at("tokens", i + 1).alias("tok"),
+                    ),
+                ),
+            ).otherwise(F.array().cast(pair_t))
+        ).alias("pr"),
+    ).select("doc_id", "pr.prev", "pr.tok")
+    toks = tok0.select("doc_id", F.explode("tokens").alias("token"))
+    uni = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    n = uni.agg(F.sum("c").alias("n"))
+    bi = bg.groupBy("prev", "tok").agg(F.count(F.lit(1)).alias("c2"))
+    return (
+        bg.join(bi, ["prev", "tok"])
+        .join(
+            uni.select(F.col("token").alias("prev"), F.col("c").alias("cp")),
+            "prev",
+        )
+        .join(
+            uni.select(F.col("token").alias("tok"), F.col("c").alias("ct")),
+            "tok",
+        )
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(
+                F.avg(
+                    -F.log(
+                        F.lit(lam) * F.col("c2") * F.lit(1.0) / F.col("cp")
+                        + F.lit(1.0 - lam)
+                        * F.col("ct")
+                        * F.lit(1.0)
+                        / F.col("n")
+                    )
+                ),
+                6,
+            ).alias("score"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.col("score").cast("double").alias("avg_neg_logprob"),
+        )
+    )

@@ -3336,55 +3336,13 @@ def ll73_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     finite without Katz backoff machinery (every corpus bigram is seen
     by construction here; the unigram term still reshapes scores).
 
-    Scale: bigram model = one (prev, tok)-keyed grouped count (vocab²-
-    bounded, in practice Heaps-law sublinear); scoring = two token
-    equi-joins + one doc-keyed average. Docs with < 2 tokens drop out
-    (no bigram events), mirrored by the oracle."""
-    docs = load(spark, sf_dir, "documents")
-    tok0 = docs.select("doc_id", T.tokenize(F.col("text")).alias("tokens"))
-    pair_t = "array<struct<prev:string,tok:string>>"
-    bg = tok0.select(
-        "doc_id",
-        F.explode(
-            F.when(
-                F.size("tokens") >= 2,
-                F.transform(
-                    F.sequence(F.lit(1), F.size("tokens") - 1),
-                    lambda i: F.struct(
-                        F.element_at("tokens", i).alias("prev"),
-                        F.element_at("tokens", i + 1).alias("tok"),
-                    ),
-                ),
-            ).otherwise(F.array().cast(pair_t))
-        ).alias("pr"),
-    ).select("doc_id", "pr.prev", "pr.tok")
-    toks = tok0.select("doc_id", F.explode("tokens").alias("token"))
-    uni = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
-    n = uni.agg(F.sum("c").alias("n"))
-    bi = bg.groupBy("prev", "tok").agg(F.count(F.lit(1)).alias("c2"))
-    return (
-        bg.join(bi, ["prev", "tok"])
-        .join(uni.select(F.col("token").alias("prev"), F.col("c").alias("cp")), "prev")
-        .join(uni.select(F.col("token").alias("tok"), F.col("c").alias("ct")), "tok")
-        .crossJoin(F.broadcast(n))
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
-            F.round(
-                F.avg(
-                    -F.log(
-                        F.lit(0.7) * F.col("c2") * F.lit(1.0) / F.col("cp")
-                        + F.lit(0.3) * F.col("ct") * F.lit(1.0) / F.col("n")
-                    )
-                ),
-                6,
-            ).alias("score"),
-        )
-        .select(
-            "doc_id",
-            "n_bigrams",
-            F.col("score").cast("double").alias("avg_neg_logprob"),
-        )
+    Scale: see operators/importance.bigram_lm_scores (the registered
+    operator). Docs with < 2 tokens drop out (no bigram events),
+    mirrored by the oracle."""
+    from ..operators import importance
+
+    return importance.bigram_lm_scores(
+        load(spark, sf_dir, "documents"), "doc_id", "text", lam=0.7
     )
 
 

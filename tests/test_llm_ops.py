@@ -899,3 +899,129 @@ def test_cross_doc_spans_match_python_reference_randomized(spark):
             ).collect()
         }
         assert got == expect, (seed, got ^ expect)
+
+
+def test_minhash_calibration_planted_and_error_bound(spark, sf_dir):
+    """ll72's operator: planted exact copies must calibrate perfectly
+    (est = exact = 1.0, err = 0), and the mean estimator error over
+    the whole candidate population must respect the MinHash variance
+    bound (E|est-J| ~ sqrt(J(1-J)/64) <= 1/16, with slack)."""
+    import statistics
+
+    aug = _augmented(spark, sf_dir)
+    cal = dedup.minhash_estimate_calibration(
+        aug, "doc_id", "text", max_shingle_df=0.5
+    ).collect()
+    assert cal
+    planted = [r for r in cal if r.doc_b == r.doc_a + 1000000]
+    assert planted, "candidates should include the planted copies"
+    for r in planted:
+        assert r.est_jaccard == 1.0
+        assert r.exact_jaccard == 1.0
+        assert r.abs_err == 0.0
+    assert all(0.0 <= r.est_jaccard <= 1.0 for r in cal)
+    assert statistics.mean(r.abs_err for r in cal) < 0.15
+
+
+def test_temperature_rates_flatten_language_distribution(spark, sf_dir):
+    """ll71: rate ∝ n^(alpha-1) is strictly decreasing in language
+    count — the head language gets the smallest rate, the rarest
+    language is kept whole (capped at 1.0), every rate in (0, 1]."""
+    from flink_luad_pipeline_spark.plans.llm_queries import (
+        ll71_temperature_sample,
+    )
+
+    rows = ll71_temperature_sample(spark, sf_dir).collect()
+    assert rows
+    rate_by_lang = {r.lang: r.rate for r in rows}
+    counts = {
+        r["lang"]: r["n"]
+        for r in load(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(rate_by_lang) <= set(counts)
+    for lang, rate in rate_by_lang.items():
+        assert 0.0 < rate <= 1.0
+    head = max(counts, key=counts.get)
+    tail = min(counts, key=counts.get)
+    assert rate_by_lang[head] == min(rate_by_lang.values())
+    assert rate_by_lang[head] < 1.0
+    # flattening law: uncapped rates scale as n^(alpha-1), so the
+    # tail/head rate ratio equals (n_head/n_tail)^0.7 — the rarest
+    # language is kept at a strictly higher rate than the head
+    assert rate_by_lang[tail] > rate_by_lang[head]
+    if rate_by_lang[tail] < 1.0:  # cap not binding on this fixture
+        assert (
+            abs(
+                rate_by_lang[tail] / rate_by_lang[head]
+                - (counts[head] / counts[tail]) ** 0.7
+            )
+            < 1e-3
+        )
+
+
+def test_soft_dedup_weights_conserve_cluster_mass(spark, sf_dir):
+    """ll74: every doc with a planted copy sits in a cluster of >= 2
+    (weight <= 0.5); weight is exactly round(1/cluster_size, 6); and
+    the doc count at each cluster_size is divisible by that size
+    (clusters are whole)."""
+    from collections import Counter
+
+    from flink_luad_pipeline_spark.plans.llm_queries import (
+        ll74_soft_dedup_weights,
+    )
+
+    rows = ll74_soft_dedup_weights(spark, sf_dir).collect()
+    by_id = {r.doc_id: r for r in rows}
+    copies = [d for d in by_id if d >= 1000000]
+    assert copies, "augmented corpus should contain planted copies"
+    for c in copies:
+        assert by_id[c].cluster_size >= 2
+        assert by_id[c].weight <= 0.5
+        orig = c - 1000000
+        assert by_id[orig].cluster_size == by_id[c].cluster_size
+    for r in rows:
+        assert r.weight == round(1.0 / r.cluster_size, 6)
+    size_counts = Counter(r.cluster_size for r in rows)
+    for size, n_docs in size_counts.items():
+        assert n_docs % size == 0, (size, n_docs)
+
+
+def test_bigram_lm_matches_python_reference(spark):
+    """ll73's operator on a hand-checkable corpus: exact score parity
+    with a pure-Python Jelinek-Mercer reference, single-token docs
+    drop out, and the repetitive doc scores as more predictable than
+    the all-unique one."""
+    import math
+    from collections import Counter
+
+    from flink_luad_pipeline_spark.operators import importance
+
+    texts = {1: "a b a b a b", 2: "c d e f", 3: "x"}
+    df = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], ["doc_id", "text"]
+    )
+    got = {
+        r.doc_id: (r.n_bigrams, r.avg_neg_logprob)
+        for r in importance.bigram_lm_scores(df, "doc_id", "text").collect()
+    }
+    toks = {k: v.split() for k, v in texts.items()}
+    uni = Counter(t for ts in toks.values() for t in ts)
+    n = sum(uni.values())
+    bi = Counter(
+        (ts[i], ts[i + 1]) for ts in toks.values() for i in range(len(ts) - 1)
+    )
+    for d, ts in toks.items():
+        events = [(ts[i], ts[i + 1]) for i in range(len(ts) - 1)]
+        if not events:
+            assert d not in got
+            continue
+        ref = sum(
+            -math.log(0.7 * bi[e] / uni[e[0]] + 0.3 * uni[e[1]] / n)
+            for e in events
+        ) / len(events)
+        nb, score = got[d]
+        assert nb == len(events)
+        assert abs(score - round(ref, 6)) < 1e-9
