@@ -88,6 +88,14 @@ HEADLINE = [
     "ll71_temperature_sample",
     "ll72_minhash_calibration",
     "ll73_bigram_lm_score",
+    # round 5c: cross-video frame dedup (fingerprints shuffle, never
+    # pixels), JL embedding compression (narrow map), the IVF cell-
+    # quality silhouette (N^1.5 scoring), and distributed IRLS (4
+    # map-side-combined corpus scans)
+    "ll75_frame_dedup",
+    "ll76_jl_projection",
+    "ll77_cell_silhouette",
+    "c8_logistic_irls",
 ]
 
 

@@ -395,3 +395,61 @@ def naive_bayes_langid(
             (F.col("predicted") == F.col("label")).alias("correct"),
         )
     )
+
+
+def logistic_irls_1d(d: DataFrame, steps: int = 3) -> DataFrame:
+    """Logistic regression (intercept + one feature) by IRLS —
+    ``steps`` unrolled Newton iterations from w = 0, every number
+    deterministic: per-row terms are quantized to DECIMAL(28,9) before
+    summation (exact, row-order-free sums — the c6/c7 discipline) and
+    the 2x2 Newton solve is closed-form algebra. ``d`` must have
+    columns (y: 1.0/0.0, x: double). Returns DataFrame[b0, b1].
+
+    Each step is ONE map-side-combined aggregation with the previous
+    betas riding along as a 1-row broadcast — the distributed-IRLS
+    layout that holds at any corpus size."""
+
+    def dec(c):
+        return c.cast("decimal(28,9)")
+
+    def step(prev):
+        if prev is None:
+            base, z = d, F.lit(0.0) + F.lit(0.0) * F.col("x")
+        else:
+            base = d.crossJoin(F.broadcast(prev))
+            z = F.col("b0") + F.col("b1") * F.col("x")
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        r = p * (F.lit(1.0) - p)
+        aggs = [
+            F.sum(dec(r)).cast("double").alias("a0"),
+            F.sum(dec(r * F.col("x"))).cast("double").alias("a1"),
+            F.sum(dec(r * F.col("x") * F.col("x"))).cast("double").alias("a2"),
+            F.sum(dec(F.col("y") - p)).cast("double").alias("g0"),
+            F.sum(dec((F.col("y") - p) * F.col("x"))).cast("double").alias("g1"),
+        ]
+        if prev is not None:
+            aggs += [F.first("b0").alias("pb0"), F.first("b1").alias("pb1")]
+        m = base.agg(*aggs)
+        if prev is None:
+            m = m.select("*", F.lit(0.0).alias("pb0"), F.lit(0.0).alias("pb1"))
+        m = m.select(
+            "*",
+            (F.col("a0") * F.col("a2") - F.col("a1") * F.col("a1")).alias("det"),
+        )
+        return m.select(
+            (
+                F.col("pb0")
+                + (F.col("a2") * F.col("g0") - F.col("a1") * F.col("g1"))
+                / F.col("det")
+            ).alias("b0"),
+            (
+                F.col("pb1")
+                + (F.col("a0") * F.col("g1") - F.col("a1") * F.col("g0"))
+                / F.col("det")
+            ).alias("b1"),
+        )
+
+    w = None
+    for _ in range(steps):
+        w = step(w)
+    return w

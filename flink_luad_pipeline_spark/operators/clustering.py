@@ -162,3 +162,75 @@ def kmeans_assign(
     return final.select(
         "vec_id", F.col("cid").cast("bigint").alias("cluster"), "sqdist"
     )
+
+
+def cell_silhouette(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_mod: int | None = None,
+) -> DataFrame:
+    """Per-cell simplified silhouette over the training-free IVF
+    quantizer (every ``centroid_mod``-th vector is a centroid,
+    mod ≈ √N derived from a one-row count when None — the ll42/ll12
+    rule): for each vector, a = L2 distance to its nearest centroid,
+    b = distance to the second-nearest, s = (b - a) / max(a, b); the
+    output is each cell's member count and mean silhouette. This is
+    the cluster-quality measurement consulted before trusting
+    cell-scoped operators (ll42 semantic dedup, ll12/ll60 ANN): cells
+    with silhouette near 0 leak neighbors across boundaries and need
+    a larger nprobe or trained centroids.
+
+    Simplified-silhouette (centroid distances, Hruschka et al.) NOT
+    full silhouette (pairwise distances): O(N·M) with M ≈ √N, same
+    O(N^1.5) budget as assignment itself — full silhouette's O(N²)
+    never runs. Distances rounded to 6dp BEFORE ranking (ties by
+    centroid id), so cell assignment and both distances are
+    engine-independent.
+
+    Returns (cell, n_vecs, mean_silhouette), cells with >= 1 member.
+    """
+    e = _spread(
+        emb.select(
+            F.col(id_col).alias("vec_id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        )
+    )
+    if centroid_mod is None:
+        import math
+
+        centroid_mod = max(1, round(math.sqrt(e.count())))
+    cents = e.where(F.col("vec_id") % centroid_mod == 0).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    sq = F.aggregate(
+        F.zip_with("v", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+    scored = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cid", F.round(F.sqrt(sq), 6).alias("d")
+    )
+    w = Window.partitionBy("vec_id").orderBy("d", "cid")
+    top2 = (
+        scored.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= 2)
+        .groupBy("vec_id")
+        .agg(
+            F.max(F.when(F.col("r") == 1, F.col("cid"))).alias("cell"),
+            F.max(F.when(F.col("r") == 1, F.col("d"))).alias("a"),
+            F.max(F.when(F.col("r") == 2, F.col("d"))).alias("b"),
+        )
+        .where(F.col("b").isNotNull())  # degenerate single-centroid corpus
+    )
+    sil = F.when(
+        F.greatest("a", "b") == 0.0, F.lit(0.0)
+    ).otherwise((F.col("b") - F.col("a")) / F.greatest("a", "b"))
+    return (
+        top2.select("cell", sil.alias("s"))
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.round(F.avg("s"), 6).alias("mean_silhouette"),
+        )
+    )

@@ -207,3 +207,77 @@ def bigram_lm_scores(
             F.col("score").cast("double").alias("avg_neg_logprob"),
         )
     )
+
+
+def kneser_ney_bigram_scores(
+    df: DataFrame, id_col: str, text_col: str, discount: float = 0.75
+) -> DataFrame:
+    """Kneser-Ney-smoothed bigram LM scoring — the canonical n-gram
+    smoothing (Kneser & Ney 1995; the default in KenLM, which CCNet
+    uses for its quality buckets): per doc the average
+    -ln P_KN(t_i | t_{i-1}) with
+
+        P_KN(w|v) = max(c(vw) - d, 0) / c(v·)
+                    + d·N1+(v·)/c(v·) · N1+(·w)/B
+
+    where c(v·) is v's continuation-event count, N1+(v·)/N1+(·w) are
+    the distinct-successor/-predecessor type counts, and B the total
+    distinct bigram types — absolute discounting with the CONTINUATION
+    unigram (how many contexts a word follows, not how often it
+    occurs), which is what distinguishes KN from ll73's Jelinek-Mercer
+    interpolation. All counts derive from the bigram table alone, so
+    document-final tokens never pollute the denominators.
+
+    Scale: the model is one (prev, tok)-keyed grouped count (vocab²-
+    bounded, Heaps-law sublinear), two prev-/tok-keyed re-groupings of
+    that table, and scoring is token-string equi-joins + one doc-keyed
+    average — uniformly hashed keys, the 1-row B total the only
+    broadcast. Same layout as bigram_lm_scores.
+
+    Returns (doc_id, n_bigrams, avg_neg_logprob) rounded 6dp."""
+    tok0 = df.select(
+        F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("tokens")
+    )
+    pair_t = "array<struct<prev:string,tok:string>>"
+    bg = tok0.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("tokens") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("tokens") - 1),
+                    lambda i: F.struct(
+                        F.element_at("tokens", i).alias("prev"),
+                        F.element_at("tokens", i + 1).alias("tok"),
+                    ),
+                ),
+            ).otherwise(F.array().cast(pair_t))
+        ).alias("pr"),
+    ).select("doc_id", "pr.prev", "pr.tok")
+    bi = bg.groupBy("prev", "tok").agg(F.count(F.lit(1)).alias("c2"))
+    prev_stats = bi.groupBy("prev").agg(
+        F.sum("c2").alias("cp"), F.count(F.lit(1)).alias("fanv")
+    )
+    tok_stats = bi.groupBy("tok").agg(F.count(F.lit(1)).alias("contw"))
+    b_total = bi.agg(F.count(F.lit(1)).alias("b"))
+    d = F.lit(discount)
+    p_kn = (
+        F.greatest(F.col("c2") - d, F.lit(0.0)) / F.col("cp")
+        + d * F.col("fanv") / F.col("cp") * F.col("contw") / F.col("b")
+    )
+    return (
+        bg.join(bi, ["prev", "tok"])
+        .join(prev_stats, "prev")
+        .join(tok_stats, "tok")
+        .crossJoin(F.broadcast(b_total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(F.avg(-F.log(p_kn)), 6).alias("score"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.col("score").cast("double").alias("avg_neg_logprob"),
+        )
+    )

@@ -502,3 +502,40 @@ def window_byte_stats(binary_df: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return binary_df.mapInPandas(batches, WINDOW_STATS_SCHEMA)
+
+
+FRAME_FP_SCHEMA = "doc_id BIGINT, frame_idx INT, fp STRING"
+
+
+def sample_frame_fingerprints(
+    binary_df: DataFrame, frame_bytes: int = 4, every_n: int = 5
+) -> DataFrame:
+    """Per-sampled-frame content fingerprint: every ``every_n``-th
+    fixed-size frame is "decoded" (byte-slice stand-in, same contract
+    as sample_frame_stats) and hashed — md5 over the frame's lowercase
+    hex so a SQL oracle reproduces the digest (DuckDB's md5 is
+    VARCHAR-only; a real pipeline would pHash decoded pixels behind
+    the identical (doc_id, frame_idx) -> fp contract).
+
+    The fingerprint table is what cross-video dedup joins on: frames
+    never leave the executor, only (doc_id, frame_idx, 32-char fp)
+    rows do — the shuffle payload is fingerprints, not pixels, which
+    is the property that makes frame-level dedup feasible at 100 TB.
+    Arrow ships payload batches to Python once; narrow, no shuffle."""
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {"doc_id": [], "frame_idx": [], "fp": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = len(payload) // frame_bytes
+                for i in range(0, n_frames, every_n):
+                    frame = payload[i * frame_bytes : (i + 1) * frame_bytes]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["fp"].append(
+                        hashlib.md5(frame.hex().encode()).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    return binary_df.mapInPandas(batches, FRAME_FP_SCHEMA)

@@ -855,3 +855,223 @@ def semantic_decontaminate(
             "sim",
         )
     )
+
+
+def jl_signs(dim: int, k: int) -> list[list[int]]:
+    """Deterministic ±1 Johnson-Lindenstrauss sign matrix (k rows of
+    dim): sign(i, j) from the parity of the portable 40-bit md5 hash
+    of "jl#i#j" — a Python-side constant (like the ll9 hyperplanes),
+    identical for every executor, every run, and the SQL oracle."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(
+                hashlib.md5(f"jl#{i}#{j}".encode()).hexdigest()[:10], 16
+            )
+            % 2
+            == 0
+            else -1
+            for i in range(dim)
+        ]
+        for j in range(k)
+    ]
+
+
+def jl_project(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 16,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: dim -> k with a ±1
+    sign matrix (Achlioptas 2003 — database-friendly projections),
+    proj_j = Σ_i v_i·s_ij / √k. The embedding-compression tier: 4×
+    fewer floats per vector cuts ANN scoring and storage cost by the
+    same factor while JL bounds pairwise-distance distortion;
+    norm_ratio = |proj|/|v| is emitted per vector so the distortion
+    the lemma promises (concentrated near 1.0) is measured in-band,
+    the same measure-the-index discipline as ll52/ll72.
+
+    Scale: a narrow per-row map — k·dim multiply-adds per vector, no
+    shuffle, no broadcast (the sign matrix is a compile-time literal).
+    Projections rounded to 6dp so both the array and the ratio are
+    engine-exact.
+
+    Returns (vec_id, proj array<double>, norm_ratio).
+    """
+    signs = jl_signs(dim, k)
+    inv_sqrt_k = 1.0 / math.sqrt(k)
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    e = emb.select(F.col(id_col).alias("vec_id"), v.alias("v"))
+    proj = F.array(
+        *[
+            # + 0.0 canonicalizes IEEE -0.0 to +0.0 (a component that
+            # rounds to zero must print identically in both engines)
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        "v",
+                        F.array(*[F.lit(float(s)) for s in signs[j]]),
+                        lambda x, s: x * s,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, t: acc + t,
+                )
+                * F.lit(inv_sqrt_k),
+                6,
+            )
+            + F.lit(0.0)
+            for j in range(k)
+        ]
+    )
+    sq = lambda col: F.aggregate(  # noqa: E731
+        col, F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    return e.select(
+        "vec_id",
+        proj.alias("proj"),
+        F.round(F.sqrt(sq(proj) / sq(F.col("v"))), 6).alias("norm_ratio"),
+    )
+
+
+def sq8_quantize(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scalar int8 quantization (the FAISS ``SQ8`` flat-compression
+    tier): each vector is mapped to 256 levels of its own [min, max]
+    range — code_i = floor((v_i − mn)·255/(mx − mn) + 0.5) (round-half
+    -up via floor, identical in both engines), dequant_i = mn +
+    code_i·(mx − mn)/255. 4× smaller than float32 with no index-side
+    machinery, the standard first compression step before PQ (ll49) is
+    worth its training cost. Reconstruction quality is measured
+    in-band per vector (the ll52/ll72/ll76 discipline): recon_cos
+    (cosine of the vector with its dequantization) and recon_mse.
+
+    Scale: a narrow per-row map — two array passes per vector, no
+    shuffle, no broadcast, nothing corpus-sized. Constant-vector rows
+    (mx == mn) quantize to code 0 with exact reconstruction.
+
+    Returns (vec_id, codes array<int>, zero_point, scale, recon_cos,
+    recon_mse); zero_point/scale rounded 6dp for display, full
+    precision used in the reconstruction math."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    e = emb.select(F.col(id_col).alias("vec_id"), v.alias("v"))
+    mn, mx = F.array_min("v"), F.array_max("v")
+    e = e.select(
+        "vec_id", "v", mn.alias("mn"), ((mx - mn) / F.lit(255.0)).alias("sc")
+    )
+    code = lambda x: F.when(  # noqa: E731
+        F.col("sc") == 0.0, F.lit(0)
+    ).otherwise(
+        F.least(
+            F.lit(255),
+            F.floor((x - F.col("mn")) / F.col("sc") + F.lit(0.5)),
+        ).cast("int")
+    )
+    deq = lambda x: F.col("mn") + code(x).cast("double") * F.col("sc")  # noqa: E731
+    dot = F.aggregate(
+        F.zip_with("v", "d", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    sq = lambda c: F.aggregate(  # noqa: E731
+        c, F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    mse = F.aggregate(
+        F.zip_with("v", "d", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    ) / F.size("v")
+    staged = e.select(
+        "vec_id",
+        "v",
+        "mn",
+        "sc",
+        F.transform("v", code).alias("codes"),
+        F.transform("v", deq).alias("d"),
+    )
+    return staged.select(
+        "vec_id",
+        "codes",
+        F.round("mn", 6).alias("zero_point"),
+        F.round("sc", 6).alias("scale"),
+        F.round(
+            F.when(sq(F.col("v")) * sq(F.col("d")) == 0.0, F.lit(1.0))
+            .otherwise(dot / F.sqrt(sq(F.col("v")) * sq(F.col("d")))),
+            6,
+        ).alias("recon_cos"),
+        F.round(mse, 6).alias("recon_mse"),
+    )
+
+
+def hashed_embeddings(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 64,
+) -> DataFrame:
+    """Feature-hashing document embeddings (the hashing trick —
+    Weinberger et al. 2009): each token lands in bucket
+    portable_hash40(token) % dim with a ±1 sign drawn from an
+    independent hex digit of the SAME md5 (char 11; chars 1-10 are the
+    bucket hash), the per-bucket signed counts are L2-normalized, and
+    the result is a dense array<double> — a vocabulary-free,
+    training-free text vectorizer whose output plugs into every
+    embedding-family operator (ll8/ll9/ll12 ANN, ll42 SemDeDup, ll76
+    JL, ll78 SQ8). The signed hash makes bucket collisions cancel in
+    expectation (the property that lets dim stay tiny).
+
+    Scale: tokenize+hash is codegen; ONE (doc, bucket)-keyed map-side-
+    combined count (≤ dim rows per doc survive the combine), one
+    doc-keyed densify — no vocabulary table, no broadcast, no global
+    state of any kind, which is the whole point of hashing features at
+    100 TB. Docs with zero tokens drop out (no feature events).
+
+    Returns (doc_id, n_tokens, embedding array<double> L2-normalized,
+    components rounded 6dp)."""
+    from ..functions.text import tokenize
+
+    toks = _spread(
+        df.select(
+            F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("tokens")
+        )
+    ).select("doc_id", F.explode("tokens").alias("token"))
+    md5 = F.md5(F.col("token"))
+    h = F.conv(F.substring(md5, 1, 10), 16, 10).cast("bigint")
+    sign = F.when(
+        F.conv(F.substring(md5, 11, 1), 16, 10).cast("bigint") % 2 == 0,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    g = (
+        toks.select("doc_id", F.pmod(h, F.lit(dim)).alias("idx"), sign.alias("s"))
+        .groupBy("doc_id", "idx")
+        .agg(F.sum("s").alias("v"), F.count(F.lit(1)).alias("cnt"))
+    )
+    dense = g.groupBy("doc_id").agg(
+        F.sum("cnt").cast("bigint").alias("n_tokens"),
+        F.map_from_entries(
+            F.collect_list(F.struct("idx", "v"))
+        ).alias("m"),
+    )
+    raw = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(F.element_at("m", i), F.lit(0)).cast("double"),
+    )
+    # two selects so "raw" resolves before nrm references it
+    staged = dense.select("doc_id", "n_tokens", raw.alias("raw")).select(
+        "doc_id",
+        "n_tokens",
+        "raw",
+        F.sqrt(
+            F.aggregate("raw", F.lit(0.0), lambda acc, x: acc + x * x)
+        ).alias("nrm"),
+    )
+    emb = F.when(F.col("nrm") == 0.0, F.col("raw")).otherwise(
+        F.transform("raw", lambda x: F.round(x / F.col("nrm"), 6) + F.lit(0.0))
+    )
+    return staged.select("doc_id", "n_tokens", emb.alias("embedding"))

@@ -169,6 +169,14 @@ _NEW_THIS_ROUND = (
     "ll72_minhash_calibration",
     "ll73_bigram_lm_score",
     "ll74_soft_dedup_weights",
+    "ll75_frame_dedup",
+    "ll76_jl_projection",
+    "ll77_cell_silhouette",
+    "c8_logistic_irls",
+    "x5_skew_profile",
+    "ll78_sq8_quantize",
+    "ll80_kneser_ney_score",
+    "ll81_hashed_embeddings",
 )
 
 

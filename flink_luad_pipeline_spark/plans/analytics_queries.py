@@ -994,3 +994,133 @@ def g10_scc_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return strongly_connected_components(trans)
+
+
+def _c8_oracle() -> str:
+    from ..functions.text import STOPWORDS
+
+    stops = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    toks = (
+        "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),"
+        " t -> t <> '')"
+    )
+    dec = "DECIMAL(28,9)"
+
+    def msums(name: str, psrc: str) -> str:
+        # per-row IRLS terms quantized to DECIMAL(28,9) BEFORE the sum:
+        # the summation becomes exact-decimal, hence independent of
+        # row order — the same trick c6/c7 use for value-checked ML
+        return (
+            f" {name} AS (SELECT"
+            f" CAST(sum(CAST(p * (1.0 - p) AS {dec})) AS DOUBLE) AS a0,"
+            f" CAST(sum(CAST((p * (1.0 - p)) * x AS {dec})) AS DOUBLE) AS a1,"
+            f" CAST(sum(CAST((p * (1.0 - p)) * x * x AS {dec})) AS DOUBLE)"
+            "   AS a2,"
+            f" CAST(sum(CAST(y - p AS {dec})) AS DOUBLE) AS g0,"
+            f" CAST(sum(CAST((y - p) * x AS {dec})) AS DOUBLE) AS g1"
+            f" FROM ({psrc}) tt),"
+        )
+
+    def wstep(name: str, m: str, prev_b0: str, prev_b1: str) -> str:
+        return (
+            f" {name} AS (SELECT"
+            f" {prev_b0} + (a2 * g0 - a1 * g1) / det AS b0,"
+            f" {prev_b1} + (a0 * g1 - a1 * g0) / det AS b1"
+            f" FROM (SELECT *, a0 * a2 - a1 * a1 AS det FROM {m}) dd),"
+        )
+
+    return (
+        "WITH d0 AS (SELECT lang, " + toks + " AS tokens FROM documents),"
+        " d AS (SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,"
+        f"  CAST(len(list_filter(tokens, t -> t IN ({stops}))) AS DOUBLE)"
+        "   / CAST(len(tokens) AS DOUBLE) AS x"
+        "  FROM d0 WHERE len(tokens) > 0),"
+        + msums(
+            "m1",
+            "SELECT y, x, 1.0 / (1.0 + exp(-(0.0 + 0.0 * x))) AS p FROM d",
+        )
+        + wstep("w1", "m1", "0.0", "0.0")
+        + msums(
+            "m2",
+            "SELECT d.y, d.x,"
+            " 1.0 / (1.0 + exp(-(w1.b0 + w1.b1 * d.x))) AS p"
+            " FROM d CROSS JOIN w1",
+        )
+        + " m2b AS (SELECT m2.*, w1.b0 AS pb0, w1.b1 AS pb1"
+        "   FROM m2 CROSS JOIN w1),"
+        + wstep("w2", "m2b", "pb0", "pb1")
+        + msums(
+            "m3",
+            "SELECT d.y, d.x,"
+            " 1.0 / (1.0 + exp(-(w2.b0 + w2.b1 * d.x))) AS p"
+            " FROM d CROSS JOIN w2",
+        )
+        + " m3b AS (SELECT m3.*, w2.b0 AS pb0, w2.b1 AS pb1"
+        "   FROM m3 CROSS JOIN w2),"
+        + wstep("w3", "m3b", "pb0", "pb1")
+        + " fin AS (SELECT CAST(count(*) AS BIGINT) AS n,"
+        "  sum(CASE WHEN (CASE WHEN w3.b0 + w3.b1 * d.x > 0.0"
+        "   THEN 1.0 ELSE 0.0 END) = d.y THEN 1 ELSE 0 END) AS correct,"
+        "  max(w3.b0) AS b0, max(w3.b1) AS b1"
+        "  FROM d CROSS JOIN w3)"
+        " SELECT n, CAST(round(b0, 6) AS DOUBLE) AS b0,"
+        " CAST(round(b1, 6) AS DOUBLE) AS b1,"
+        " CAST(round(correct * 1.0 / n, 6) AS DOUBLE) AS train_accuracy"
+        " FROM fin"
+    )
+
+
+@query("c8_logistic_irls", oracle=_c8_oracle())
+def c8_logistic_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8 — logistic regression by IRLS (3 unrolled Newton steps,
+    intercept + one feature), VALUE-checked: P(lang = en | doc) from
+    the English-stopword ratio — the shape of every fasttext-style
+    quality/language classifier gate, trained inside the engine. Like
+    c6/c7 (and unlike the rows-only iterative tiers), every number is
+    deterministic: per-row IRLS terms are quantized to DECIMAL(28,9)
+    before summation, so the distributed sums are exact and
+    row-order-free, and the 2x2 Newton solve is closed-form algebra
+    written in the identical operation order on both engines.
+
+    At 100 TB: each IRLS step is ONE map-side-combined aggregation
+    over the corpus (the betas ride along as a 1-row broadcast); 3
+    steps + 1 scoring pass = 4 scans, the textbook distributed-IRLS
+    layout. The feature is a narrow expression — no shuffle anywhere
+    except the 5-number partial-agg merge."""
+    from ..functions.text import STOPWORDS, tokenize
+
+    docs = load(spark, sf_dir, "documents")
+    tokens = tokenize(F.col("text"))
+    stop_hits = F.size(
+        F.filter(tokens, lambda t: t.isin(*[F.lit(w) for w in STOPWORDS["en"]]))
+    )
+    d = (
+        docs.select(
+            F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+            (stop_hits.cast("double") / F.size(tokens).cast("double")).alias(
+                "x"
+            ),
+            F.size(tokens).alias("nt"),
+        )
+        .where(F.col("nt") > 0)
+        .drop("nt")
+    )
+
+    w = ml.logistic_irls_1d(d, steps=3)
+    pred = F.when(F.col("b0") + F.col("b1") * F.col("x") > 0.0, 1.0).otherwise(
+        0.0
+    )
+    fin = d.crossJoin(F.broadcast(w)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(pred == F.col("y"), 1).otherwise(0)).alias("correct"),
+        F.max("b0").alias("b0"),
+        F.max("b1").alias("b1"),
+    )
+    return fin.select(
+        "n",
+        F.round("b0", 6).cast("double").alias("b0"),
+        F.round("b1", 6).cast("double").alias("b1"),
+        F.round(F.col("correct") * F.lit(1.0) / F.col("n"), 6)
+        .cast("double")
+        .alias("train_accuracy"),
+    )

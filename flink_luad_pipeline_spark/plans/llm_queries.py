@@ -3391,3 +3391,276 @@ def ll74_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0) / F.coalesce("cluster_size", F.lit(1)), 6
         ).alias("weight"),
     )
+
+
+_LL75_ORACLE = (
+    # payload/frame layout identical to ll44 (_FRAME_ORACLE): 64-byte
+    # md5-concat payload, 4-byte frames, every 5th sampled; fp = md5
+    # of the frame's lowercase-hex slice. Augmented corpus so planted
+    # copies give genuine cross-video duplicate frames.
+    f"WITH aug AS ({_AUG_SQL}),"
+    " d AS (SELECT doc_id,"
+    " md5(text) || md5(text || 'a') || md5(text || 'b') || md5(text || 'c')"
+    "  AS hx FROM aug WHERE doc_id % 1000000 < 100),"
+    " fr AS (SELECT doc_id, i AS frame_idx,"
+    "  md5(substr(hx, 8 * i + 1, 8)) AS fp"
+    " FROM d, unnest([0, 5, 10, 15]) t(i)),"
+    " g AS (SELECT fp, count(DISTINCT doc_id) AS n_docs,"
+    "  count(*) AS n_frames, min({'d': doc_id, 'f': frame_idx}) AS kp"
+    "  FROM fr GROUP BY fp HAVING count(DISTINCT doc_id) >= 2)"
+    " SELECT fp, CAST(n_docs AS BIGINT) AS n_docs,"
+    " CAST(n_frames AS BIGINT) AS n_frames,"
+    " kp.d AS keeper_doc, CAST(kp.f AS INT) AS keeper_frame FROM g"
+)
+
+
+@query("ll75_frame_dedup", oracle=_LL75_ORACLE)
+def ll75_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-video duplicate-frame detection — multimodal × dedup
+    composition: sampled frames are fingerprinted executor-side
+    (``multimodal.sample_frame_fingerprints``, Arrow-batched), then a
+    fingerprint hash-groupBy finds frames occurring in >= 2 distinct
+    videos, keeper = lexicographically-first (doc, frame). The shuffle
+    carries 32-char fingerprints, never pixels — the property that
+    makes frame dedup (intro/outro/logo detection, re-upload
+    clustering) feasible at video-corpus scale. Payloads are
+    md5-derived (no codec in this container), so every fingerprint is
+    SQL-reproducible and the whole path is value-checked."""
+    aug = _augmented(spark, sf_dir).where((F.col("doc_id") % 1000000) < 100)
+    binary = multimodal.attach_multiwindow_payload(aug, "doc_id", "text")
+    fps = multimodal.sample_frame_fingerprints(
+        binary, frame_bytes=4, every_n=5
+    )
+    return (
+        fps.groupBy("fp")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+            F.min(F.struct("doc_id", "frame_idx")).alias("kp"),
+        )
+        .where(F.col("n_docs") >= 2)
+        .select(
+            "fp",
+            "n_docs",
+            "n_frames",
+            F.col("kp.doc_id").alias("keeper_doc"),
+            F.col("kp.frame_idx").alias("keeper_frame"),
+        )
+    )
+
+
+_JL_SIGNS = similarity.jl_signs(64, 16)
+
+
+def _jl_oracle() -> str:
+    projs = ", ".join(
+        "round(list_sum(list_transform(range(1, 65),"
+        " i -> CAST(embedding[i] AS DOUBLE) * "
+        + "[" + ",".join(f"{float(s)}" for s in _JL_SIGNS[j]) + "]"
+        + "[i])) / 4.0, 6) + 0.0"  # + 0.0 canonicalizes -0.0
+        for j in range(16)
+    )
+    return (
+        f"WITH p AS (SELECT vec_id, [{projs}] AS proj, embedding"
+        " FROM embeddings)"
+        " SELECT vec_id, proj,"
+        " round(sqrt(list_sum(list_transform(proj, x -> x * x))"
+        " / list_sum(list_transform(embedding,"
+        "   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS norm_ratio"
+        " FROM p"
+    )
+
+
+@query("ll76_jl_projection", oracle=_jl_oracle())
+def ll76_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss ±1 random projection 64 → 16 dims
+    (Achlioptas database-friendly projections) — the embedding
+    compression tier feeding cheaper ANN/storage, with the per-vector
+    norm-preservation ratio emitted in-band (the JL lemma's promise,
+    measured, same discipline as ll52/ll72). Sign matrix is a
+    deterministic md5-parity Python constant shared verbatim with the
+    oracle (the ll9 hyperplane pattern); /√k folded as ·0.25 exactly.
+    Scale: a narrow per-row map, no shuffle, no broadcast."""
+    return similarity.jl_project(
+        load(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        dim=64, k=16,
+    )
+
+
+_LL77_ORACLE = (
+    "WITH md AS (SELECT CAST(greatest(1, round(sqrt(count(*)), 0))"
+    " AS BIGINT) AS m FROM embeddings),"
+    " cents AS (SELECT vec_id AS cid, embedding AS cv"
+    "  FROM embeddings, md WHERE vec_id % md.m = 0),"
+    " scored AS (SELECT e.vec_id, c.cid,"
+    "  round(sqrt(list_sum(list_transform(range(1, 65), i ->"
+    "   (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))"
+    "   * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))))), 6)"
+    "   AS d"
+    "  FROM embeddings e CROSS JOIN cents c),"
+    " rk AS (SELECT vec_id, cid, d, row_number() OVER"
+    "  (PARTITION BY vec_id ORDER BY d, cid) AS r FROM scored),"
+    " t2 AS (SELECT vec_id,"
+    "  max(CASE WHEN r = 1 THEN cid END) AS cell,"
+    "  max(CASE WHEN r = 1 THEN d END) AS a,"
+    "  max(CASE WHEN r = 2 THEN d END) AS b"
+    "  FROM rk WHERE r <= 2 GROUP BY vec_id),"
+    " s AS (SELECT cell, CASE WHEN greatest(a, b) = 0 THEN 0.0"
+    "  ELSE (b - a) / greatest(a, b) END AS s"
+    "  FROM t2 WHERE b IS NOT NULL)"
+    " SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs,"
+    " CAST(round(avg(s), 6) AS DOUBLE) AS mean_silhouette"
+    " FROM s GROUP BY cell"
+)
+
+
+@query("ll77_cell_silhouette", oracle=_LL77_ORACLE)
+def ll77_cell_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell simplified silhouette of the training-free IVF
+    quantizer (derived √N modulus — the ll42/ll12 rule): mean
+    (b − a)/max(a, b) over each cell's members, a/b = distance to the
+    nearest/second-nearest centroid. The cluster-quality measurement
+    consulted before trusting cell-scoped ops (ll42, ll12/ll60):
+    near-zero cells leak neighbors across boundaries and need larger
+    nprobe or trained centroids. O(N·M) = O(N^1.5) — the full-
+    silhouette O(N²) never runs (operators/clustering.py)."""
+    from ..operators import clustering
+
+    return clustering.cell_silhouette(
+        load(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        centroid_mod=None,
+    )
+
+
+_LL78_ORACLE = (
+    "WITH e AS (SELECT vec_id,"
+    " list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
+    " FROM embeddings),"
+    " s AS (SELECT vec_id, v, list_min(v) AS mn,"
+    "  (list_max(v) - list_min(v)) / 255.0 AS sc FROM e),"
+    " q AS (SELECT vec_id, v, mn, sc,"
+    "  list_transform(v, x -> CASE WHEN sc = 0 THEN 0 ELSE"
+    "   CAST(least(255, floor((x - mn) / sc + 0.5)) AS INT) END)"
+    "   AS codes,"
+    "  list_transform(v, x -> mn + (CASE WHEN sc = 0 THEN 0 ELSE"
+    "   least(255, floor((x - mn) / sc + 0.5)) END) * sc) AS d"
+    "  FROM s),"
+    " m AS (SELECT vec_id, codes, mn, sc,"
+    "  list_sum(list_transform(range(1, 65), i -> v[i] * d[i])) AS dot,"
+    "  list_sum(list_transform(v, x -> x * x)) AS sqv,"
+    "  list_sum(list_transform(d, x -> x * x)) AS sqd,"
+    "  list_sum(list_transform(range(1, 65),"
+    "   i -> (v[i] - d[i]) * (v[i] - d[i]))) / 64 AS mse"
+    "  FROM q)"
+    " SELECT vec_id, codes, round(mn, 6) AS zero_point,"
+    " round(sc, 6) AS scale,"
+    " round(CASE WHEN sqv * sqd = 0 THEN 1.0"
+    "  ELSE dot / sqrt(sqv * sqd) END, 6) AS recon_cos,"
+    " round(mse, 6) AS recon_mse FROM m"
+)
+
+
+@query("ll78_sq8_quantize", oracle=_LL78_ORACLE)
+def ll78_sq8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization of the embedding table (FAISS SQ8):
+    256 levels of each vector's own range, 4x smaller than float32 —
+    the standard first compression tier before PQ (ll49) is worth its
+    training cost — with per-vector reconstruction cosine and MSE
+    emitted in-band (the measure-the-index discipline of ll52/ll72/
+    ll76). Codes, dequantization, and both quality metrics are
+    value-checked. Scale: a narrow per-row map — no shuffle, no
+    broadcast (operators/similarity.sq8_quantize)."""
+    return similarity.sq8_quantize(
+        load(spark, sf_dir, "embeddings"), "vec_id", "embedding"
+    )
+
+
+_LL80_ORACLE = (
+    f"WITH tok0 AS (SELECT doc_id, {_TOKENS_SQL} AS tokens FROM documents),"
+    " bg0 AS (SELECT doc_id, unnest(CASE WHEN len(tokens) >= 2 THEN"
+    "   list_transform(range(1, len(tokens)),"
+    "     i -> {'p': tokens[i], 't': tokens[i+1]})"
+    "   ELSE [] END) AS pr FROM tok0),"
+    " bg AS (SELECT doc_id, pr.p AS prev, pr.t AS tok FROM bg0),"
+    " bi AS (SELECT prev, tok, count(*) AS c2 FROM bg GROUP BY prev, tok),"
+    " ps AS (SELECT prev, sum(c2) AS cp, count(*) AS fanv"
+    "   FROM bi GROUP BY prev),"
+    " ts AS (SELECT tok, count(*) AS contw FROM bi GROUP BY tok),"
+    " bt AS (SELECT count(*) AS b FROM bi),"
+    " sc AS (SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,"
+    "   round(avg(-ln(greatest(b.c2 - 0.75, 0.0) / p.cp"
+    "    + 0.75 * p.fanv / p.cp * t.contw / bt.b)), 6) AS score"
+    "   FROM bg g JOIN bi b ON b.prev = g.prev AND b.tok = g.tok"
+    "   JOIN ps p ON p.prev = g.prev"
+    "   JOIN ts t ON t.tok = g.tok"
+    "   CROSS JOIN bt GROUP BY g.doc_id)"
+    " SELECT doc_id, n_bigrams, CAST(score AS DOUBLE) AS avg_neg_logprob"
+    " FROM sc"
+)
+
+
+@query("ll80_kneser_ney_score", oracle=_LL80_ORACLE)
+def ll80_kneser_ney_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney-smoothed bigram LM scoring — the canonical n-gram
+    smoothing (the default in KenLM, whose 5-gram scores drive CCNet's
+    quality buckets, ll69): absolute discounting d = 0.75 with the
+    CONTINUATION unigram (in how many distinct contexts a word
+    follows) instead of raw frequency — the property that stops
+    high-count-but-single-context tokens from dominating backoff mass,
+    which is exactly what JM interpolation (ll73) gets wrong. Completes
+    the in-engine LM ladder: ll32 unigram → ll73 JM bigram → ll80 KN
+    bigram. Scale: see operators/importance.kneser_ney_bigram_scores
+    (bigram-table-derived counts, token-keyed equi-joins, 1-row total
+    broadcast)."""
+    from ..operators import importance
+
+    return importance.kneser_ney_bigram_scores(
+        load(spark, sf_dir, "documents"), "doc_id", "text", discount=0.75
+    )
+
+
+_LL81_ORACLE = (
+    f"WITH tok0 AS (SELECT doc_id, {_TOKENS_SQL} AS tokens FROM documents),"
+    " t AS (SELECT doc_id, unnest(tokens) AS token FROM tok0),"
+    " h AS (SELECT doc_id,"
+    "  list_sum(list_transform(range(1, 11), j ->"
+    "   CAST(strpos('0123456789abcdef', substr(md5(token), j, 1)) - 1"
+    "   AS BIGINT) * (1::BIGINT << (4 * (10 - j))))) % 64 AS idx,"
+    "  CASE WHEN (strpos('0123456789abcdef', substr(md5(token), 11, 1))"
+    "   - 1) % 2 = 0 THEN 1 ELSE -1 END AS s FROM t),"
+    " g AS (SELECT doc_id, idx, sum(s) AS v, count(*) AS cnt"
+    "  FROM h GROUP BY doc_id, idx),"
+    " docs AS (SELECT doc_id, sum(cnt) AS n_tokens FROM g GROUP BY doc_id),"
+    " dims AS (SELECT d.doc_id, r.i FROM docs d CROSS JOIN"
+    "  (SELECT unnest(range(0, 64)) AS i) r),"
+    " vals AS (SELECT dm.doc_id, dm.i,"
+    "  CAST(coalesce(g.v, 0) AS DOUBLE) AS v FROM dims dm"
+    "  LEFT JOIN g ON g.doc_id = dm.doc_id AND g.idx = dm.i),"
+    " vec AS (SELECT doc_id, list(v ORDER BY i) AS raw"
+    "  FROM vals GROUP BY doc_id),"
+    " n AS (SELECT doc_id, raw,"
+    "  sqrt(list_sum(list_transform(raw, x -> x * x))) AS nrm FROM vec)"
+    " SELECT d.doc_id, CAST(d.n_tokens AS BIGINT) AS n_tokens,"
+    " CASE WHEN n.nrm = 0 THEN raw"
+    "  ELSE list_transform(raw, x -> round(x / n.nrm, 6) + 0.0) END"
+    "  AS embedding"
+    " FROM docs d JOIN n ON n.doc_id = d.doc_id"
+)
+
+
+@query("ll81_hashed_embeddings", oracle=_LL81_ORACLE)
+def ll81_hashed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing document embeddings (the hashing trick,
+    Weinberger et al. 2009): tokens → ±1-signed buckets of
+    portable_hash40 % 64 → L2-normalized dense array<double> — the
+    vocabulary-free, training-free text vectorizer that bridges the
+    documents table into the embedding-family operators (ANN ll8/ll12,
+    SemDeDup ll42, JL ll76, SQ8 ll78) when no neural encoder is in the
+    loop. Sign from an independent hex digit of the same md5, so
+    collisions cancel in expectation. Every component value-checked.
+    Scale: one (doc, bucket)-keyed map-side-combined count + one
+    doc-keyed densify; no vocabulary, no broadcast, no global state
+    (operators/similarity.hashed_embeddings)."""
+    return similarity.hashed_embeddings(
+        load(spark, sf_dir, "documents"), "doc_id", "text", dim=64
+    )

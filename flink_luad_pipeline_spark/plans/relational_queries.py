@@ -2306,3 +2306,54 @@ def j12_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("lrow.ship", "yyyy-MM-dd HH:mm:ss").alias("ship_at"),
         F.col("carried.rv").alias("priority_at_ship"),
     )
+
+
+_X5_ORACLE = (
+    "WITH k AS (SELECT user_id, count(*) AS cnt FROM events"
+    "  GROUP BY user_id),"
+    " t AS (SELECT sum(cnt) AS total, avg(cnt) AS avg_cnt FROM k),"
+    " r AS (SELECT user_id, cnt,"
+    "  row_number() OVER (ORDER BY cnt DESC, user_id) AS rank"
+    "  FROM k)"
+    " SELECT r.rank, r.user_id, CAST(r.cnt AS BIGINT) AS cnt,"
+    " CAST(round(r.cnt * 1.0 / t.total, 6) AS DOUBLE) AS share,"
+    " CAST(round(r.cnt * 1.0 / t.avg_cnt, 6) AS DOUBLE) AS skew_ratio"
+    " FROM r CROSS JOIN t WHERE r.rank <= 20"
+)
+
+
+@query("x5_skew_profile", oracle=_X5_ORACLE)
+def x5_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 — join/agg-key skew diagnostic: the top-20 heaviest keys of
+    events.user_id with their frequency share and skew ratio
+    (count / mean-count). This is the report consulted BEFORE choosing
+    a mitigation — x1's salted agg, x3's salted join, or AQE's skew
+    split — and after, to confirm the hot keys are gone. Deterministic:
+    rank by (cnt desc, key).
+
+    Scale: one key-grouped count (map-side combined), a 1-row totals
+    broadcast, and a global top-20 — rank the K distinct keys, not the
+    rows; if K itself explodes past sort budget, x2's approximate
+    heavy-hitter sketch is the documented fallback."""
+    ev = load(spark, sf_dir, "events")
+    k = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    t = k.agg(
+        F.sum("cnt").alias("total"), F.avg("cnt").alias("avg_cnt")
+    )
+    from pyspark.sql.window import Window as W
+
+    r = k.withColumn(
+        "rank",
+        F.row_number().over(W.orderBy(F.col("cnt").desc(), F.col("user_id"))),
+    ).where(F.col("rank") <= 20)
+    return r.crossJoin(F.broadcast(t)).select(
+        "rank",
+        "user_id",
+        F.col("cnt").cast("bigint").alias("cnt"),
+        F.round(F.col("cnt") * F.lit(1.0) / F.col("total"), 6)
+        .cast("double")
+        .alias("share"),
+        F.round(F.col("cnt") * F.lit(1.0) / F.col("avg_cnt"), 6)
+        .cast("double")
+        .alias("skew_ratio"),
+    )

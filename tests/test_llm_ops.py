@@ -1025,3 +1025,173 @@ def test_bigram_lm_matches_python_reference(spark):
         nb, score = got[d]
         assert nb == len(events)
         assert abs(score - round(ref, 6)) < 1e-9
+
+
+def test_frame_dedup_planted_copies(spark, sf_dir):
+    """ll75: every planted copy (same text => same payload) must
+    duplicate all 4 sampled frames of its original; keeper is the
+    original (doc_id < 1e6); fingerprint groups never mix docs with
+    different texts (md5 frames collide only on identical content)."""
+    from flink_luad_pipeline_spark.plans.llm_queries import ll75_frame_dedup
+
+    rows = ll75_frame_dedup(spark, sf_dir).collect()
+    assert rows
+    copied = [
+        r.doc_id
+        for r in load(spark, sf_dir, "documents")
+        .where((F.col("doc_id") % 10 == 0) & (F.col("doc_id") < 100))
+        .select("doc_id")
+        .collect()
+    ]
+    # 4 sampled frames per copied doc, each a (orig, copy) group
+    assert len(rows) == 4 * len(copied)
+    for r in rows:
+        assert r.n_docs == 2
+        assert r.n_frames == 2
+        assert r.keeper_doc in copied
+        assert r.keeper_frame in (0, 5, 10, 15)
+
+
+def test_jl_projection_norm_concentration(spark, sf_dir):
+    """ll76: the JL lemma's promise on the fixture — norm ratios
+    concentrate around 1 (each is a chi-like average of k=16 squared
+    N(0,1)-ish terms): mean in [0.8, 1.2], every ratio positive and
+    below 2.5."""
+    import statistics
+
+    from flink_luad_pipeline_spark.operators import similarity as sim
+
+    rows = sim.jl_project(
+        load(spark, sf_dir, "embeddings"), "vec_id", "embedding"
+    ).collect()
+    assert rows
+    ratios = [r.norm_ratio for r in rows]
+    assert all(0.0 < x < 2.5 for x in ratios)
+    assert 0.8 < statistics.mean(ratios) < 1.2
+    assert all(len(r.proj) == 16 for r in rows)
+
+
+def test_logistic_irls_learns_separable_fixture(spark):
+    """c8's trainer on a linearly separable 1-D problem: y = 1 iff
+    x > 0.5 (margin 0.2). Three Newton steps must yield a boundary
+    inside the margin (perfect training accuracy) with b1 > 0."""
+    from flink_luad_pipeline_spark.ml import logistic_irls_1d
+
+    rows = [(1.0, 0.6 + 0.05 * i) for i in range(8)] + [
+        (0.0, 0.4 - 0.05 * i) for i in range(8)
+    ]
+    d = spark.createDataFrame(rows, "y double, x double")
+    w = logistic_irls_1d(d, steps=3).collect()[0]
+    assert w.b1 > 0
+    boundary = -w.b0 / w.b1
+    assert 0.4 < boundary < 0.6
+    scored = d.withColumn(
+        "pred",
+        (F.lit(w.b0) + F.lit(w.b1) * F.col("x") > 0).cast("double"),
+    )
+    assert scored.where(F.col("pred") != F.col("y")).count() == 0
+
+
+def test_kneser_ney_matches_python_reference_and_sums_to_one(spark):
+    """ll80's operator on a hand-checkable corpus: exact score parity
+    with a pure-Python KN reference, AND the KN distribution property
+    — sum_w P_KN(w|v) over the full vocabulary (unseen bigrams
+    included) equals 1 for every context v."""
+    import math
+    from collections import Counter
+
+    from flink_luad_pipeline_spark.operators import importance
+
+    texts = {1: "a b a b a b", 2: "c d e f a", 3: "x"}
+    df = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], ["doc_id", "text"]
+    )
+    got = {
+        r.doc_id: (r.n_bigrams, r.avg_neg_logprob)
+        for r in importance.kneser_ney_bigram_scores(
+            df, "doc_id", "text"
+        ).collect()
+    }
+    toks = {k: v.split() for k, v in texts.items()}
+    d = 0.75
+    bi = Counter(
+        (ts[i], ts[i + 1]) for ts in toks.values() for i in range(len(ts) - 1)
+    )
+    cp = Counter()
+    fanv = Counter()
+    contw = Counter()
+    for (v, w), c in bi.items():
+        cp[v] += c
+        fanv[v] += 1
+        contw[w] += 1
+    b_total = len(bi)
+
+    def p_kn(v, w):
+        return max(bi[(v, w)] - d, 0.0) / cp[v] + d * fanv[v] / cp[v] * contw[
+            w
+        ] / b_total
+
+    # distribution property: sums to 1 over the continuation vocab
+    vocab = set(contw)
+    for v in cp:
+        assert abs(sum(p_kn(v, w) for w in vocab) - 1.0) < 1e-12
+
+    for doc, ts in toks.items():
+        events = [(ts[i], ts[i + 1]) for i in range(len(ts) - 1)]
+        if not events:
+            assert doc not in got
+            continue
+        ref = sum(-math.log(p_kn(*e)) for e in events) / len(events)
+        nb, score = got[doc]
+        assert nb == len(events)
+        assert abs(score - round(ref, 6)) < 1e-9
+
+
+def test_sq8_reconstruction_bounds(spark, sf_dir):
+    """ll78: every code in [0,255]; per-component |v - dequant| <=
+    scale/2 (half a quantization step, the round-half-up guarantee);
+    recon cosine near 1 on the fixture."""
+    from flink_luad_pipeline_spark.operators import similarity as sim
+
+    emb = load(spark, sf_dir, "embeddings")
+    rows = sim.sq8_quantize(emb, "vec_id", "embedding").collect()
+    assert rows
+    orig = {r.vec_id: r.embedding for r in emb.collect()}
+    for r in rows:
+        assert all(0 <= c <= 255 for c in r.codes)
+        assert r.recon_cos > 0.995
+        v = [float(x) for x in orig[r.vec_id]]
+        mn, mx = min(v), max(v)
+        scale = (mx - mn) / 255.0
+        for x, c in zip(v, r.codes):
+            deq = mn + c * scale
+            assert abs(x - deq) <= scale / 2 + 1e-12
+
+
+def test_hashed_embeddings_unit_norm_and_determinism(spark, sf_dir):
+    """ll81: every emitted embedding is 64-dim and L2-normalized
+    (within 6dp component rounding); n_tokens matches the tokenizer;
+    two invocations are bit-identical (hash-derived, no RNG)."""
+    import math as m
+
+    from flink_luad_pipeline_spark.functions.text import tokenize
+    from flink_luad_pipeline_spark.operators import similarity as sim
+
+    docs = load(spark, sf_dir, "documents").limit(200)
+    a = sim.hashed_embeddings(docs, "doc_id", "text").collect()
+    assert a
+    ntok = {
+        r.doc_id: r.n
+        for r in docs.select(
+            "doc_id", F.size(tokenize(F.col("text"))).alias("n")
+        ).collect()
+    }
+    for r in a:
+        assert len(r.embedding) == 64
+        assert r.n_tokens == ntok[r.doc_id]
+        nrm = m.sqrt(sum(x * x for x in r.embedding))
+        if nrm > 0:
+            assert abs(nrm - 1.0) < 1e-4
+    b = {r.doc_id: r.embedding for r in
+         sim.hashed_embeddings(docs, "doc_id", "text").collect()}
+    assert all(b[r.doc_id] == r.embedding for r in a)

@@ -220,6 +220,11 @@ INTENTIONAL_CARTESIAN = {
                               # (the LM it buckets is ll32's)
     "ll71_temperature_sample",  # 1-row (n_total, z) scalar broadcast attach
     "ll73_bigram_lm_score",   # same 1-row corpus-total attach as ll32
+    "ll80_kneser_ney_score",  # same 1-row bigram-type-total attach as ll73
+    "ll77_cell_silhouette",   # N x sqrt(N) broadcast centroid scoring —
+                              # the ll42/ll12 assignment shape
+    "c8_logistic_irls",       # 1-row IRLS beta broadcast attach per step
+    "x5_skew_profile",        # 1-row totals broadcast attach
 }
 
 
