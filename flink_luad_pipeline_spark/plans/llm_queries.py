@@ -3462,12 +3462,18 @@ def _jl_oracle() -> str:
     )
     return (
         f"WITH p AS (SELECT vec_id, [{projs}] AS proj, embedding"
-        " FROM embeddings)"
-        " SELECT vec_id, proj,"
+        " FROM embeddings),"
+        " f AS (SELECT vec_id, proj,"
         " round(sqrt(list_sum(list_transform(proj, x -> x * x))"
         " / list_sum(list_transform(embedding,"
         "   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS norm_ratio"
-        " FROM p"
+        " FROM p)"
+        # one row per (vector, dim): parallel unnests zip in DuckDB, so
+        # dim_idx and proj_val stay aligned — the scalar-only output
+        # shape every registered query must have (driver canon
+        # lexsorts all columns and cannot hash list cells)
+        " SELECT vec_id, unnest(range(0, 16)) AS dim_idx,"
+        " unnest(proj) AS proj_val, norm_ratio FROM f"
     )
 
 
@@ -3480,10 +3486,24 @@ def ll76_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured, same discipline as ll52/ll72). Sign matrix is a
     deterministic md5-parity Python constant shared verbatim with the
     oracle (the ll9 hyperplane pattern); /√k folded as ·0.25 exactly.
-    Scale: a narrow per-row map, no shuffle, no broadcast."""
-    return similarity.jl_project(
+    Scale: a narrow per-row map, no shuffle, no broadcast.
+
+    Output is the posexploded (vec_id, dim_idx, proj_val) long form —
+    scalar columns only, the registry's output contract (the driver's
+    canonicalizer cannot hash array cells; operator API
+    ``similarity.jl_project`` still returns the dense array)."""
+    out = similarity.jl_project(
         load(spark, sf_dir, "embeddings"), "vec_id", "embedding",
         dim=64, k=16,
+    )
+    ex = out.select(
+        "vec_id", "norm_ratio", F.posexplode("proj").alias("p", "proj_val")
+    )
+    return ex.select(
+        "vec_id",
+        F.col("p").cast("bigint").alias("dim_idx"),
+        "proj_val",
+        "norm_ratio",
     )
 
 
@@ -3551,12 +3571,16 @@ _LL78_ORACLE = (
     "  list_sum(list_transform(d, x -> x * x)) AS sqd,"
     "  list_sum(list_transform(range(1, 65),"
     "   i -> (v[i] - d[i]) * (v[i] - d[i]))) / 64 AS mse"
-    "  FROM q)"
-    " SELECT vec_id, codes, round(mn, 6) AS zero_point,"
+    "  FROM q),"
+    " f AS (SELECT vec_id, codes, round(mn, 6) AS zero_point,"
     " round(sc, 6) AS scale,"
     " round(CASE WHEN sqv * sqd = 0 THEN 1.0"
     "  ELSE dot / sqrt(sqv * sqd) END, 6) AS recon_cos,"
-    " round(mse, 6) AS recon_mse FROM m"
+    " round(mse, 6) AS recon_mse FROM m)"
+    # long form (vec_id, dim_idx, code): scalar-only registry contract
+    " SELECT vec_id, unnest(range(0, 64)) AS dim_idx,"
+    " unnest(list_transform(codes, x -> CAST(x AS BIGINT))) AS code,"
+    " zero_point, scale, recon_cos, recon_mse FROM f"
 )
 
 
@@ -3569,9 +3593,31 @@ def ll78_sq8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     emitted in-band (the measure-the-index discipline of ll52/ll72/
     ll76). Codes, dequantization, and both quality metrics are
     value-checked. Scale: a narrow per-row map — no shuffle, no
-    broadcast (operators/similarity.sq8_quantize)."""
-    return similarity.sq8_quantize(
+    broadcast (operators/similarity.sq8_quantize).
+
+    Output is the posexploded (vec_id, dim_idx, code) long form —
+    scalar columns only, the registry's output contract (driver canon
+    cannot hash array cells; ``similarity.sq8_quantize`` keeps the
+    dense codes array for API users)."""
+    out = similarity.sq8_quantize(
         load(spark, sf_dir, "embeddings"), "vec_id", "embedding"
+    )
+    ex = out.select(
+        "vec_id",
+        "zero_point",
+        "scale",
+        "recon_cos",
+        "recon_mse",
+        F.posexplode("codes").alias("p", "c"),
+    )
+    return ex.select(
+        "vec_id",
+        F.col("p").cast("bigint").alias("dim_idx"),
+        F.col("c").cast("bigint").alias("code"),
+        "zero_point",
+        "scale",
+        "recon_cos",
+        "recon_mse",
     )
 
 
@@ -3639,12 +3685,15 @@ _LL81_ORACLE = (
     " vec AS (SELECT doc_id, list(v ORDER BY i) AS raw"
     "  FROM vals GROUP BY doc_id),"
     " n AS (SELECT doc_id, raw,"
-    "  sqrt(list_sum(list_transform(raw, x -> x * x))) AS nrm FROM vec)"
-    " SELECT d.doc_id, CAST(d.n_tokens AS BIGINT) AS n_tokens,"
+    "  sqrt(list_sum(list_transform(raw, x -> x * x))) AS nrm FROM vec),"
+    " f AS (SELECT d.doc_id, CAST(d.n_tokens AS BIGINT) AS n_tokens,"
     " CASE WHEN n.nrm = 0 THEN raw"
     "  ELSE list_transform(raw, x -> round(x / n.nrm, 6) + 0.0) END"
     "  AS embedding"
-    " FROM docs d JOIN n ON n.doc_id = d.doc_id"
+    " FROM docs d JOIN n ON n.doc_id = d.doc_id)"
+    # long form (doc_id, dim_idx, value): scalar-only registry contract
+    " SELECT doc_id, n_tokens, unnest(range(0, 64)) AS dim_idx,"
+    " unnest(embedding) AS value FROM f"
 )
 
 
@@ -3660,7 +3709,21 @@ def ll81_hashed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     collisions cancel in expectation. Every component value-checked.
     Scale: one (doc, bucket)-keyed map-side-combined count + one
     doc-keyed densify; no vocabulary, no broadcast, no global state
-    (operators/similarity.hashed_embeddings)."""
-    return similarity.hashed_embeddings(
+    (operators/similarity.hashed_embeddings).
+
+    Output is the posexploded (doc_id, dim_idx, value) long form —
+    scalar columns only, the registry's output contract (driver canon
+    cannot hash array cells; ``similarity.hashed_embeddings`` keeps
+    the dense array for the embedding-family operators)."""
+    out = similarity.hashed_embeddings(
         load(spark, sf_dir, "documents"), "doc_id", "text", dim=64
+    )
+    ex = out.select(
+        "doc_id", "n_tokens", F.posexplode("embedding").alias("p", "value")
+    )
+    return ex.select(
+        "doc_id",
+        "n_tokens",
+        F.col("p").cast("bigint").alias("dim_idx"),
+        "value",
     )

@@ -2332,9 +2332,11 @@ def x5_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank by (cnt desc, key).
 
     Scale: one key-grouped count (map-side combined), a 1-row totals
-    broadcast, and a global top-20 — rank the K distinct keys, not the
-    rows; if K itself explodes past sort budget, x2's approximate
-    heavy-hitter sketch is the documented fallback."""
+    broadcast, and top-20 via orderBy().limit(20) =
+    TakeOrderedAndProject — per-partition heap + 20-row merge, never a
+    single-partition window over the distinct-key table (distinct-user
+    cardinality is corpus-scale at 100 TB, VERDICT r5 item 3); the
+    rank window then runs over exactly 20 rows."""
     ev = load(spark, sf_dir, "events")
     k = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
     t = k.agg(
@@ -2342,10 +2344,13 @@ def x5_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql.window import Window as W
 
-    r = k.withColumn(
+    top = k.orderBy(F.col("cnt").desc(), "user_id").limit(20)
+    r = top.withColumn(
         "rank",
-        F.row_number().over(W.orderBy(F.col("cnt").desc(), F.col("user_id"))),
-    ).where(F.col("rank") <= 20)
+        F.row_number().over(
+            W.partitionBy(F.lit(1)).orderBy(F.col("cnt").desc(), F.col("user_id"))
+        ),
+    )
     return r.crossJoin(F.broadcast(t)).select(
         "rank",
         "user_id",

@@ -579,3 +579,38 @@ def test_aggregate_pushdown_reaches_scan(spark, sf_dir):
         spark.conf.set("spark.sql.parquet.aggregatePushdown", prev_agg)
     scan_lines = [ln for ln in plan.splitlines() if "BatchScan" in ln]
     assert scan_lines and "count(*)" in scan_lines[0], plan
+
+
+def test_topk_queries_use_heap_not_global_window(spark, sf_dir):
+    """ll16/x5 (VERDICT r5 item 3): top-k over a corpus-scale key table
+    must run as TakeOrderedAndProject (per-partition heap + k-row
+    merge), and the only window may be the rank pass over the k
+    surviving rows — never a single-partition WindowExec over the full
+    distinct-key table."""
+    for name in ("ll16_ngram_vocab", "x5_skew_profile"):
+        plan = physical(QUERIES[name](spark, sf_dir))
+        assert "TakeOrderedAndProject" in plan, (name, plan)
+        # the rank window is partitioned (by the lit(1) bucket), so no
+        # empty windowspecdefinition remains over unbounded input
+        for ln in plan.splitlines():
+            if "windowspecdefinition(" in ln:
+                spec = ln.split("windowspecdefinition(", 1)[1]
+                assert not spec.lstrip().startswith(("ORDER", "order")), (
+                    name,
+                    ln,
+                )
+
+
+def test_sequence_packing_prefix_sum_is_hierarchical(spark, sf_dir):
+    """ll19 (VERDICT r5 item 4): the token prefix sum must range-
+    partition the corpus and window within partitions — the only
+    single-partition exchange allowed is the one over the
+    ≤#partitions-row totals table (metadata, not data)."""
+    plan = physical(QUERIES["ll19_sequence_packing"](spark, sf_dir))
+    assert "rangepartitioning" in plan.lower(), plan
+    assert plan.count("Exchange SinglePartition") <= 1, plan
+    # the data-scale window is keyed by the range-partition id
+    assert "windowspecdefinition(_nondeterministic" in plan or (
+        "windowspecdefinition(SPARK_PARTITION_ID()" in plan
+        or "spark_partition_id" in plan.lower()
+    ), plan
