@@ -407,7 +407,16 @@ def logistic_irls_1d(d: DataFrame, steps: int = 3) -> DataFrame:
 
     Each step is ONE map-side-combined aggregation with the previous
     betas riding along as a 1-row broadcast — the distributed-IRLS
-    layout that holds at any corpus size."""
+    layout that holds at any corpus size.
+
+    Degenerate-fit guard (ADVICE r5): the 2x2 Newton solve divides by
+    det = a0·a2 − a1², which is 0 when x is constant across rows or
+    every weight p(1−p) underflows (a perfectly-saturated fit). A bare
+    division would emit NULL/NaN betas that silently propagate into
+    downstream accuracy columns — instead each step KEEPS the previous
+    betas when det == 0 (Newton with a singular Hessian has no update
+    direction), so the output is always finite and the stall is
+    visible as unchanged coefficients rather than NaN."""
 
     def dec(c):
         return c.cast("decimal(28,9)")
@@ -436,13 +445,19 @@ def logistic_irls_1d(d: DataFrame, steps: int = 3) -> DataFrame:
             "*",
             (F.col("a0") * F.col("a2") - F.col("a1") * F.col("a1")).alias("det"),
         )
+        # singular Hessian (det == 0): no Newton direction — keep the
+        # previous betas instead of emitting NULL/NaN (ADVICE r5)
         return m.select(
-            (
+            F.when(
+                F.col("det") == 0.0, F.col("pb0")
+            ).otherwise(
                 F.col("pb0")
                 + (F.col("a2") * F.col("g0") - F.col("a1") * F.col("g1"))
                 / F.col("det")
             ).alias("b0"),
-            (
+            F.when(
+                F.col("det") == 0.0, F.col("pb1")
+            ).otherwise(
                 F.col("pb1")
                 + (F.col("a0") * F.col("g1") - F.col("a1") * F.col("g0"))
                 / F.col("det")

@@ -497,11 +497,55 @@ def build_minhash_index(
     function, so a frozen snapshot index unioned with freshly-computed
     delta artifacts is IDENTICAL to indexing snapshot ∪ delta — the
     property that makes the persisted flow's verdicts provably equal to
-    the in-memory one's."""
-    return _minhash_index(
+    the in-memory one's.
+
+    Both artifacts carry the hasher name in COLUMN METADATA
+    (``sig``/``bhash`` fields, key ``minhash_hasher``) — Spark persists
+    field metadata through parquet round-trips, so a snapshot index
+    read back months later still knows which hash built it.
+    ``minhash_dedup_incremental`` / ``neardup_probe_stream`` validate
+    the tag against their own hasher: band hashes from different
+    hashers never collide, so a mismatch silently loses every
+    cross-set near-duplicate (zero recall, no error) — the failure
+    mode must be loud (ADVICE r5)."""
+    sh, banded = _minhash_index(
         df, id_col, text_col, k, num_hashes, bands, max_shingle_df,
         hasher=hasher,
     )
+    meta = {"minhash_hasher": hasher}
+    sh = sh.withColumn("sig", F.col("sig").alias("sig", metadata=meta))
+    banded = banded.withColumn(
+        "bhash", F.col("bhash").alias("bhash", metadata=meta)
+    )
+    return sh, banded
+
+
+def index_hasher(df: DataFrame, col: str) -> str | None:
+    """The ``minhash_hasher`` tag stamped on a persisted index column
+    by ``build_minhash_index`` (None for untagged/legacy artifacts).
+    Schema-only — reads no data, triggers no job."""
+    try:
+        meta = df.schema[col].metadata
+    except KeyError:
+        return None
+    return meta.get("minhash_hasher") if meta else None
+
+
+def _require_index_hasher(df: DataFrame, col: str, expected: str) -> None:
+    """Fail loudly when a persisted index was built with a different
+    hasher than the probe side will use (ADVICE r5): the band keys
+    would never collide across snapshot and delta, so every cross-set
+    near-duplicate would be silently missed. Untagged (legacy)
+    artifacts pass — the invariant is then the caller's to uphold."""
+    tag = index_hasher(df, col)
+    if tag is not None and tag != expected:
+        raise ValueError(
+            f"snapshot index was built with hasher={tag!r} but this"
+            f" probe uses hasher={expected!r}: band hashes from"
+            " different hashers never collide, so every cross-set"
+            " near-duplicate would be silently missed. Rebuild the"
+            " index or pass the matching hasher."
+        )
 
 
 def _pair_jaccard(cand: DataFrame, sh: DataFrame) -> DataFrame:
@@ -589,6 +633,8 @@ def minhash_dedup_incremental(
                 " cannot reproduce it over snapshot ∪ delta"
             )
         sh_s, banded_s = snapshot_index
+        _require_index_hasher(banded_s, "bhash", hasher)
+        _require_index_hasher(sh_s, "sig", hasher)
         sh_d, banded_d = _minhash_index(
             did, id_col, text_col, k, num_hashes, bands, None,
             hasher=hasher,
@@ -988,12 +1034,28 @@ def remove_repeated_segments(
     )
 
 
+def _gram_hasher(hasher: str):
+    """Gram-key hash for the ExactSubstr tiers. "portable": 40-bit
+    md5-derived (oracle-reproducible; at corpus scale — billions of
+    distinct grams — birthday collisions against 2^40 keys make a few
+    false shared-gram positions statistically expected, perturbing
+    span boundaries slightly). "fast": FULL-WIDTH xxhash64 — 2^64 key
+    space pushes the collision bound past any real corpus, and it is
+    the cheap hash; the 100 TB default (ADVICE r5)."""
+    if hasher == "fast":
+        # a lambda, not F.xxhash64 itself: the higher-order-function
+        # binder rejects VAR_POSITIONAL callables
+        return lambda g: F.xxhash64(g)
+    return _HASHERS[hasher]
+
+
 def cross_doc_repeated_spans(
     df: DataFrame,
     id_col: str,
     text_col: str,
     min_len: int = 8,
     min_docs: int = 2,
+    hasher: str = "portable",
 ) -> DataFrame:
     """Cross-document repeated-substring spans — the ExactSubstr dedup
     tier (Lee et al. 2022, "Deduplicating Training Data Makes Language
@@ -1006,7 +1068,12 @@ def cross_doc_repeated_spans(
     fingerprint-sampled: any shared substring of >= min_len tokens is
     fully covered by shared min_len-grams, so reported spans are exact
     maximal unions (winnowing's sparse anchors would only approximate
-    the boundaries).
+    the boundaries). "Exact" is up to gram-HASH collisions: the
+    default portable 40-bit key is oracle-reproducible but at
+    billions of distinct grams birthday collisions produce occasional
+    false shared positions — pass ``hasher="fast"`` (full-width
+    xxhash64, 2^64 key space) on the scale path to push that bound
+    past any real corpus (ADVICE r5).
 
     Dataflow (no pair join anywhere — candidate volume is POSITIONS,
     never doc pairs, so a boilerplate gram shared by a million
@@ -1024,6 +1091,7 @@ def cross_doc_repeated_spans(
     inclusive token offsets, span_tokens = span_end - span_start + 1
     >= min_len. Docs with no shared spans are absent.
     """
+    gram_hash = _gram_hasher(hasher)
     gh = (
         _spread(
             df.select(
@@ -1033,7 +1101,7 @@ def cross_doc_repeated_spans(
         .select(
             "doc_id",
             F.transform(
-                word_ngrams(tokenize(F.col("text")), min_len), portable_hash40
+                word_ngrams(tokenize(F.col("text")), min_len), gram_hash
             ).alias("ghs"),
         )
         .localCheckpoint(eager=True)
@@ -1074,6 +1142,7 @@ def gram_duplication_profile(
     text_col: str,
     min_len: int = 8,
     min_docs: int = 2,
+    hasher: str = "portable",
 ) -> DataFrame:
     """Per-document duplication profile over the same stride-1 gram
     table as ``cross_doc_repeated_spans``: what fraction of a doc's
@@ -1086,12 +1155,16 @@ def gram_duplication_profile(
 
     Same scale shape as ll65: positions only, no pair join — one
     narrow gram-hash pass (materialized, explode-input rule), one
-    distinct-doc count shuffled on the 40-bit gram key, one semi-free
-    aggregation back to doc grain.
+    distinct-doc count shuffled on the gram key, one semi-free
+    aggregation back to doc grain. ``hasher``: "portable" (40-bit,
+    oracle-reproducible; slight dup_ratio inflation possible from
+    birthday collisions at billions of distinct grams) or "fast"
+    (full-width xxhash64 — the collision-safe 100 TB path, ADVICE r5).
 
     Returns (doc_id, n_grams, n_shared, dup_ratio) for every doc with
     at least one gram; dup_ratio = n_shared / n_grams rounded to 6.
     """
+    gram_hash = _gram_hasher(hasher)
     gh = (
         _spread(
             df.select(
@@ -1101,7 +1174,7 @@ def gram_duplication_profile(
         .select(
             "doc_id",
             F.transform(
-                word_ngrams(tokenize(F.col("text")), min_len), portable_hash40
+                word_ngrams(tokenize(F.col("text")), min_len), gram_hash
             ).alias("ghs"),
         )
         .localCheckpoint(eager=True)

@@ -810,9 +810,22 @@ def neardup_probe_stream(
 
     Emits (doc_id, dup_of, jaccard): one row per verified
     (delta doc, snapshot neighbor) pair, self-matches excluded.
+
+    The probe signs documents with portable_hash40, so the snapshot
+    index must have been built with hasher="portable" — a mismatched
+    index would never collide with the stream's band keys and every
+    near-dup would be silently missed. Indexes tagged by
+    ``build_minhash_index`` are validated here (ADVICE r5).
     """
     from ..functions.text import tokenize, word_shingles
-    from ..operators.dedup import _minhash_signature, portable_hash40
+    from ..operators.dedup import (
+        _minhash_signature,
+        _require_index_hasher,
+        portable_hash40,
+    )
+
+    _require_index_hasher(snapshot_banded, "bhash", "portable")
+    _require_index_hasher(snapshot_sh, "sig", "portable")
 
     rows_per_band = num_hashes // bands
     sh = (

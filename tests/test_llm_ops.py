@@ -1195,3 +1195,91 @@ def test_hashed_embeddings_unit_norm_and_determinism(spark, sf_dir):
     b = {r.doc_id: r.embedding for r in
          sim.hashed_embeddings(docs, "doc_id", "text").collect()}
     assert all(b[r.doc_id] == r.embedding for r in a)
+
+
+def test_persisted_index_hasher_mismatch_rejected(spark, sf_dir, tmp_path):
+    """ADVICE r5: a snapshot index built with one hasher probed with
+    another never collides across sets — every cross-set near-dup
+    silently missed. build_minhash_index tags its artifacts in column
+    metadata (parquet-persistent); the probe validates the tag."""
+    import pytest
+
+    corpus = _augmented(spark, sf_dir).where(F.col("doc_id") < 50)
+    sh, banded = dedup.build_minhash_index(
+        corpus, "doc_id", "text", k=3, hasher="fast"
+    )
+    assert dedup.index_hasher(banded, "bhash") == "fast"
+    assert dedup.index_hasher(sh, "sig") == "fast"
+
+    # the tag survives a parquet round-trip
+    banded.write.mode("overwrite").parquet(str(tmp_path / "b.parquet"))
+    back = spark.read.parquet(str(tmp_path / "b.parquet"))
+    assert dedup.index_hasher(back, "bhash") == "fast"
+
+    with pytest.raises(ValueError, match="hasher"):
+        dedup.minhash_dedup_incremental(
+            corpus, corpus, "doc_id", "text",
+            snapshot_index=(sh, banded), hasher="portable",
+        )
+
+    from flink_luad_pipeline_spark.streaming import ops as sops
+
+    with pytest.raises(ValueError, match="hasher"):
+        sops.neardup_probe_stream(corpus, sh, banded)
+
+
+def test_cross_doc_spans_fast_hasher_agrees(spark):
+    """ADVICE r5: the full-width xxhash64 gram key ("fast", the
+    collision-safe 100 TB path) must find the identical spans as the
+    portable 40-bit key on a collision-free fixture."""
+    shared = " ".join(f"s{i}" for i in range(12))
+    docs = [
+        (1, "a1 a2 a3 " + shared + " a4 a5"),
+        (2, shared + " b1 b2 b3 b4"),
+        (3, " ".join(f"d{i}" for i in range(20))),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    want = {
+        tuple(r)
+        for r in dedup.cross_doc_repeated_spans(
+            df, "doc_id", "text", min_len=8, hasher="portable"
+        ).collect()
+    }
+    got = {
+        tuple(r)
+        for r in dedup.cross_doc_repeated_spans(
+            df, "doc_id", "text", min_len=8, hasher="fast"
+        ).collect()
+    }
+    assert got == want and len(got) == 2
+    prof = {
+        tuple(r)
+        for r in dedup.gram_duplication_profile(
+            df, "doc_id", "text", min_len=8, hasher="fast"
+        ).collect()
+    }
+    prof_p = {
+        tuple(r)
+        for r in dedup.gram_duplication_profile(
+            df, "doc_id", "text", min_len=8, hasher="portable"
+        ).collect()
+    }
+    assert prof == prof_p
+
+
+def test_logistic_irls_degenerate_inputs_stay_finite(spark):
+    """ADVICE r5: constant x makes the 2x2 Hessian singular (det = 0);
+    the Newton step must keep the previous betas instead of emitting
+    NULL/NaN that poisons downstream accuracy columns."""
+    import math
+
+    from flink_luad_pipeline_spark.ml import logistic_irls_1d
+
+    d = spark.createDataFrame(
+        [(1.0, 2.5), (0.0, 2.5), (1.0, 2.5), (0.0, 2.5)], ["y", "x"]
+    )
+    w = logistic_irls_1d(d, steps=3).collect()[0]
+    assert w.b0 is not None and w.b1 is not None
+    assert math.isfinite(w.b0) and math.isfinite(w.b1)
+    # with a singular Hessian from step 1, betas never move off 0
+    assert w.b0 == 0.0 and w.b1 == 0.0
