@@ -96,6 +96,16 @@ HEADLINE = [
     "ll76_jl_projection",
     "ll77_cell_silhouette",
     "c8_logistic_irls",
+    # round 6: the production ANN configuration (kmeans-trained coarse
+    # quantizer composed with IVF-PQ — VERDICT r5 item 8), plus the
+    # streaming surface beyond ss1 (VERDICT r5 item 6): arbitrary-
+    # stateful running totals, data-driven session windows, and the
+    # stream-vs-persisted-index near-dup probe — state-store and
+    # AvailableNow drain regressions become bench-visible.
+    "ll79_ivfpq_trained_topk",
+    "ss5_stateful_totals",
+    "ss17_dynamic_session_window",
+    "ss18_streaming_neardup_probe",
 ]
 
 

@@ -157,6 +157,7 @@ _NEW_THIS_ROUND = (
     "ll76_jl_projection",
     "ll78_sq8_quantize",
     "ll81_hashed_embeddings",
+    "ll79_ivfpq_trained_topk",
 )
 
 

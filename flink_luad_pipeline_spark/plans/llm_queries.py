@@ -2041,11 +2041,14 @@ def ll40_pipeline_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _kmeans_oracle(k: int = 8, iters: int = 3) -> str:
+def _kmeans_ctes(k: int = 8, iters: int = 3) -> str:
     """Unrolled Lloyd iterations as DuckDB CTEs — the same fixed-point
     arithmetic as operators/clustering.py: distances rounded to 6
     before the argmin (ties by centroid id), per-dimension means
-    rounded to 6, empty clusters carry the previous centroid."""
+    rounded to 6, empty clusters carry the previous centroid. Returns
+    the WITH-prefix ending (trailing comma) at ``c{iters}`` — the
+    trained centroid table — so both the assignment oracle (ll50) and
+    the trained-quantizer ANN oracle (ll79) build on it."""
     sq = (
         "round(list_sum(list_transform(range(1, len(e.v) + 1),"
         " i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))), 6)"
@@ -2071,15 +2074,22 @@ def _kmeans_oracle(k: int = 8, iters: int = 3) -> str:
             f" c{it + 1} AS (SELECT c.cid, coalesce(u.cv, c.cv) AS cv"
             f" FROM c{it} c LEFT JOIN u{it} u USING (cid)),",
         ]
-    parts += [
+    return "".join(parts)
+
+
+def _kmeans_oracle(k: int = 8, iters: int = 3) -> str:
+    sq = (
+        "round(list_sum(list_transform(range(1, len(e.v) + 1),"
+        " i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))), 6)"
+    )
+    return _kmeans_ctes(k, iters) + (
         f" fs AS (SELECT e.vec_id, c.cid, {sq} AS sqdist"
         f" FROM e, c{iters} c)"
         " SELECT vec_id, CAST(cid AS BIGINT) AS cluster, sqdist FROM ("
         " SELECT vec_id, cid, sqdist, row_number() OVER ("
         " PARTITION BY vec_id ORDER BY sqdist, cid) AS r FROM fs)"
-        " WHERE r = 1",
-    ]
-    return "".join(parts)
+        " WHERE r = 1"
+    )
 
 
 @query("ll50_kmeans_clusters", oracle=_kmeans_oracle())
@@ -2498,16 +2508,11 @@ def ll59_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ll60 — IVF-PQ composed ANN (coarse-cell pruning x ADC scoring)
 # ---------------------------------------------------------------------------
 
-_IVFPQ_ORACLE = (
-    # The _IVF_ORACLE cell CTEs feeding the _PQ_ORACLE encode/LUT CTEs
-    # (mod-64 codebooks, m=4), scored only on the shortlisted (query,
-    # cand) pairs. Coarse centroids use the DERIVED √N modulus like
-    # ll42/ll55 — mirrored here so the scale-correct path is the
-    # value-checked one.
-    "WITH md AS (SELECT CAST(greatest(1, round(sqrt(count(*)), 0))"
-    " AS BIGINT) AS m FROM embeddings),"
-    " cents AS (SELECT vec_id AS centroid_id, embedding AS centv"
-    " FROM embeddings, md WHERE vec_id % md.m = 0),"
+# The _IVF_ORACLE cell CTEs feeding the _PQ_ORACLE encode/LUT CTEs
+# (mod-64 codebooks, m=4), scored only on the shortlisted (query, cand)
+# pairs. Shared by the mod-sampled (ll60) and kmeans-trained (ll79)
+# variants — only the ``cents`` CTE differs.
+_IVFPQ_BODY = (
     " cand_sc AS (SELECT c.vec_id AS cand_id, centroid_id,"
     f" {_cos_sql('c.embedding', 'centv')} AS csim FROM embeddings c, cents),"
     " assigned AS (SELECT cand_id, centroid_id FROM ("
@@ -2557,6 +2562,15 @@ _IVFPQ_ORACLE = (
     "   AS rank FROM scored) WHERE rank <= 10"
 )
 
+_IVFPQ_ORACLE = (
+    # Coarse centroids use the DERIVED √N modulus like ll42/ll55 —
+    # mirrored here so the scale-correct path is the value-checked one.
+    "WITH md AS (SELECT CAST(greatest(1, round(sqrt(count(*)), 0))"
+    " AS BIGINT) AS m FROM embeddings),"
+    " cents AS (SELECT vec_id AS centroid_id, embedding AS centv"
+    " FROM embeddings, md WHERE vec_id % md.m = 0)," + _IVFPQ_BODY
+)
+
 
 @query("ll60_ivfpq_ann_topk", oracle=_IVFPQ_ORACLE)
 def ll60_ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2574,6 +2588,39 @@ def ll60_ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     out = similarity.ivfpq_topk(
         emb.where(F.col("vec_id") < 5), emb, k=10, centroid_mod=None
+    )
+    return out.select("query_id", "cand_id", "sim", "rank")
+
+
+_IVFPQ_TRAINED_ORACLE = (
+    _kmeans_ctes(8, 3)
+    + " cents AS (SELECT cid AS centroid_id, cv AS centv FROM c3),"
+    + _IVFPQ_BODY
+)
+
+
+@query("ll79_ivfpq_trained_topk", oracle=_IVFPQ_TRAINED_ORACLE)
+def ll79_ivfpq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-10 with TRAINED coarse centroids — the production
+    configuration (VERDICT r5 item 8): ``clustering.kmeans_fit`` (k=8,
+    3 Lloyd iterations, deterministic smallest-id init) replaces ll60's
+    mod-sampled quantizer, which lifts recall (0.37 → 0.86 measured in
+    the IVF recall test) because trained cells follow the data's
+    density instead of its id order. The oracle composes the unrolled
+    Lloyd CTEs (ll50's) with the shared IVF-PQ body, so training AND
+    the two approximation stages are value-checked in composition.
+    PQ codebook stays mod-sampled (the fixed-size stand-in, see
+    ivfpq_topk's scale note). Scale: training adds one k×dim-state
+    partial-agg shuffle per iteration; the k-row centroid table is the
+    only driver boundary — everything else is ll60's audited plan."""
+    from ..operators import clustering
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = clustering.kmeans_fit(emb, k=8, iters=3).select(
+        F.col("cid").alias("centroid_id"), F.col("cv").alias("centv")
+    )
+    out = similarity.ivfpq_topk(
+        emb.where(F.col("vec_id") < 5), emb, k=10, centroids=cents
     )
     return out.select("query_id", "cand_id", "sim", "rank")
 

@@ -212,6 +212,8 @@ INTENTIONAL_CARTESIAN = {
     "ll50_kmeans_clusters",   # k-row centroid broadcast per assignment pass
                               # (operators/clustering._assign) — same shape
                               # as ll12/ll42's tiny-centroid scoring
+    "ll79_ivfpq_trained_topk",  # ll60's plan with ll50's k-row trained
+                              # centroid broadcast as the coarse quantizer
     "c7_naive_bayes_langid",  # 5-row class-table broadcast attach (scoring
                               # needs every (doc, class) pair by definition)
     "ll28_tfidf_topterms",    # 1-row corpus-size scalar broadcast attach
