@@ -1283,3 +1283,89 @@ def test_logistic_irls_degenerate_inputs_stay_finite(spark):
     assert math.isfinite(w.b0) and math.isfinite(w.b1)
     # with a singular Hessian from step 1, betas never move off 0
     assert w.b0 == 0.0 and w.b1 == 0.0
+
+
+def test_compression_stack_recall_scorecard(spark, sf_dir):
+    """VERDICT r5 item 7: ONE recall@10 scorecard across the whole
+    embedding-compression/index stack against the ll8 brute-force
+    ground truth — the table a 100 TB user picks an index tier by
+    (mirrored in README.md). Pins a floor per tier plus the ordering
+    relations that justify each tier's existence: SQ8 is near-lossless
+    (8-bit per-vector range quantization barely moves cosines), the
+    trained coarse quantizer beats the mod-sampled one composed with
+    PQ, and JL 64->16 on these near-random fixture vectors loses most
+    neighbors (the JL lemma's epsilon ~ sqrt(ln n / k) is large at
+    k=16 — the honest reading: JL is a storage/scan-cost lever, to be
+    recall-validated per corpus, exactly what this scorecard is for)."""
+    from flink_luad_pipeline_spark.operators import clustering
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20)
+    exact10: dict[int, set[int]] = {}
+    for r in similarity.brute_force_topk(queries, emb, k=10).collect():
+        exact10.setdefault(r.query_id, set()).add(r.cand_id)
+
+    def recall(rows) -> float:
+        got: dict[int, set[int]] = {}
+        for r in rows:
+            got.setdefault(r.query_id, set()).add(r.cand_id)
+        per_q = [len(exact10[q] & got.get(q, set())) / 10 for q in exact10]
+        return sum(per_q) / len(per_q)
+
+    def jl(df):
+        return similarity.jl_project(
+            df, "vec_id", "embedding", dim=64, k=16
+        ).select("vec_id", F.col("proj").alias("embedding"))
+
+    def sq8_deq(df):
+        q = similarity.sq8_quantize(df, "vec_id", "embedding")
+        return q.select(
+            "vec_id",
+            F.transform(
+                "codes",
+                lambda c: F.col("zero_point")
+                + c.cast("double") * F.col("scale"),
+            ).alias("embedding"),
+        )
+
+    cents = clustering.kmeans_fit(emb, k=20, iters=3).select(
+        F.col("cid").alias("centroid_id"), F.col("cv").alias("centv")
+    )
+    # (tier, bytes/vector vs 256 B float32 baseline, recall floor)
+    score = {
+        "sq8_brute": recall(
+            similarity.brute_force_topk(sq8_deq(queries), sq8_deq(emb), k=10)
+            .collect()
+        ),
+        "ivf_trained": recall(
+            similarity.ivf_topk(queries, emb, k=10, centroids=cents)
+            .collect()
+        ),
+        "ivfpq_trained": recall(
+            similarity.ivfpq_topk(queries, emb, k=10, centroids=cents)
+            .collect()
+        ),
+        "ivfpq_mod": recall(
+            similarity.ivfpq_topk(queries, emb, k=10).collect()
+        ),
+        "jl16_brute": recall(
+            similarity.brute_force_topk(jl(queries), jl(emb), k=10).collect()
+        ),
+        "jl16_sq8_brute": recall(
+            similarity.brute_force_topk(
+                sq8_deq(jl(queries)), sq8_deq(jl(emb)), k=10
+            ).collect()
+        ),
+    }
+    # floors (measured on the sf0.001 fixture: 0.99 / 0.855 / 0.275 /
+    # 0.135 / 0.14 / 0.14 — set with slack for other sf fixtures)
+    assert score["sq8_brute"] >= 0.9
+    assert score["ivf_trained"] >= 0.6
+    assert score["ivfpq_trained"] >= 0.1
+    assert score["jl16_brute"] >= 0.05
+    assert score["jl16_sq8_brute"] >= 0.05
+    # ordering relations — each tier's reason to exist
+    assert score["sq8_brute"] >= score["ivf_trained"]  # 4x, near-lossless
+    assert score["ivfpq_trained"] > score["ivfpq_mod"]  # training helps
+    # SQ8 on top of JL costs (almost) nothing beyond JL itself
+    assert abs(score["jl16_sq8_brute"] - score["jl16_brute"]) <= 0.1
