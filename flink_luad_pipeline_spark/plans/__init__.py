@@ -158,6 +158,13 @@ _NEW_THIS_ROUND = (
     "ll78_sq8_quantize",
     "ll81_hashed_embeddings",
     "ll79_ivfpq_trained_topk",
+    "ll82_ngram_novelty",
+    "ll83_char_entropy",
+    "ll84_signal_agreement",
+    "o9_vwap",
+    "b27_median_mad",
+    "j13_nearest_event_join",
+    "g11_harmonic_centrality",
 )
 
 

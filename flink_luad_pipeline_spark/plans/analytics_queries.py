@@ -1124,3 +1124,59 @@ def c8_logistic_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("train_accuracy"),
     )
+
+
+_G11_ORACLE = (
+    "WITH RECURSIVE"
+    " t AS (SELECT DISTINCT event_type AS u, lead(event_type) OVER"
+    "   (PARTITION BY user_id ORDER BY ts, event_id) AS v FROM events),"
+    " e AS (SELECT u, v FROM t WHERE v IS NOT NULL AND u <> v),"
+    # explicit DISTINCT, not bare UNION: inside a WITH RECURSIVE
+    # clause DuckDB executes a non-recursive CTE's UNION as UNION ALL
+    # (observed: 40 rows from 5 vertices) — dedup must be explicit
+    " verts AS (SELECT DISTINCT x FROM"
+    "  (SELECT u AS x FROM e UNION ALL SELECT v FROM e)),"
+    # bounded-depth path enumeration (dedup via min), exact min after
+    " paths(u, v, d) AS ("
+    "   SELECT u, v, 1 FROM e"
+    "   UNION"
+    "   SELECT p.u, e.v, p.d + 1 FROM paths p JOIN e ON e.u = p.v"
+    "   WHERE p.u <> e.v AND p.d < 8),"
+    " dist AS (SELECT u, v, min(d) AS d FROM paths GROUP BY u, v),"
+    " h AS (SELECT u, CAST(count(*) AS BIGINT) AS n_reachable,"
+    "   round(CAST(sum(CAST(1.0 / d AS DECIMAL(18,9))) AS DOUBLE), 6)"
+    "    AS harmonic FROM dist GROUP BY u)"
+    " SELECT x AS vertex, coalesce(n_reachable, 0) AS n_reachable,"
+    " coalesce(harmonic, 0.0) AS harmonic"
+    " FROM verts LEFT JOIN h ON h.u = verts.x"
+)
+
+
+@query("g11_harmonic_centrality", oracle=_G11_ORACLE)
+def g11_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic centrality of the event-type transition graph (g10's
+    derived domain graph): H(u) = Σ 1/d(u,v) over BFS hop distances —
+    'which state sits nearest to every other state in the user
+    journey'. The centrality member of the graph family that stays
+    defined on disconnected/directed graphs, where closeness does not.
+    Distill (one user-keyed window + distinct over all events) is the
+    corpus-scale pass; the min-plus distance closure then runs on the
+    |domain|²-bounded relation (operators/graph.harmonic_centrality,
+    driver-loop fixpoint, WITH RECURSIVE oracle twin). Per-pair 1/d
+    terms quantized to DECIMAL(18,9) before the sum — exact,
+    row-order-free."""
+    from pyspark.sql.window import Window as W
+
+    from ..operators.graph import harmonic_centrality
+
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .where(F.col("next_type").isNotNull())
+        .select(
+            F.col("event_type").alias("src"), F.col("next_type").alias("dst")
+        )
+        .distinct()
+    )
+    return harmonic_centrality(trans)

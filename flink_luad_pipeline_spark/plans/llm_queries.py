@@ -3774,3 +3774,238 @@ def ll81_hashed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p").cast("bigint").alias("dim_idx"),
         "value",
     )
+
+
+# ---------------------------------------------------------------------------
+# ll82 — n-gram novelty (first-occurrence fraction, corpus ordering signal)
+# ---------------------------------------------------------------------------
+
+_LL82_ORACLE = (
+    f"WITH tok AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),"
+    " grams AS (SELECT DISTINCT doc_id,"
+    "  array_to_string(list_slice(t, i, i + 4), ' ') AS g"
+    "  FROM tok, unnest(range(1, len(t) - 3)) u(i)),"
+    " f AS (SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g)"
+    " SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,"
+    " CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)"
+    "  AS n_novel,"
+    " CAST(round(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)"
+    "  * 1.0 / count(*), 6) AS DOUBLE) AS novelty"
+    " FROM grams JOIN f USING (g) GROUP BY doc_id"
+)
+
+
+@query("ll82_ngram_novelty", oracle=_LL82_ORACLE)
+def ll82_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 5-gram novelty: the fraction of a doc's DISTINCT
+    5-grams whose first corpus occurrence (min doc_id over the docs
+    containing the gram) is this document. The corpus-redundancy
+    growth curve in operator form — streaming ingestion pipelines
+    (RefinedWeb/FineWeb-style) use exactly this to decide when a
+    source's marginal contribution has decayed to boilerplate, and
+    dup-heavy docs surface as novelty ≈ 0 without any pair join.
+
+    Scale: distinct (doc, gram) explode, ONE gram-keyed min
+    aggregation (map-side combined), one gram-keyed equi-join back,
+    one doc-keyed count — work linear in gram occupancy, no pairs, no
+    windows, no broadcast. Docs with < 5 tokens have no grams and
+    drop out (both engines).
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", T.tokenize(F.col("text")).alias("t"))
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.when(
+                    F.size("t") >= 5,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("t") - 4),
+                        lambda i: F.array_join(F.slice("t", i, 5), " "),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            )
+        ).alias("g"),
+    )
+    firsts = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        grams.join(firsts, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.round(F.col("n_novel") * F.lit(1.0) / F.col("n_grams"), 6)
+            .cast("double")
+            .alias("novelty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ll83 — character-entropy quality signal (garbage / encoded-blob detector)
+# ---------------------------------------------------------------------------
+
+_LL83_ORACLE = (
+    "WITH ch AS (SELECT doc_id, substr(text, i, 1) AS c"
+    "  FROM documents, unnest(range(1, length(text) + 1)) u(i)"
+    "  WHERE length(text) > 0),"
+    " hist AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY doc_id, c),"
+    " tot AS (SELECT doc_id, sum(n) AS nt, count(*) AS n_distinct"
+    "  FROM hist GROUP BY doc_id),"
+    # per-term quantization to DECIMAL before the sum (the c6/c7
+    # discipline): the sum is order-exact in both engines
+    " terms AS (SELECT h.doc_id,"
+    "  CAST(round((h.n * 1.0 / t.nt) * ln(h.n * 1.0 / t.nt), 12)"
+    "   AS DECIMAL(28,12)) AS term, t.nt, t.n_distinct"
+    "  FROM hist h JOIN tot t USING (doc_id))"
+    " SELECT doc_id, CAST(max(nt) AS BIGINT) AS n_chars,"
+    " CAST(max(n_distinct) AS BIGINT) AS n_distinct_chars,"
+    " CAST(round(-sum(term), 6) AS DOUBLE) AS char_entropy"
+    " FROM terms GROUP BY doc_id"
+)
+
+
+@query("ll83_char_entropy", oracle=_LL83_ORACLE)
+def ll83_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon character entropy (nats) — the cheap
+    garbage detector quality stacks run before anything tokenizes:
+    natural language sits in a narrow entropy band (~2.7-3.2 nats for
+    English), base64/hex blobs and binary-in-text score high, template
+    spam and single-char runs score low. Complements ll59's zlib
+    ratio (which needs a Python UDF) with a pure-codegen, SQL-checkable
+    signal.
+
+    Scale: one char explode with map-side combine — the shuffle
+    carries <= |alphabet| rows per doc, not characters; then one
+    doc-keyed agg. Per-term p·ln p is quantized to DECIMAL(28,12)
+    before summation (the c6/c7 exact-sum discipline) so the entropy
+    is row-order-free and engine-exact. Empty docs drop out.
+    """
+    docs = load(spark, sf_dir, "documents").where(F.length("text") > 0)
+    ch = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), "")).alias("c")
+    ).where(F.col("c") != "")
+    hist = ch.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("n"))
+    tot = hist.groupBy("doc_id").agg(
+        F.sum("n").alias("nt"), F.count(F.lit(1)).alias("n_distinct")
+    )
+    p = F.col("n") * F.lit(1.0) / F.col("nt")
+    terms = hist.join(tot, "doc_id").select(
+        "doc_id",
+        F.round(p * F.log(p), 12).cast("decimal(28,12)").alias("term"),
+        "nt",
+        "n_distinct",
+    )
+    return terms.groupBy("doc_id").agg(
+        F.max("nt").cast("bigint").alias("n_chars"),
+        F.max("n_distinct").cast("bigint").alias("n_distinct_chars"),
+        F.round(-F.sum("term"), 6).cast("double").alias("char_entropy"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ll84 — quality-signal agreement (per-source Spearman, cheap vs LM)
+# ---------------------------------------------------------------------------
+
+_LL84_ORACLE = (
+    f"WITH tokd AS (SELECT doc_id, source, text, {_TOKENS_SQL} AS tokens"
+    " FROM documents),"
+    f" q AS (SELECT doc_id, source, {_QS6_SQL} AS qs FROM tokd),"
+    " t AS (SELECT doc_id, unnest(tokens) AS token FROM tokd),"
+    " vocab AS (SELECT token, count(*) AS c FROM t GROUP BY token),"
+    " n AS (SELECT sum(c) AS n FROM vocab),"
+    " lp AS (SELECT doc_id,"
+    "  CAST(round(avg(-ln(c * 1.0 / n.n)), 6) AS DECIMAL(18,6)) AS lp"
+    "  FROM t JOIN vocab USING (token) CROSS JOIN n GROUP BY doc_id),"
+    " r AS (SELECT q.source,"
+    "  row_number() OVER (PARTITION BY q.source"
+    "   ORDER BY q.qs, q.doc_id) AS rq,"
+    "  row_number() OVER (PARTITION BY q.source"
+    "   ORDER BY lp.lp, lp.doc_id) AS rl"
+    "  FROM q JOIN lp USING (doc_id))"
+    " SELECT source, CAST(count(*) AS BIGINT) AS n_docs,"
+    " CAST(sum((rq - rl) * (rq - rl)) AS BIGINT) AS sum_d2,"
+    " CAST(round(1.0 - 6.0 * sum((rq - rl) * (rq - rl))"
+    "  / (count(*) * (count(*) * count(*) - 1.0)), 6) AS DOUBLE)"
+    "  AS spearman"
+    " FROM r GROUP BY source HAVING count(*) >= 2"
+)
+
+
+@query("ll84_signal_agreement", oracle=_LL84_ORACLE)
+def ll84_signal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Spearman rank correlation between the cheap
+    heuristic quality score (ll21's length/stopword/punct scorer) and
+    the corpus-unigram LM surprise (ll32) — the measurement that tells
+    a pipeline whether its fast filter agrees with its expensive one
+    on each corpus slice, BEFORE committing a 100 TB pass to either.
+    A slice where the two signals decorrelate is where a model-based
+    scorer earns its cost.
+
+    Spearman via the exact closed form 1 − 6·Σd²/(n(n²−1)) on
+    row_number ranks (ties broken by doc_id, so ranks are
+    permutations and Σd² is INTEGER arithmetic — engine-exact until
+    the final division, rounded 6dp). Scale: the LM side is ll32's
+    audited shape (token-keyed join + 1-row total broadcast); the
+    ranks are windows PARTITIONED by source — no global sort. Sources
+    with < 2 docs drop (Spearman undefined).
+    """
+    docs = load(spark, sf_dir, "documents")
+    tokens = T.tokenize(F.col("text"))
+    q = T.quality_features(F.col("text"), tokens)
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.round(q["quality_score"], 6).cast("decimal(18,6)").alias("qs"),
+    )
+    toks = docs.select(
+        "doc_id", F.explode(T.tokenize(F.col("text"))).alias("token")
+    )
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    n = vocab.agg(F.sum("c").alias("n"))
+    lp = (
+        toks.join(vocab, "token")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg(-F.log(F.col("c") * F.lit(1.0) / F.col("n"))), 6)
+            .cast("decimal(18,6)")
+            .alias("lp")
+        )
+    )
+    both = scored.join(lp, "doc_id")
+    rq = F.row_number().over(
+        W.partitionBy("source").orderBy("qs", "doc_id")
+    )
+    rl = F.row_number().over(
+        W.partitionBy("source").orderBy("lp", "doc_id")
+    )
+    ranked = both.select("source", rq.alias("rq"), rl.alias("rl"))
+    d2 = (F.col("rq") - F.col("rl")) * (F.col("rq") - F.col("rl"))
+    nn = F.count(F.lit(1))
+    return (
+        ranked.groupBy("source")
+        .agg(
+            nn.cast("bigint").alias("n_docs"),
+            F.sum(d2).cast("bigint").alias("sum_d2"),
+            F.round(
+                F.lit(1.0)
+                - F.lit(6.0)
+                * F.sum(d2)
+                / (nn * (nn * nn - F.lit(1.0))),
+                6,
+            )
+            .cast("double")
+            .alias("spearman"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )

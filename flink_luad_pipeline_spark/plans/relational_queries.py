@@ -2362,3 +2362,222 @@ def x5_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("skew_ratio"),
     )
+
+
+@query(
+    "o9_vwap",
+    oracle=(
+        # Hourly per-type weighted average: weight k from the JSON
+        # props; per-row value·k product rounded 6 then summed as
+        # exact DECIMAL (the o8 rounded-then-exact partials device) so
+        # row order can't perturb the total.
+        "WITH w AS (SELECT event_type, date_trunc('hour', ts) AS bucket,"
+        "  value, CAST(props->>'$.k' AS BIGINT) AS k FROM events)"
+        " SELECT event_type,"
+        " strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,"
+        " CAST(count(*) AS BIGINT) AS n_events,"
+        " CAST(sum(k) AS BIGINT) AS total_weight,"
+        " floor(CAST(sum(CAST(round(value * k, 6) AS DECIMAL(28,6)))"
+        "  AS DOUBLE) / CAST(sum(k) AS DOUBLE) * 1000000.0) / 1000000.0"
+        "  AS vwap"
+        " FROM w WHERE k IS NOT NULL AND k > 0"
+        " GROUP BY event_type, bucket"
+    ),
+)
+def o9_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O9 — weight-averaged value (VWAP shape) per (event_type, hour):
+    each event's value weighted by the k field of its JSON props — the
+    volume-weighted mean finance/telemetry pipelines put next to o8's
+    time-weighted one (TWAP answers "what held over time", VWAP
+    answers "what moved the mass"). Zero/absent weights drop — they
+    carry no mass and would otherwise poison the denominator.
+
+    Dataflow: JSON extraction is codegen (get_json_object), ONE
+    map-side-combined shuffle on (event_type, bucket); per-row
+    value·k rounded to 6 and summed as exact DECIMAL(28,6) (o8's
+    rounded-then-exact partials device) so the engines agree
+    bit-for-bit regardless of row order; the final division is
+    floor-truncated at 10^-6 (the gap-fill device — round()
+    implementations differ at exact .5 boundaries, observed here as a
+    last-digit flip)."""
+    ev = load(spark, sf_dir, "events")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    w = ev.select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("bucket"),
+        "value",
+        k.alias("k"),
+    ).where(F.col("k").isNotNull() & (F.col("k") > 0))
+    prod = F.round(F.col("value") * F.col("k"), 6).cast("decimal(28,6)")
+    return w.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("k").cast("bigint").alias("total_weight"),
+        (
+            F.floor(
+                F.sum(prod).cast("double")
+                / F.sum("k").cast("double")
+                * F.lit(1000000.0)
+            )
+            / F.lit(1000000.0)
+        ).alias("vwap"),
+    ).select(
+        "event_type",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "n_events",
+        "total_weight",
+        "vwap",
+    )
+
+
+@query(
+    "b27_median_mad",
+    oracle=(
+        # Exact per-group median and MAD (median absolute deviation):
+        # quantile_cont interpolates identically to Spark's
+        # percentile(0.5) on the same doubles; the deviation pass
+        # re-joins the per-group median (engine-exact after round 6).
+        "WITH med AS (SELECT event_type,"
+        "  round(quantile_cont(value, 0.5), 6) AS median_value,"
+        "  CAST(count(*) AS BIGINT) AS n FROM events GROUP BY event_type)"
+        " SELECT e.event_type, m.n, m.median_value,"
+        " round(quantile_cont(abs(e.value - m.median_value), 0.5), 6)"
+        "  AS mad"
+        " FROM events e JOIN med m USING (event_type)"
+        " GROUP BY e.event_type, m.n, m.median_value"
+    ),
+)
+def b27_median_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B27 — robust per-group location/spread: exact interpolated
+    median of events.value per event_type plus the MAD (median of
+    absolute deviations from that median) — the outlier-resistant
+    (median, MAD) pair monitoring pipelines prefer over (mean, stddev)
+    when heavy tails would let one bad sensor move the gauge. b10
+    covers exact percentiles of one column; this is the two-pass
+    composition (the second pass's input DEPENDS on the first's
+    output), the shape that needs a re-join, not just more quantiles.
+
+    Dataflow: two shuffles on event_type (median pass, deviation
+    pass) with the k-row median table broadcast into the second scan.
+    Exact percentile is sort-based per group — groups here are
+    low-cardinality event types, so per-group sort parallelism comes
+    from Spark's percentile agg; at extreme per-key cardinality x2's
+    GK-sketch percentile is the documented approximate fallback.
+    Median rounded 6 BEFORE the deviation pass so both engines
+    subtract the identical number."""
+    ev = load(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("median_value"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    return (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "n", "median_value")
+        .agg(
+            F.round(
+                F.percentile(
+                    F.abs(F.col("value") - F.col("median_value")), F.lit(0.5)
+                ),
+                6,
+            ).alias("mad")
+        )
+        .select("event_type", "n", "median_value", "mad")
+    )
+
+
+@query(
+    "j13_nearest_event_join",
+    oracle=(
+        # Nearest-neighbor-in-time join: for each error event, the
+        # same user's closest click within ±300 s (|Δt| in exact µs,
+        # ties -> earlier click, then smaller id). The oracle states
+        # the semantics directly with an inequality join — fine at
+        # oracle scale; the Spark plan is the bucketed equi-join.
+        "WITH err AS (SELECT event_id, user_id, ts, epoch_us(ts) AS ep"
+        "  FROM events WHERE event_type = 'error'),"
+        " clk AS (SELECT event_id AS c_id, user_id, epoch_us(ts) AS cep"
+        "  FROM events WHERE event_type = 'click'),"
+        " ranked AS (SELECT e.event_id, e.user_id, e.ts, c.c_id,"
+        "  abs(e.ep - c.cep) AS adt,"
+        "  row_number() OVER (PARTITION BY e.event_id ORDER BY"
+        "   abs(e.ep - c.cep), c.cep, c.c_id) AS rn"
+        "  FROM err e LEFT JOIN clk c ON c.user_id = e.user_id"
+        "   AND abs(e.ep - c.cep) <= 300000000)"
+        " SELECT event_id, user_id,"
+        " strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,"
+        " c_id AS nearest_click_id, CAST(adt AS BIGINT) AS abs_dt_us"
+        " FROM ranked WHERE rn = 1"
+    ),
+)
+def j13_nearest_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J13 — nearest-neighbor-in-time join: attach to every error
+    event the same user's temporally closest click within ±300 s —
+    the bidirectional completion of the as-of family (j8/j11 look only
+    backward; root-cause tooling wants the nearest interaction on
+    EITHER side of the failure). Left-outer: errors with no click in
+    tolerance keep NULLs.
+
+    Scale shape: the naive |Δt| join is an inequality join (BNLJ).
+    This plans as j9's bucketed device: both sides hash to
+    floor(epoch/300s) buckets, each error probes its own and both
+    adjacent buckets (any click within 300 s provably lands in one of
+    the three), the join is a plain (user, bucket) equi-join, the
+    exact |Δt| filter runs post-join, and one window per error id
+    keeps the nearest (ties -> earlier click, then smaller id). The
+    3x probe fanout is the entire overhead — AQE-managed equi shuffles
+    throughout, no nested loop."""
+    ev = load(spark, sf_dir, "events")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    tol_us = 300 * 1_000_000
+    ep = F.unix_micros(F.col("ts").cast("timestamp"))
+    err = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts", ep.alias("ep")
+    )
+    clk = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"), "user_id", ep.alias("cep")
+    )
+    b = (F.col("ep") / F.lit(tol_us)).cast("long")
+    cb = (F.col("cep") / F.lit(tol_us)).cast("long")
+    probes = err.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "ep",
+        F.explode(F.array(b - 1, b, b + 1)).alias("bucket"),
+    )
+    cands = clk.select("c_id", "user_id", "cep", cb.alias("bucket"))
+    joined = probes.join(cands, ["user_id", "bucket"], "left").select(
+        "event_id",
+        "user_id",
+        "ts",
+        "c_id",
+        F.abs(F.col("ep") - F.col("cep")).alias("adt"),
+        "cep",
+    )
+    hit = F.col("adt").isNotNull() & (F.col("adt") <= tol_us)
+    # out-of-tolerance candidates become NULLs (they must not beat a
+    # real match, and a no-match error must still emit one row)
+    scoped = joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(hit, F.col("c_id")).alias("c_id"),
+        F.when(hit, F.col("adt")).alias("adt"),
+        F.when(hit, F.col("cep")).alias("cep"),
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        F.col("adt").asc_nulls_last(),
+        F.col("cep").asc_nulls_last(),
+        F.col("c_id").asc_nulls_last(),
+    )
+    return (
+        scoped.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+            F.col("c_id").alias("nearest_click_id"),
+            F.col("adt").cast("bigint").alias("abs_dt_us"),
+        )
+    )

@@ -663,3 +663,37 @@ def test_funnel_stages_are_order_sensitive(spark):
         for r in QUERIES["b26_funnel_stages"](spark, d).collect()
     }
     assert got == {1: (3, True), 2: (2, False), 3: (1, False), 4: (0, False)}
+
+
+def test_harmonic_centrality_planted_chain(spark):
+    """g11's operator on a graph where the values actually differ (the
+    events fixture's transition graph is complete, so every vertex
+    scores alike there): a directed chain a->b->c->d plus d->a makes
+    every vertex reach 3 others at distances 1,2,3; removing d->a
+    (pure chain) makes H strictly decrease down the chain and the sink
+    score 0."""
+    from flink_luad_pipeline_spark.operators.graph import (
+        harmonic_centrality,
+    )
+
+    cyc = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")], ["src", "dst"]
+    )
+    got = {
+        r.vertex: (r.n_reachable, r.harmonic)
+        for r in harmonic_centrality(cyc).collect()
+    }
+    expect = round(1.0 + 0.5 + round(1 / 3, 9), 6)
+    assert got == {v: (3, expect) for v in "abcd"}
+
+    chain = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], ["src", "dst"]
+    )
+    got = {
+        r.vertex: (r.n_reachable, r.harmonic)
+        for r in harmonic_centrality(chain).collect()
+    }
+    assert got["a"] == (3, expect)
+    assert got["b"] == (2, 1.5)
+    assert got["c"] == (1, 1.0)
+    assert got["d"] == (0, 0.0)

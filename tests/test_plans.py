@@ -221,6 +221,8 @@ INTENTIONAL_CARTESIAN = {
     "ll69_perplexity_buckets",  # same 1-row corpus-total attach as ll32
                               # (the LM it buckets is ll32's)
     "ll71_temperature_sample",  # 1-row (n_total, z) scalar broadcast attach
+    "ll84_signal_agreement",  # same 1-row corpus-total attach as ll32
+                              # (its LM half IS ll32's plan)
     "ll73_bigram_lm_score",   # same 1-row corpus-total attach as ll32
     "ll80_kneser_ney_score",  # same 1-row bigram-type-total attach as ll73
     "ll77_cell_silhouette",   # N x sqrt(N) broadcast centroid scoring —
