@@ -7,6 +7,8 @@ IR — vectors materialize only at the ML boundary.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.ml.classification import LinearSVC, LinearSVCModel
 from pyspark.ml.functions import array_to_vector
 from pyspark.ml.recommendation import ALS
@@ -468,3 +470,104 @@ def logistic_irls_1d(d: DataFrame, steps: int = 3) -> DataFrame:
     for _ in range(steps):
         w = step(w)
     return w
+
+
+def pca_power_iteration(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    iters: int = 5,
+) -> DataFrame:
+    """Leading principal component of the embedding table by power
+    iteration on the (dim × dim) covariance matrix — PCA's first axis,
+    the direction dominating embedding variance (used to de-mean/
+    whiten before ANN, to detect collapsed encoders, and as the
+    1-component version of the PCA preprocessing FAISS applies before
+    PQ). Returns (dim_idx, loading, eigenvalue): the unit eigenvector
+    and its Rayleigh eigenvalue (= the norm of the final un-normalized
+    iterate, exact for a converged symmetric matrix).
+
+    Everything is relational and value-checkable — no MLlib, no RNG:
+
+    - covariance: ONE pass that explodes each vector's (i, v_i) pairs
+      and re-explodes the carried array to (i, j, v_i·v_j) — 4096 rows
+      per vector but map-side combined into ≤ dim² partial states per
+      partition, so the shuffle carries dim², never the corpus; the
+      per-row products are rounded to 12dp and summed as exact
+      DECIMAL(28,12) (the c6/c7/c8 discipline) so the matrix is
+      row-order-free. cov = Σv_iv_j/n − μ_iμ_j, rounded 9dp.
+    - iteration: x₀ = 1/√dim (exactly 0.125 at dim 64); each step is
+      a dim²-row join y = C·x (terms quantized DECIMAL before the
+      sum), a 1-row norm, and x = round(y/‖y‖, 9) — five steps of
+      64-row frames, driver never sees a number.
+
+    The covariance frame is localCheckpointed once (dim² rows — a
+    documented metadata-sized boundary like the k-means centroids):
+    it is referenced by every iteration and must not re-trigger the
+    corpus pass per step."""
+    dec = "decimal(28,12)"
+    e = emb.select(
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v")
+    )
+    n_row = e.agg(F.count(F.lit(1)).alias("n"))
+    fi = e.select("v", F.posexplode("v").alias("i", "vi"))
+    fij = fi.select("i", "vi", F.posexplode("v").alias("j", "vj"))
+    sp = fij.groupBy("i", "j").agg(
+        F.sum(
+            F.round(F.col("vi") * F.col("vj"), 12).cast(dec)
+        )
+        .cast("double")
+        .alias("s")
+    )
+    mu = fi.groupBy("i").agg(
+        F.sum(F.col("vi").cast(dec)).cast("double").alias("sm")
+    )
+    cov = (
+        sp.join(mu.select(F.col("i"), F.col("sm").alias("sma")), "i")
+        .join(
+            mu.select(F.col("i").alias("j"), F.col("sm").alias("smb")), "j"
+        )
+        .crossJoin(F.broadcast(n_row))
+        .select(
+            "i",
+            "j",
+            F.round(
+                F.col("s") / F.col("n")
+                - (F.col("sma") / F.col("n")) * (F.col("smb") / F.col("n")),
+                9,
+            ).alias("c"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    x = cov.select("i").distinct().select(
+        "i", F.lit(1.0 / math.sqrt(dim)).alias("x")
+    )
+    nm = None
+    for _ in range(iters):
+        y = (
+            cov.join(x.select(F.col("i").alias("j"), "x"), "j")
+            .groupBy("i")
+            .agg(
+                F.sum(
+                    F.round(F.col("c") * F.col("x"), 12).cast(dec)
+                )
+                .cast("double")
+                .alias("y")
+            )
+        )
+        nm = y.agg(
+            F.sqrt(
+                F.sum(
+                    F.round(F.col("y") * F.col("y"), 12).cast(dec)
+                ).cast("double")
+            ).alias("nm")
+        )
+        x = y.crossJoin(F.broadcast(nm)).select(
+            "i", F.round(F.col("y") / F.col("nm"), 9).alias("x")
+        )
+    return x.crossJoin(F.broadcast(nm)).select(
+        F.col("i").cast("bigint").alias("dim_idx"),
+        F.col("x").alias("loading"),
+        F.round(F.col("nm"), 6).alias("eigenvalue"),
+    )

@@ -165,6 +165,9 @@ _NEW_THIS_ROUND = (
     "b27_median_mad",
     "j13_nearest_event_join",
     "g11_harmonic_centrality",
+    "ll85_vocab_coverage",
+    "ll86_bpe_fertility",
+    "c9_pca_power_iteration",
 )
 
 

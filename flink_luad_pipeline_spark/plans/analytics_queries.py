@@ -1180,3 +1180,65 @@ def g11_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return harmonic_centrality(trans)
+
+
+def _c9_oracle(dim: int = 64, iters: int = 5) -> str:
+    """Unrolled power iteration as MATERIALIZED DuckDB CTEs — the same
+    fixed-point arithmetic as ml.pca_power_iteration: per-row products
+    rounded 12dp and summed as exact DECIMAL(28,12), covariance
+    rounded 9dp, iterates normalized and rounded 9dp."""
+    dec = "DECIMAL(28,12)"
+    parts = [
+        "WITH e AS (SELECT list_transform(embedding,"
+        " x -> CAST(x AS DOUBLE)) AS v FROM embeddings),",
+        " nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM e),",
+        f" idx AS (SELECT unnest(range(0, {dim})) AS i),",
+        " sp AS MATERIALIZED (SELECT a.i, b.i AS j,"
+        f" CAST(sum(CAST(round(e.v[a.i + 1] * e.v[b.i + 1], 12) AS {dec}))"
+        "  AS DOUBLE) AS s"
+        " FROM e, idx a, idx b GROUP BY 1, 2),",
+        " mu AS MATERIALIZED (SELECT a.i,"
+        f" CAST(sum(CAST(e.v[a.i + 1] AS {dec})) AS DOUBLE) AS sm"
+        " FROM e, idx a GROUP BY 1),",
+        " cov AS MATERIALIZED (SELECT sp.i, sp.j,"
+        " round(sp.s / nn.n - (ma.sm / nn.n) * (mb.sm / nn.n), 9) AS c"
+        " FROM sp, nn"
+        " JOIN mu ma ON ma.i = sp.i JOIN mu mb ON mb.i = sp.j),",
+        f" x0 AS (SELECT i, 1.0 / sqrt({dim}.0) AS x FROM idx),",
+    ]
+    for k in range(1, iters + 1):
+        parts += [
+            f" y{k} AS MATERIALIZED (SELECT c.i,"
+            f" CAST(sum(CAST(round(c.c * x.x, 12) AS {dec})) AS DOUBLE)"
+            f"  AS y FROM cov c JOIN x{k-1} x ON x.i = c.j GROUP BY c.i),",
+            f" n{k} AS MATERIALIZED (SELECT sqrt(CAST(sum(CAST("
+            f"round(y * y, 12) AS {dec})) AS DOUBLE)) AS nm FROM y{k}),",
+            f" x{k} AS MATERIALIZED (SELECT i, round(y / nm, 9) AS x"
+            f" FROM y{k}, n{k}),",
+        ]
+    parts.append(
+        f" f AS (SELECT i, x FROM x{iters})"
+        f" SELECT CAST(i AS BIGINT) AS dim_idx, x AS loading,"
+        f" round(nm, 6) AS eigenvalue FROM f, n{iters}"
+    )
+    return "".join(parts)
+
+
+@query("c9_pca_power_iteration", oracle=_c9_oracle())
+def c9_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C9 — leading principal component of the embeddings table by
+    power iteration (5 steps) on the 64×64 covariance matrix: the
+    variance-dominating axis consulted before ANN indexing (de-mean /
+    de-bias), to detect collapsed encoders (one huge eigenvalue =
+    embeddings on a line), and as the 1-component version of the PCA
+    rotation FAISS applies before PQ. Everything relational and
+    value-checked — covariance from ONE map-side-combined pass
+    (shuffle carries dim² partial states, never the corpus),
+    iterations are dim²-row joins over a localCheckpointed covariance
+    (metadata-sized, the k-means-centroid boundary class), per-row
+    products DECIMAL-quantized so both engines agree bit-for-bit
+    (ml.pca_power_iteration)."""
+    from ..ml import pca_power_iteration
+
+    emb = load(spark, sf_dir, "embeddings")
+    return pca_power_iteration(emb, dim=64, iters=5)

@@ -2935,11 +2935,12 @@ def ll65_cross_doc_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_encode_oracle(n: int) -> str:
+def _bpe_encode_oracle(n: int, final_select: str | None = None) -> str:
     """ll66: _bpe_oracle's training rounds (same MATERIALIZED-CTE
     discipline) plus an encode chain that carries the WORD through the
     same fold, then re-joins the corpus positions — train→apply,
-    value-checked end to end."""
+    value-checked end to end. ``final_select`` overrides the per-doc
+    default (ll86 aggregates the same encode to source grain)."""
     fold = (
         "list_reduce(string_split(s, '|'), (acc, x) ->"
         " CASE WHEN string_split(acc, '|')[-1] = b.l AND x = b.r"
@@ -2982,12 +2983,14 @@ def _bpe_encode_oracle(n: int) -> str:
             f", e{k} AS MATERIALIZED (SELECT w, {fold} AS s"
             f" FROM e{k-1}, b{k} b)"
         )
-    parts.append(
-        " SELECT doc_id, count(*) AS n_words,"
-        " CAST(sum(len(string_split(e.s, '|'))) AS BIGINT) AS n_tokens,"
-        " md5(string_agg(e.s, ' ' ORDER BY pos)) AS enc_md5"
-        f" FROM words JOIN e{n} e USING (w) GROUP BY doc_id"
-    )
+    if final_select is None:
+        final_select = (
+            " SELECT doc_id, count(*) AS n_words,"
+            " CAST(sum(len(string_split(e.s, '|'))) AS BIGINT) AS n_tokens,"
+            " md5(string_agg(e.s, ' ' ORDER BY pos)) AS enc_md5"
+            f" FROM words JOIN e{n} e USING (w) GROUP BY doc_id"
+        )
+    parts.append(final_select)
     return "".join(parts)
 
 
@@ -4008,4 +4011,141 @@ def ll84_signal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("spearman"),
         )
         .where(F.col("n_docs") >= 2)
+    )
+
+
+# ---------------------------------------------------------------------------
+# ll85 — vocabulary coverage curve (tokenizer/vocab sizing)
+# ---------------------------------------------------------------------------
+
+_LL85_ORACLE = (
+    f"WITH tok AS (SELECT {_TOKENS_SQL} AS tokens FROM documents),"
+    " t AS (SELECT unnest(tokens) AS token FROM tok),"
+    " vocab AS (SELECT token, count(*) AS c FROM t GROUP BY token),"
+    " tot AS (SELECT sum(c) AS total, count(*) AS n_types FROM vocab),"
+    " ranked AS (SELECT c, row_number() OVER (ORDER BY c DESC, token)"
+    "   AS r FROM vocab),"
+    " vs AS (SELECT unnest([10, 50, 100, 500]) AS v)"
+    " SELECT v AS vocab_size,"
+    " CAST(sum(CASE WHEN r <= v THEN c ELSE 0 END) AS BIGINT)"
+    "  AS covered_tokens,"
+    " CAST(max(tot.total) AS BIGINT) AS total_tokens,"
+    " CAST(max(tot.n_types) AS BIGINT) AS n_types,"
+    " CAST(round(sum(CASE WHEN r <= v THEN c ELSE 0 END) * 1.0"
+    "  / max(tot.total), 6) AS DOUBLE) AS coverage"
+    " FROM vs CROSS JOIN ranked CROSS JOIN tot GROUP BY v"
+)
+
+
+@query("ll85_vocab_coverage", oracle=_LL85_ORACLE)
+def ll85_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: what fraction of corpus token
+    OCCURRENCES the top-V most frequent word types cover, for V in
+    {10, 50, 100, 500} — the Zipf curve read a tokenizer designer
+    needs before choosing a vocab size (the complement question to
+    ll62/ll66's subword merges: how far does a WORD vocabulary get
+    you, and where do the diminishing returns start).
+
+    Scale: one token-keyed count (the vocabulary, map-side combined),
+    each top-V slice via orderBy().limit(V) = TakeOrderedAndProject —
+    the ll16 discipline, never a global row_number over the full
+    vocabulary — then a 4-row union of 1-row aggregates joined to the
+    1-row corpus total. Nothing corpus-sized moves after the count.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(T.tokenize(F.col("text"))).alias("token"))
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    tot = vocab.agg(
+        F.sum("c").alias("total"), F.count(F.lit(1)).alias("n_types")
+    )
+    slices = []
+    for v in (10, 50, 100, 500):
+        top = vocab.orderBy(F.col("c").desc(), "token").limit(v)
+        slices.append(
+            top.agg(
+                F.lit(v).cast("bigint").alias("vocab_size"),
+                F.sum("c").cast("bigint").alias("covered_tokens"),
+            )
+        )
+    from functools import reduce
+
+    cov = reduce(DataFrame.unionAll, slices)
+    return cov.crossJoin(F.broadcast(tot)).select(
+        "vocab_size",
+        "covered_tokens",
+        F.col("total").cast("bigint").alias("total_tokens"),
+        F.col("n_types").cast("bigint").alias("n_types"),
+        F.round(
+            F.col("covered_tokens") * F.lit(1.0) / F.col("total"), 6
+        )
+        .cast("double")
+        .alias("coverage"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ll86 — tokenizer fertility by source (the multilingual-tokenizer table)
+# ---------------------------------------------------------------------------
+
+_LL86_FINAL = (
+    ", perdoc AS (SELECT doc_id, count(*) AS n_words,"
+    " sum(len(string_split(e.s, '|'))) AS n_tokens,"
+    " sum(length(w)) AS n_chars"
+    " FROM words JOIN e5 e USING (w) GROUP BY doc_id)"
+    " SELECT d.source, CAST(sum(p.n_words) AS BIGINT) AS n_words,"
+    " CAST(sum(p.n_tokens) AS BIGINT) AS n_tokens,"
+    " CAST(sum(p.n_chars) AS BIGINT) AS n_chars,"
+    " CAST(round(sum(p.n_tokens) * 1.0 / sum(p.n_words), 6) AS DOUBLE)"
+    "  AS fertility,"
+    " CAST(round(sum(p.n_chars) * 1.0 / sum(p.n_tokens), 6) AS DOUBLE)"
+    "  AS chars_per_token"
+    " FROM perdoc p JOIN documents d USING (doc_id) GROUP BY d.source"
+)
+
+
+@query("ll86_bpe_fertility", oracle=_bpe_encode_oracle(5, _LL86_FINAL))
+def ll86_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by corpus slice: subword tokens per word
+    and characters per subword token, per source, under the trained
+    5-merge BPE (ll62 → ll66's encoder) — the standard table a
+    multilingual/multi-domain tokenizer is judged by (high fertility
+    on a slice means its text fragments into many pieces: more compute
+    per character and worse effective context length there). Closes
+    the BPE chain train → apply → MEASURE.
+
+    Scale: ll66's audited encode shape (distinct words encoded once,
+    corpus re-joined on the word) plus doc-level integer char counts
+    and ONE source-keyed aggregation — all sums integer-exact, the
+    two ratios rounded 6dp at the very end."""
+    from ..operators.bpe import bpe_encode, bpe_merge_table
+
+    docs = load(spark, sf_dir, "documents")
+    enc = bpe_encode(docs, bpe_merge_table(docs, n_merges=5))
+    chars = docs.select(
+        "doc_id",
+        "source",
+        F.aggregate(
+            T.tokenize(F.col("text")),
+            F.lit(0).cast("bigint"),
+            lambda acc, t: acc + F.length(t).cast("bigint"),
+        ).alias("n_chars"),
+    )
+    return (
+        enc.join(chars, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.sum("n_words").cast("bigint").alias("n_words"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+            F.round(
+                F.sum("n_tokens") * F.lit(1.0) / F.sum("n_words"), 6
+            )
+            .cast("double")
+            .alias("fertility"),
+            F.round(
+                F.sum("n_chars") * F.lit(1.0) / F.sum("n_tokens"), 6
+            )
+            .cast("double")
+            .alias("chars_per_token"),
+        )
     )

@@ -697,3 +697,32 @@ def test_harmonic_centrality_planted_chain(spark):
     assert got["b"] == (2, 1.5)
     assert got["c"] == (1, 1.0)
     assert got["d"] == (0, 0.0)
+
+
+def test_pca_power_iteration_recovers_planted_axis(spark):
+    """c9's operator on data with a KNOWN dominant direction: vectors
+    = t·u + small orthogonal noise for a planted unit axis u — the
+    leading eigenvector must align with u (|cos| > 0.99) and the
+    eigenvalue must approximate the variance along u."""
+    import math
+    import random
+
+    from flink_luad_pipeline_spark.ml import pca_power_iteration
+
+    rng = random.Random(7)
+    dim = 8
+    u = [1.0 / math.sqrt(dim)] * dim
+    rows = []
+    for i in range(200):
+        t = rng.gauss(0.0, 3.0)
+        vec = [t * u[d] + rng.gauss(0.0, 0.05) for d in range(dim)]
+        rows.append((i, vec))
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    got = pca_power_iteration(emb, dim=dim, iters=8).collect()
+    assert len(got) == dim
+    load = {r.dim_idx: r.loading for r in got}
+    ev = got[0].eigenvalue
+    cos = abs(sum(load[d] * u[d] for d in range(dim)))
+    assert cos > 0.99, (cos, load)
+    # eigenvalue ~ Var(t) = 9 (within sampling noise of 200 draws)
+    assert 6.0 < ev < 12.0, ev

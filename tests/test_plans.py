@@ -228,6 +228,9 @@ INTENTIONAL_CARTESIAN = {
     "ll77_cell_silhouette",   # N x sqrt(N) broadcast centroid scoring —
                               # the ll42/ll12 assignment shape
     "c8_logistic_irls",       # 1-row IRLS beta broadcast attach per step
+    "c9_pca_power_iteration",  # 1-row iterate-norm broadcast attach per
+                              # power step (+ 1-row n into the covariance)
+    "ll85_vocab_coverage",    # 1-row corpus-total attach to the 4-row curve
     "x5_skew_profile",        # 1-row totals broadcast attach
 }
 
