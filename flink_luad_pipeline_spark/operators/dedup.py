@@ -1282,3 +1282,72 @@ def minhash_estimate_calibration(
             F.round(F.abs(est - exact), 6).alias("abs_err"),
         )
     )
+
+
+def excise_repeated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_len: int = 8,
+    min_docs: int = 2,
+    hasher: str = "portable",
+) -> DataFrame:
+    """The REMOVAL step of the ExactSubstr tier (Lee et al. 2022,
+    §"substring deduplication"): take ``cross_doc_repeated_spans``'s
+    maximal cross-document spans and materialize the cleaned corpus —
+    every token inside any span is excised, the survivors are
+    reassembled in order. ll56 does this for fixed-boundary segments;
+    this is the arbitrary-offset completion, the operator a production
+    pipeline actually runs after measuring with ll65/ll68.
+
+    Scale shape: the span tier's audited positions-only dataflow, plus
+    one covered-position explode (linear in span tokens), one
+    (doc, idx) anti-join, and one per-doc ordered reassembly
+    (sort_array(collect_list) — in-group sort, no global sort). The
+    reassembled text is emitted as an md5 digest, not the string: at
+    corpus scale the cleaned text is written to a sink, while the
+    digest is what cross-engine verification hashes.
+
+    Returns (doc_id, n_tokens, n_removed, cleaned_md5) for every doc
+    with >= 1 token; cleaned_md5 is md5 of the space-joined surviving
+    tokens, NULL when nothing survives."""
+    spans = cross_doc_repeated_spans(
+        df, id_col, text_col, min_len=min_len, min_docs=min_docs,
+        hasher=hasher,
+    )
+    covered = spans.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("span_start"), F.col("span_end"))
+        ).alias("idx"),
+    ).distinct()
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokenize(F.col(text_col))).alias("idx", "tok"),
+    )
+    kept = toks.join(covered, ["doc_id", "idx"], "left_anti")
+    counts = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens")
+    )
+    reassembled = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("idx", "tok"))
+                    ),
+                    lambda p: p["tok"],
+                ),
+                " ",
+            )
+        ).alias("cleaned_md5"),
+    )
+    return counts.join(reassembled, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+        .cast("bigint")
+        .alias("n_removed"),
+        "cleaned_md5",
+    )

@@ -168,6 +168,9 @@ _NEW_THIS_ROUND = (
     "ll85_vocab_coverage",
     "ll86_bpe_fertility",
     "c9_pca_power_iteration",
+    "ll87_excise_repeated_spans",
+    "s19_corrupt_record_audit",
+    "x6_observation_metrics",
 )
 
 

@@ -4149,3 +4149,63 @@ def ll86_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("chars_per_token"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ll87 — ExactSubstr span EXCISION (the cleaned-corpus materializer)
+# ---------------------------------------------------------------------------
+
+_LL87_ORACLE = (
+    f"WITH aug AS ({_AUG_SQL}),"
+    f" tok AS (SELECT doc_id, {_TOKENS_SQL} AS tokens FROM aug),"
+    " gr AS (SELECT doc_id, CASE WHEN len(tokens) >= 8 THEN"
+    f"   list_transform(range(1, len(tokens) - 6), i -> {_hex10(f'({_LL65_GRAM8})')})"
+    "   ELSE [] END AS ghs FROM tok),"
+    " pos AS (SELECT doc_id, unnest(range(len(ghs))) AS pos,"
+    "   unnest(ghs) AS g FROM gr),"
+    " shared AS (SELECT g FROM pos GROUP BY g"
+    "   HAVING count(DISTINCT doc_id) >= 2),"
+    " hits AS (SELECT doc_id, pos FROM pos"
+    "   WHERE g IN (SELECT g FROM shared)),"
+    " isl AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos) OVER"
+    "   (PARTITION BY doc_id ORDER BY pos) = 1 THEN 0 ELSE 1 END AS brk"
+    "   FROM hits),"
+    " isl2 AS (SELECT doc_id, pos, sum(brk) OVER"
+    "   (PARTITION BY doc_id ORDER BY pos) AS island FROM isl),"
+    " spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e"
+    "   FROM isl2 GROUP BY doc_id, island),"
+    # adjacent spans' +7 tails can overlap (island gap < 8) -> DISTINCT
+    " covered AS (SELECT DISTINCT doc_id, idx FROM"
+    "   (SELECT doc_id, unnest(range(s, e + 1)) AS idx FROM spans)),"
+    " ti AS (SELECT doc_id, unnest(range(len(tokens))) AS idx,"
+    "   unnest(tokens) AS tok FROM tok),"
+    " counts AS (SELECT doc_id, count(*) AS n_tokens FROM ti"
+    "   GROUP BY doc_id),"
+    " kept AS (SELECT t.doc_id, t.idx, t.tok FROM ti t"
+    "   LEFT JOIN covered c ON c.doc_id = t.doc_id AND c.idx = t.idx"
+    "   WHERE c.idx IS NULL),"
+    " re AS (SELECT doc_id, count(*) AS n_kept,"
+    "   md5(string_agg(tok, ' ' ORDER BY idx)) AS cleaned_md5"
+    "   FROM kept GROUP BY doc_id)"
+    " SELECT c.doc_id, CAST(c.n_tokens AS BIGINT) AS n_tokens,"
+    " CAST(c.n_tokens - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed,"
+    " r.cleaned_md5"
+    " FROM counts c LEFT JOIN re r USING (doc_id)"
+)
+
+
+@query("ll87_excise_repeated_spans", oracle=_LL87_ORACLE)
+def ll87_excise_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr REMOVAL (the step after ll65's measurement): every
+    token inside a maximal cross-document repeated span is excised and
+    the survivors reassembled in order — the cleaned-corpus
+    materializer Lee et al. run after detection, completing the
+    detect (ll65) → profile (ll68) → excise chain the way ll34
+    completes the pair tier. Cleaned text emitted as an md5 digest
+    (the verification artifact; production writes the text to a
+    sink). Scale: ll65's positions-only dataflow + one covered-index
+    explode + one (doc, idx) anti-join + per-doc in-group reassembly
+    (operators/dedup.excise_repeated_spans)."""
+    return dedup.excise_repeated_spans(
+        _augmented(spark, sf_dir), "doc_id", "text", min_len=8, min_docs=2
+    )

@@ -2581,3 +2581,102 @@ def j13_nearest_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("adt").cast("bigint").alias("abs_dt_us"),
         )
     )
+
+
+@query(
+    "s19_corrupt_record_audit",
+    oracle=(
+        # The fixture is nation as TSV plus exactly 3 injected
+        # malformed lines; PERMISSIVE mode must keep every line and
+        # flag precisely those 3.
+        "SELECT CAST(count(*) + 3 AS BIGINT) AS n_rows,"
+        " CAST(count(*) AS BIGINT) AS n_good,"
+        " CAST(3 AS BIGINT) AS n_corrupt,"
+        " CAST(sum(n_nationkey) AS BIGINT) AS good_key_sum"
+        " FROM nation"
+    ),
+)
+def s19_corrupt_record_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S19 — PERMISSIVE CSV ingestion with corrupt-record capture: the
+    audit-mode complement to s1's DROPMALFORMED (silently dropping bad
+    lines is right for definition files; a production feed wants every
+    bad line COUNTED and quarantined before anyone trusts the load).
+    nation is staged as TSV with 3 injected malformed lines (bad int,
+    short line, float in an int field — note extra TRAILING columns
+    are NOT malformed to Spark's CSV parser, it parses the schema'd
+    prefix); the reader keeps all lines, parks
+    unparseable ones in _corrupt_record, and the query emits the audit
+    row: total / good / corrupt / checksum-of-good. Scale: one file
+    scan + one aggregation — corrupt-rate monitoring at ingest cost."""
+    rows = load(spark, sf_dir, "nation").orderBy("n_nationkey").collect()
+    path = _tmp("s19_nation.tsv")
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(f"{r.n_nationkey}\t{r.n_name}\t{r.n_regionkey}\n")
+        f.write("not-an-int\tBADLAND\t9\n")
+        f.write("short-line\n")
+        f.write("7.5\tFLOATKEY\t7\n")
+    df = (
+        spark.read.format("csv")
+        .option("sep", "\t")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .schema(
+            "n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT,"
+            " _bad STRING"
+        )
+        .load(path)
+    )
+    is_bad = F.col("_bad").isNotNull()
+    return df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.when(~is_bad, 1).otherwise(0)).cast("bigint").alias("n_good"),
+        F.sum(F.when(is_bad, 1).otherwise(0)).cast("bigint").alias(
+            "n_corrupt"
+        ),
+        F.sum(F.when(~is_bad, F.col("n_nationkey"))).cast("bigint").alias(
+            "good_key_sum"
+        ),
+    )
+
+
+@query(
+    "x6_observation_metrics",
+    oracle=(
+        "SELECT CAST(count(*) AS BIGINT) AS n_rows,"
+        " CAST(sum(CASE WHEN l_quantity > 45.0 THEN 1 ELSE 0 END)"
+        "  AS BIGINT) AS n_large,"
+        " CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2)"
+        "  AS DOUBLE) AS total_price"
+        " FROM lineitem"
+    ),
+)
+def x6_observation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 — in-flight pipeline metrics via ``DataFrame.observe``: the
+    named-accumulator API that collects row counts / sums DURING a
+    pass (one scan serves both the data flow and its health metrics)
+    instead of re-scanning for monitoring — at 100 TB a separate
+    metrics query doubles ingest cost, which is exactly what observe
+    exists to avoid. The observed aggregates ride the normal action;
+    this query materializes them as the result row so the contract is
+    value-checked (counts + an exact DECIMAL sum) against plain SQL."""
+    from pyspark.sql import Observation
+
+    obs = Observation("x6")
+    li = load(spark, sf_dir, "lineitem")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.when(F.col("l_quantity") > 45.0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_large"),
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("total_price"),
+    )
+    observed.write.format("noop").mode("overwrite").save()  # the pass
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["n_large"], m["total_price"])],
+        "n_rows bigint, n_large bigint, total_price double",
+    )
