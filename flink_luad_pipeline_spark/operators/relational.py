@@ -166,14 +166,18 @@ def exclusive_prefix_sum(
         ),
     )
     totals = local.groupBy("__pid").agg(F.sum(value_col).alias("__n"))
-    # exclusive prefix over ≤ #partitions total rows — metadata-sized
-    offsets = totals.select(
+    # exclusive prefix over ≤ #partitions total rows — metadata-sized.
+    # coalesce(1) pins the ≤#partitions rows to one partition, making
+    # spark_partition_id a constant window key the optimizer can't
+    # fold (a lit(1) key IS folded, resurrecting the unpartitioned-
+    # WindowExec warning) — global order, warning-free.
+    offsets = totals.coalesce(1).select(
         "__pid",
         F.coalesce(
             F.sum("__n").over(
-                Window.orderBy("__pid").rowsBetween(
-                    Window.unboundedPreceding, -1
-                )
+                Window.partitionBy(F.spark_partition_id())
+                .orderBy("__pid")
+                .rowsBetween(Window.unboundedPreceding, -1)
             ),
             F.lit(0),
         ).alias("__base"),

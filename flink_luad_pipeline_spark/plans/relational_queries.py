@@ -2345,10 +2345,16 @@ def x5_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     top = k.orderBy(F.col("cnt").desc(), "user_id").limit(20)
+    # rank over the 20 survivors: TakeOrderedAndProject emits ONE
+    # partition, so partitionBy(spark_partition_id) is a constant key
+    # the optimizer can't fold (lit(1) is folded back to an
+    # unpartitioned WindowExec) — global rank, no warning.
     r = top.withColumn(
         "rank",
         F.row_number().over(
-            W.partitionBy(F.lit(1)).orderBy(F.col("cnt").desc(), F.col("user_id"))
+            W.partitionBy(F.spark_partition_id()).orderBy(
+                F.col("cnt").desc(), F.col("user_id")
+            )
         ),
     )
     return r.crossJoin(F.broadcast(t)).select(

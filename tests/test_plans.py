@@ -597,12 +597,14 @@ def test_topk_queries_use_heap_not_global_window(spark, sf_dir):
     for name in ("ll16_ngram_vocab", "x5_skew_profile"):
         plan = physical(QUERIES[name](spark, sf_dir))
         assert "TakeOrderedAndProject" in plan, (name, plan)
-        # the rank window is partitioned (by the lit(1) bucket), so no
-        # empty windowspecdefinition remains over unbounded input
+        # the rank window must carry a partition key (spark_partition_id
+        # — constant after the single-partition TakeOrderedAndProject):
+        # an UNpartitioned spec's first argument is an order column
+        # ("col DESC/ASC ..."), a partitioned spec's is the key.
         for ln in plan.splitlines():
             if "windowspecdefinition(" in ln:
-                spec = ln.split("windowspecdefinition(", 1)[1]
-                assert not spec.lstrip().startswith(("ORDER", "order")), (
+                first = ln.split("windowspecdefinition(", 1)[1].split(",")[0]
+                assert " ASC" not in first and " DESC" not in first, (
                     name,
                     ln,
                 )
