@@ -171,6 +171,9 @@ _NEW_THIS_ROUND = (
     "ll87_excise_repeated_spans",
     "s19_corrupt_record_audit",
     "x6_observation_metrics",
+    "ll88_cluster_balanced_sample",
+    "ll89_dsir_select",
+    "o10_max_drawdown",
 )
 
 

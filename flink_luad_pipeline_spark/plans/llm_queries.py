@@ -4209,3 +4209,143 @@ def ll87_excise_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.excise_repeated_spans(
         _augmented(spark, sf_dir), "doc_id", "text", min_len=8, min_docs=2
     )
+
+
+# ---------------------------------------------------------------------------
+# ll88 — cluster-balanced sampling (ll50's clusters x ll71's temperature)
+# ---------------------------------------------------------------------------
+
+
+def _ll88_oracle() -> str:
+    h = _hex10("'cbx#' || CAST(vec_id AS VARCHAR)")
+    return (
+        f"WITH asn AS (SELECT * FROM ( {_kmeans_oracle()} )),"
+        " counts AS (SELECT cluster, count(*) AS n FROM asn"
+        "   GROUP BY cluster),"
+        " tot AS (SELECT sum(n) AS n_total, sum(pow(n, 0.3)) AS z"
+        "   FROM counts),"
+        " rates AS (SELECT cluster, round(least(1.0,"
+        "   0.5 * n_total * (pow(n, 0.3) / z) / n), 6) AS rate"
+        "   FROM counts CROSS JOIN tot)"
+        " SELECT a.vec_id, a.cluster, CAST(r.rate AS DOUBLE) AS rate"
+        " FROM asn a JOIN rates r USING (cluster)"
+        f" WHERE {h} % 1000000 <"
+        " CAST(round(r.rate * 1000000, 0) AS BIGINT)"
+    )
+
+
+@query("ll88_cluster_balanced_sample", oracle=_ll88_oracle())
+def ll88_cluster_balanced_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cluster-balanced corpus sampling — the embedding-space version
+    of ll71's temperature mixing, the composition ll50's docstring
+    promises: assign every vector to its k-means cluster, DERIVE
+    per-cluster keep rates p_c ∝ n_c^0.3 under a 50% budget (big
+    clusters downsampled, small ones kept whole — the diversity-
+    preserving mix DoReMi/SemDeDup-style curation wants when 'source'
+    labels don't capture content), then keep by the salted portable
+    hash — reproducible across runs, engines, partitioning.
+
+    Scale: ll50's audited assignment (k-row centroid broadcast per
+    Lloyd pass), one cluster-keyed count (k rows), a broadcast rate
+    join, a narrow hash filter. Zero corpus-sized shuffles beyond the
+    assignment itself."""
+    from ..operators import clustering
+
+    emb = load(spark, sf_dir, "embeddings")
+    asn = clustering.kmeans_assign(emb, k=8, iters=3).select(
+        "vec_id", "cluster"
+    )
+    counts = asn.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(
+        F.sum("n").alias("n_total"),
+        F.sum(F.pow("n", F.lit(0.3))).alias("z"),
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        "cluster",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(0.5)
+                * F.col("n_total")
+                * (F.pow("n", F.lit(0.3)) / F.col("z"))
+                / F.col("n"),
+            ),
+            6,
+        ).alias("rate"),
+    )
+    h = dedup.portable_hash40(
+        F.concat(F.lit("cbx#"), F.col("vec_id").cast("string"))
+    )
+    return (
+        asn.join(F.broadcast(rates), "cluster")
+        .where(
+            h % F.lit(1000000)
+            < F.round(F.col("rate") * 1000000, 0).cast("bigint")
+        )
+        .select("vec_id", "cluster", F.col("rate").cast("double").alias("rate"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# ll89 — DSIR importance selection (the sampling step after ll53's weights)
+# ---------------------------------------------------------------------------
+
+
+def _ll89_oracle() -> str:
+    h = _hex10("'dsx#' || CAST(doc_id AS VARCHAR)")
+    return (
+        f"WITH w AS (SELECT * FROM ( {_DSIR_ORACLE} )),"
+        " mx AS (SELECT max(log_weight) AS m FROM w),"
+        " p AS (SELECT doc_id, n_bigrams, log_weight,"
+        "   floor(least(1.0, exp(log_weight - m)) * 1000000) AS thr"
+        "   FROM w CROSS JOIN mx)"
+        " SELECT doc_id, n_bigrams, log_weight,"
+        " CAST(round(thr / 1000000.0, 6) AS DOUBLE) AS keep_prob"
+        f" FROM p WHERE {h} % 1000000 < CAST(thr AS BIGINT)"
+    )
+
+
+@query("ll89_dsir_select", oracle=_ll89_oracle())
+def ll89_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR SELECTION (Xie et al. 2023, the sampling step after ll53's
+    scoring): keep each document with probability proportional to its
+    importance weight — p = exp(log_weight − max_log_weight), so the
+    most target-like document keeps with certainty and the rest scale
+    down exponentially; the keep decision is the salted portable-hash
+    coin every sampler in this engine uses (deterministic, incremental
+    -append-stable). ll53 measures, this one ACTS — together they are
+    the complete learned-selection tier.
+
+    Scale: ll53's audited scoring pass (hashed bigram features, no
+    vocabulary), a 1-row max broadcast, a narrow hash filter. The
+    threshold is floor-quantized to integer millionths so both
+    engines compare identical integers."""
+    from ..operators.importance import dsir_logweights
+
+    docs = load(spark, sf_dir, "documents")
+    w = dsir_logweights(docs, target=F.col("lang") == "en")
+    mx = w.agg(F.max("log_weight").alias("m"))
+    p = w.crossJoin(F.broadcast(mx)).select(
+        "doc_id",
+        "n_bigrams",
+        "log_weight",
+        F.floor(
+            F.least(
+                F.lit(1.0), F.exp(F.col("log_weight") - F.col("m"))
+            )
+            * F.lit(1000000.0)
+        ).alias("thr"),
+    )
+    h = dedup.portable_hash40(
+        F.concat(F.lit("dsx#"), F.col("doc_id").cast("string"))
+    )
+    return p.where(h % F.lit(1000000) < F.col("thr").cast("bigint")).select(
+        "doc_id",
+        "n_bigrams",
+        "log_weight",
+        F.round(F.col("thr") / F.lit(1000000.0), 6)
+        .cast("double")
+        .alias("keep_prob"),
+    )

@@ -2686,3 +2686,58 @@ def x6_observation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["n_rows"], m["n_large"], m["total_price"])],
         "n_rows bigint, n_large bigint, total_price double",
     )
+
+
+@query(
+    "o10_max_drawdown",
+    oracle=(
+        # Running sum -> running max -> max gap, all over the same
+        # per-user (ts, event_id) order: identical fold order in both
+        # engines, so the doubles agree without quantization.
+        "WITH c AS (SELECT user_id, ts, event_id,"
+        "  sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id"
+        "   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum"
+        "  FROM events),"
+        " r AS (SELECT user_id, cum,"
+        "  max(cum) OVER (PARTITION BY user_id ORDER BY ts, event_id"
+        "   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak"
+        "  FROM c)"
+        " SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,"
+        " round(max(peak - cum), 6) AS max_drawdown,"
+        " round(max(peak), 6) AS peak_value"
+        " FROM r GROUP BY user_id"
+    ),
+)
+def o10_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O10 — maximum drawdown per user over the cumulative value
+    series: the largest peak-to-trough drop of the running sum in
+    (ts, event_id) order — the risk statistic every P&L/telemetry
+    monitor pairs with o5's z-scores and o8's TWAP (a series can have
+    a healthy mean and still have cratered once; drawdown is the
+    memory of that). Emitted with the peak for scale context.
+
+    Dataflow: ONE shuffle on user_id serves both stacked windows
+    (running sum, then running max over it — same partitioning and
+    order, Catalyst plans them on one exchange) and the final
+    aggregation. Both engines fold the running sum left-to-right over
+    the identical deterministic order, so the doubles agree exactly
+    and only the display round is needed."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = ev.select(
+        "user_id", "ts", "event_id", F.sum("value").over(w).alias("cum")
+    )
+    r = c.select(
+        "user_id", "cum", F.max("cum").over(w).alias("peak")
+    )
+    return r.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.round(F.max(F.col("peak") - F.col("cum")), 6).alias(
+            "max_drawdown"
+        ),
+        F.round(F.max("peak"), 6).alias("peak_value"),
+    )

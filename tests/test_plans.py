@@ -230,6 +230,9 @@ INTENTIONAL_CARTESIAN = {
     "c8_logistic_irls",       # 1-row IRLS beta broadcast attach per step
     "c9_pca_power_iteration",  # 1-row iterate-norm broadcast attach per
                               # power step (+ 1-row n into the covariance)
+    "ll88_cluster_balanced_sample",  # ll50's k-row centroid broadcast +
+                              # 1-row budget-total attach (ll71's device)
+    "ll89_dsir_select",       # 1-row max-log-weight broadcast attach
     "ll85_vocab_coverage",    # 1-row corpus-total attach to the 4-row curve
     "x5_skew_profile",        # 1-row totals broadcast attach
 }
