@@ -281,3 +281,40 @@ def kneser_ney_bigram_scores(
             F.col("score").cast("double").alias("avg_neg_logprob"),
         )
     )
+
+
+def dsir_ratio_table(
+    docs: DataFrame,
+    target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 256,
+) -> DataFrame:
+    """The trained HALF of DSIR — the bucket → log-likelihood-ratio
+    table alone (``DataFrame[b, lr]``, ≤ ``buckets`` rows), for
+    consumers that score OUTSIDE this pass: the streaming ingest gate
+    (``streaming.ops.dsir_gate_stream``) collects it once and bakes it
+    into a stateless map-literal scorer. Same arithmetic as
+    ``dsir_logweights`` (add-one smoothing, shared ln convention)."""
+    feat = _spread(
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            target.alias("is_target"),
+            F.col(text_col).alias("text"),
+        )
+    ).select(
+        "is_target",
+        F.explode(_bigram_buckets(F.col("text"), buckets)).alias("b"),
+    )
+    counts = feat.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("ct"),
+    )
+    tot = Window.partitionBy(F.lit(1))
+    return counts.select(
+        "b",
+        (
+            F.log((F.col("ct") + 1.0) / (F.sum("ct").over(tot) + buckets))
+            - F.log((F.col("cr") + 1.0) / (F.sum("cr").over(tot) + buckets))
+        ).alias("lr"),
+    )

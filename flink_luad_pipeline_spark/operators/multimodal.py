@@ -539,3 +539,74 @@ def sample_frame_fingerprints(
             yield pd.DataFrame(out)
 
     return binary_df.mapInPandas(batches, FRAME_FP_SCHEMA)
+
+
+def attach_image_payload_jittered(
+    df: DataFrame, id_col: str, text_col: str, id_offset: int = 1000000
+) -> DataFrame:
+    """The brightness-jittered twin of ``attach_image_payload``: the
+    SAME 4x4 raster with the LAST pixel byte bumped by +1 (mod 256) and
+    the doc id offset — a re-encoded/re-processed copy whose BYTES
+    differ (exact dedup misses it) while its perceptual content is
+    unchanged (a 1/255 brightness step on one subpixel). Deterministic,
+    so the SQL twin recomputes the jittered bytes from the same md5
+    hex."""
+    text = F.col(text_col)
+    h2 = F.md5(F.concat(text, F.lit("b")))
+    last = F.conv(F.substring(h2, 31, 2), 16, 10).cast("int")
+    newb = F.unhex(F.lpad(F.hex((last + 1) % 256), 2, "0"))
+    pixels = F.concat(
+        F.unhex(F.md5(text)),
+        F.unhex(F.md5(F.concat(text, F.lit("a")))),
+        F.unhex(F.substring(h2, 1, 30)),
+        newb,
+    )
+    payload = F.concat(F.lit(b"P6\n4 4\n255\n"), pixels)
+    return df.select(
+        (F.col(id_col) + F.lit(id_offset)).alias("doc_id"),
+        payload.alias("payload"),
+        F.struct(
+            F.lit("image/x-portable-pixmap").alias("format"),
+            F.length(payload).alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def image_ahash(binary_df: DataFrame) -> DataFrame:
+    """Perceptual average-hash (aHash) of each decoded image: gray
+    value per pixel (r+g+b), bit i = 1 iff pixel i's gray >= the image
+    mean, packed little-endian into one integer — the cheapest
+    perceptual fingerprint (robust to brightness jitter, re-encoding,
+    format conversion) and the standard first tier of image dedup
+    before pHash/embedding tiers. The threshold compare is exact
+    integer arithmetic (gray·n_pixels >= total), no float mean, so the
+    hash is bit-reproducible by a SQL twin.
+
+    Arrow-batched mapInPandas over the REAL decode path
+    (``decode_image``); heavy bytes cross to Python once, a single
+    BIGINT comes back — after this the dedup is a plain hash groupBy,
+    the ll4 shape. Returns (doc_id, ahash)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, hashes = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, ch, pix = decode_image(payload)
+                n = w * h
+                if ch == 3:
+                    grays = [
+                        pix[3 * i] + pix[3 * i + 1] + pix[3 * i + 2]
+                        for i in range(n)
+                    ]
+                else:
+                    grays = [3 * pix[i] for i in range(n)]
+                total = sum(grays)
+                ah = 0
+                for i, g in enumerate(grays):
+                    if g * n >= total:
+                        ah |= 1 << i
+                ids.append(doc_id)
+                hashes.append(ah)
+            yield pd.DataFrame({"doc_id": ids, "ahash": hashes})
+
+    return binary_df.mapInPandas(batches, "doc_id bigint, ahash bigint")

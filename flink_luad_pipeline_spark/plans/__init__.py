@@ -174,6 +174,8 @@ _NEW_THIS_ROUND = (
     "ll88_cluster_balanced_sample",
     "ll89_dsir_select",
     "o10_max_drawdown",
+    "ss19_streaming_dsir_gate",
+    "ll90_image_ahash_dedup",
 )
 
 

@@ -4349,3 +4349,69 @@ def ll89_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("keep_prob"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ll90 — perceptual image dedup (average-hash groups across re-encodes)
+# ---------------------------------------------------------------------------
+
+
+def _ll90_oracle() -> str:
+    # byte k (0-based) of the 48-byte raster, from the concatenated
+    # md5 hex; the jittered twin bumps byte 47 by +1 mod 256
+    hexes = (
+        "md5(text) || md5(text || 'a') || md5(text || 'b')"
+    )
+    byte = (
+        f"CAST(('0x' || substr(h, 2 * k + 1, 2)) AS BIGINT)"
+    )
+    return (
+        f"WITH base AS (SELECT doc_id, {hexes} AS h FROM documents),"
+        " bytes0 AS (SELECT doc_id, list_transform(range(0, 48),"
+        f"  k -> {byte}) AS b FROM base),"
+        # original + jittered twin (id + 1000000, byte 47 bumped)
+        " variants AS ("
+        "  SELECT doc_id, b FROM bytes0"
+        "  UNION ALL"
+        "  SELECT doc_id + 1000000,"
+        "   list_append(b[1:47], (b[48] + 1) % 256) FROM bytes0),"
+        " grays AS (SELECT doc_id, list_transform(range(0, 16),"
+        "  i -> b[3 * i + 1] + b[3 * i + 2] + b[3 * i + 3]) AS g"
+        "  FROM variants),"
+        " hashed AS (SELECT doc_id,"
+        "  list_sum(list_transform(range(0, 16), i ->"
+        "   CASE WHEN g[i + 1] * 16 >= list_sum(g)"
+        "   THEN (1::BIGINT << i) ELSE 0 END)) AS ahash FROM grays)"
+        " SELECT CAST(ahash AS BIGINT) AS ahash,"
+        " CAST(count(*) AS BIGINT) AS n_docs,"
+        " CAST(min(doc_id) AS BIGINT) AS keeper"
+        " FROM hashed GROUP BY ahash HAVING count(*) >= 2"
+    )
+
+
+@query("ll90_image_ahash_dedup", oracle=_ll90_oracle())
+def ll90_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup: average-hash (aHash) groups over the
+    corpus images PLUS a brightness-jittered re-encode of each (+1 on
+    one subpixel — bytes differ, so ll4's exact tier and the payload
+    checksums all miss it; the perceptual hash does not). The
+    multimodal member of the dedup family: decode (real PPM codec,
+    Arrow-batched) → integer-exact 16-bit aHash → plain hash groupBy —
+    after the UDF boundary this is exactly the ll4 shape, one shuffle
+    on a short key, no pairs. The oracle recomputes rasters, jitter,
+    grays, and the threshold bits from the same md5 hex, so the whole
+    decode→hash→group path is value-checked. Near-threshold pixels CAN
+    flip under jitter (both engines agree on which), so group sizes
+    are the honest robustness measurement, not an assumed 2."""
+    docs = load(spark, sf_dir, "documents")
+    orig = multimodal.attach_image_payload(docs, "doc_id", "text")
+    jit = multimodal.attach_image_payload_jittered(docs, "doc_id", "text")
+    ah = multimodal.image_ahash(orig.unionByName(jit))
+    return (
+        ah.groupBy("ahash")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("keeper"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )

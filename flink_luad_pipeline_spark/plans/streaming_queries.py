@@ -536,3 +536,61 @@ def ss18_streaming_neardup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = ops.read_documents_stream(spark, sf_dir)
     pairs = ops.neardup_probe_stream(stream, sh, banded, threshold=0.5)
     return _drain(pairs, "ss18_neardup", "append")
+
+
+def _ss19_oracle() -> str:
+    """Batch twin of the streaming DSIR gate: the full-table ratio
+    (target = lang 'en', the _DSIR_ORACLE arithmetic) applied back to
+    every document, per-bucket terms DECIMAL-quantized exactly like
+    the stream's fold, gate at log_weight >= 0."""
+    from .llm_queries import _TOKENS_SQL, _hex10
+
+    return (
+        "WITH tok AS (SELECT doc_id, lang = 'en' AS is_t,"
+        f" {_TOKENS_SQL} AS t FROM documents),"
+        " grams AS (SELECT doc_id, is_t,"
+        " unnest(list_transform(range(1, len(t)),"
+        " i -> t[i] || ' ' || t[i + 1])) AS g FROM tok WHERE len(t) >= 2),"
+        f" feat AS (SELECT doc_id, is_t, {_hex10('g')} % 256 AS b"
+        " FROM grams),"
+        " cnts AS (SELECT b, count(*) AS cr,"
+        " sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct FROM feat GROUP BY b),"
+        " tot AS (SELECT sum(cr) AS tr, sum(ct) AS tt FROM cnts),"
+        " ratio AS (SELECT b, ln((ct + 1.0) / (tt + 256))"
+        " - ln((cr + 1.0) / (tr + 256)) AS lr FROM cnts, tot),"
+        " db AS (SELECT doc_id, b, count(*) AS c FROM feat"
+        " GROUP BY doc_id, b),"
+        " w AS (SELECT doc_id, sum(c) AS nf,"
+        " round(CAST(sum(CAST(round(c * lr, 9) AS DECIMAL(28,9)))"
+        "  AS DOUBLE), 6) AS lw"
+        " FROM db JOIN ratio USING (b) GROUP BY doc_id)"
+        " SELECT doc_id, CAST(nf AS BIGINT) AS n_bigrams,"
+        " CAST(lw AS DOUBLE) AS log_weight"
+        " FROM w WHERE lw >= 0.0"
+    )
+
+
+@query("ss19_streaming_dsir_gate", oracle=_ss19_oracle())
+def ss19_streaming_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming DSIR quality gate: the learned-selection tier (ll53)
+    applied AT INGEST — the bucket→log-ratio table is trained
+    batch-side on the corpus (target = English), collected once
+    (≤256 rows, the BPE-merge-table boundary class) and baked into a
+    stateless map-literal scorer, so each streamed document is scored
+    and gated in a single projection: no state store, no watermark,
+    feed-rate throughput. Keeps docs scoring >= 0 (at least as
+    target-like as the raw average). The oracle replays training AND
+    scoring in batch with the identical DECIMAL-quantized fold, so
+    the gate's exact decision set is value-checked — the streaming
+    member of the ll53 → ll89 selection family."""
+    from ..catalog import load
+    from ..operators.importance import dsir_ratio_table
+
+    docs = load(spark, sf_dir, "documents")
+    ratio_rows = [
+        (int(r["b"]), float(r["lr"]))
+        for r in dsir_ratio_table(docs, F.col("lang") == "en").collect()
+    ]
+    stream = ops.read_documents_stream(spark, sf_dir)
+    gated = ops.dsir_gate_stream(stream, ratio_rows, threshold=0.0)
+    return _drain(gated, "ss19_dsirgate", "append")

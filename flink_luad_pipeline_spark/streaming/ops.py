@@ -891,3 +891,63 @@ def neardup_probe_stream(
         .where(F.col("jaccard") >= F.lit(threshold))
         .dropDuplicates(["doc_id", "dup_of"])
     )
+
+
+def dsir_gate_stream(
+    docs_stream: DataFrame,
+    ratio_rows: list[tuple[int, float]],
+    buckets: int = 256,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Streaming DSIR quality gate — the ingest-time form of the
+    learned-selection tier (ll53/ll89): the bucket→log-ratio table is
+    TRAINED batch-side (``importance.dsir_logweights``'s ratio, ≤
+    ``buckets`` rows — collected once, the BPE-merge-table k-row
+    boundary class) and baked into a map literal, so scoring is a
+    single STATELESS projection per document: hash its bigrams, look
+    each bucket up in the map, sum. No stream aggregation, no state
+    store, no watermark — the shape that keeps an ingest gate at feed
+    throughput.
+
+    Per-bucket terms c·lr are rounded to 9dp and summed as exact
+    DECIMAL over the doc's SORTED distinct buckets, so the score is
+    fold-order-free and a batch SQL twin reproduces it bit-exactly
+    (this op's oracle groups by bucket instead — identical sums
+    because the partials are exact).
+
+    Emits (doc_id, n_bigrams, log_weight) for documents scoring
+    >= ``threshold`` (docs at least as target-like as the raw
+    average, at the default 0.0)."""
+    from ..operators.importance import _bigram_buckets
+
+    mapping = F.map_from_arrays(
+        F.array(*[F.lit(int(b)) for b, _ in ratio_rows]),
+        F.array(*[F.lit(float(lr)) for _, lr in ratio_rows]),
+    )
+    bks = _bigram_buckets(F.col("text"), buckets)
+    staged = docs_stream.select(F.col("doc_id"), bks.alias("bks"))
+    ds = F.array_sort(F.array_distinct(F.col("bks")))
+    terms = F.transform(
+        ds,
+        lambda b: F.round(
+            F.size(F.filter(F.col("bks"), lambda x: x == b))
+            * F.element_at(mapping, b),
+            9,
+        ).cast("decimal(28,9)"),
+    )
+    # the merge must return the accumulator's exact type: DECIMAL
+    # addition widens precision (28,9)+(28,9) -> (29,9), so cast back
+    lw = F.round(
+        F.aggregate(
+            terms,
+            F.lit(0).cast("decimal(28,9)"),
+            lambda acc, t: (acc + t).cast("decimal(28,9)"),
+        ).cast("double"),
+        6,
+    )
+    scored = staged.select(
+        "doc_id",
+        F.size("bks").cast("bigint").alias("n_bigrams"),
+        lw.alias("log_weight"),
+    )
+    return scored.where(F.col("log_weight") >= F.lit(float(threshold)))

@@ -1369,3 +1369,33 @@ def test_compression_stack_recall_scorecard(spark, sf_dir):
     assert score["ivfpq_trained"] > score["ivfpq_mod"]  # training helps
     # SQ8 on top of JL costs (almost) nothing beyond JL itself
     assert abs(score["jl16_sq8_brute"] - score["jl16_brute"]) <= 0.1
+
+
+def test_image_ahash_robust_to_jitter_exact_dedup_is_not(spark, sf_dir):
+    """ll90's point: the +1-subpixel jittered re-encode has DIFFERENT
+    bytes (exact/byte dedup misses every pair) but the SAME perceptual
+    aHash for the vast majority of images (only near-threshold pixels
+    can flip). Pins both facts."""
+    from flink_luad_pipeline_spark.catalog import load
+    from flink_luad_pipeline_spark.operators import multimodal
+
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    orig = multimodal.attach_image_payload(docs, "doc_id", "text")
+    jit = multimodal.attach_image_payload_jittered(docs, "doc_id", "text")
+    # bytes differ for every pair -> exact dedup finds nothing
+    both = orig.unionByName(jit).select(
+        (F.col("doc_id") % 1000000).alias("base"), F.md5("payload").alias("fp")
+    )
+    exact_groups = (
+        both.groupBy("base", "fp").count().where(F.col("count") >= 2).count()
+    )
+    assert exact_groups == 0
+    # perceptual hash matches for most pairs
+    ah = multimodal.image_ahash(orig.unionByName(jit)).select(
+        (F.col("doc_id") % 1000000).alias("base"), "ahash"
+    )
+    n_docs = docs.count()
+    matched = (
+        ah.groupBy("base", "ahash").count().where(F.col("count") == 2).count()
+    )
+    assert matched >= 0.8 * n_docs, (matched, n_docs)
