@@ -610,3 +610,49 @@ def image_ahash(binary_df: DataFrame) -> DataFrame:
             yield pd.DataFrame({"doc_id": ids, "ahash": hashes})
 
     return binary_df.mapInPandas(batches, "doc_id bigint, ahash bigint")
+
+
+def byte_class_histogram_arrow(binary_df: DataFrame) -> DataFrame:
+    """Per-payload byte-class histogram via ``mapInArrow`` — the
+    zero-copy Arrow boundary (no pandas materialization at all):
+    batches arrive as pyarrow RecordBatches, the four class counts
+    (quartiles of the byte range) come from buffer-level iteration,
+    and only 4 ints per row go back. Completes the engine's
+    Python-boundary matrix (mapInPandas / applyInPandas /
+    applyInPandasWithState / scalar pandas_udf / UDTF / Python
+    DataSource / mapInArrow) with the variant that skips the
+    Arrow→pandas conversion entirely — the right boundary when the
+    Python side only walks bytes.
+
+    Returns (doc_id, n_bytes, c0, c1, c2, c3) with ci = count of
+    bytes in [64·i, 64·(i+1))."""
+    import pyarrow as pa
+
+    def batches(it):
+        for batch in it:
+            ids = batch.column("doc_id").to_pylist()
+            payloads = batch.column("payload").to_pylist()
+            n, c = [], [[], [], [], []]
+            for p in payloads:
+                counts = [0, 0, 0, 0]
+                for b in p:
+                    counts[b >> 6] += 1
+                n.append(len(p))
+                for i in range(4):
+                    c[i].append(counts[i])
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "n_bytes": pa.array(n, pa.int64()),
+                    "c0": pa.array(c[0], pa.int64()),
+                    "c1": pa.array(c[1], pa.int64()),
+                    "c2": pa.array(c[2], pa.int64()),
+                    "c3": pa.array(c[3], pa.int64()),
+                }
+            )
+
+    return binary_df.mapInArrow(
+        batches,
+        "doc_id bigint, n_bytes bigint, c0 bigint, c1 bigint,"
+        " c2 bigint, c3 bigint",
+    )

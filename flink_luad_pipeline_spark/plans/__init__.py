@@ -176,6 +176,8 @@ _NEW_THIS_ROUND = (
     "o10_max_drawdown",
     "ss19_streaming_dsir_gate",
     "ll90_image_ahash_dedup",
+    "ll91_concordance",
+    "ll92_byte_histogram_arrow",
 )
 
 

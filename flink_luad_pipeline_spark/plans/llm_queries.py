@@ -4415,3 +4415,97 @@ def ll90_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_docs") >= 2)
     )
+
+
+# ---------------------------------------------------------------------------
+# ll91 — concordance / keyword-in-context (corpus search tooling)
+# ---------------------------------------------------------------------------
+
+_LL91_TERMS = ("spark", "table", "stream")
+
+_LL91_ORACLE = (
+    f"WITH tok AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),"
+    " pos AS (SELECT doc_id, t, unnest(range(len(t))) AS p,"
+    "   unnest(t) AS term FROM tok)"
+    " SELECT doc_id, CAST(p AS BIGINT) AS pos, term,"
+    # coalesce: DuckDB's out-of-range list_slice is NULL where Spark's
+    # is an empty array (joined to '')
+    " coalesce(array_to_string("
+    "  list_slice(t, greatest(p - 2, 0) + 1, p), ' '), '') AS left_ctx,"
+    " coalesce(array_to_string(list_slice(t, p + 2, p + 3), ' '), '')"
+    "  AS right_ctx"
+    " FROM pos WHERE term IN ('spark', 'table', 'stream')"
+)
+
+
+@query("ll91_concordance", oracle=_LL91_ORACLE)
+def ll91_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concordance / keyword-in-context (KWIC): every occurrence of the
+    query terms with two tokens of context on each side — the corpus
+    inspection tool run on filter-rule hits before shipping them (what
+    does 'spark' actually look like in context in slice X?), and the
+    evidence extractor behind contamination review (ll58's audit
+    direction needs the text around the hit, not just counts).
+
+    Scale: one narrow posexplode carrying the token array alongside
+    (context slices are array ops on the carried column — no join
+    back to the corpus), a term IN-list filter that prunes at the
+    explode, output linear in match count. No shuffle at all until
+    whatever consumes the hits."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", T.tokenize(F.col("text")).alias("t"))
+    pos = toks.select(
+        "doc_id", "t", F.posexplode("t").alias("p", "term")
+    ).where(F.col("term").isin(*_LL91_TERMS))
+    start0 = F.greatest(F.col("p") - 2, F.lit(0))
+    return pos.select(
+        "doc_id",
+        F.col("p").cast("bigint").alias("pos"),
+        "term",
+        F.array_join(
+            F.slice("t", start0 + 1, F.col("p") - start0), " "
+        ).alias("left_ctx"),
+        F.array_join(F.slice("t", F.col("p") + 2, 2), " ").alias(
+            "right_ctx"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ll92 — mapInArrow byte-class histogram (zero-copy Python boundary)
+# ---------------------------------------------------------------------------
+
+_LL92_ORACLE = (
+    # payload = 4 concatenated md5 digests (64 bytes); byte k from hex
+    "WITH d AS (SELECT doc_id,"
+    " md5(text) || md5(text || 'a') || md5(text || 'b') || md5(text || 'c')"
+    "  AS h FROM documents),"
+    " b AS (SELECT doc_id,"
+    "  CAST(('0x' || substr(h, 2 * k + 1, 2)) AS BIGINT) AS v"
+    "  FROM d, unnest(range(0, 64)) u(k))"
+    " SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bytes,"
+    " CAST(sum(CASE WHEN v < 64 THEN 1 ELSE 0 END) AS BIGINT) AS c0,"
+    " CAST(sum(CASE WHEN v >= 64 AND v < 128 THEN 1 ELSE 0 END) AS BIGINT)"
+    "  AS c1,"
+    " CAST(sum(CASE WHEN v >= 128 AND v < 192 THEN 1 ELSE 0 END) AS BIGINT)"
+    "  AS c2,"
+    " CAST(sum(CASE WHEN v >= 192 THEN 1 ELSE 0 END) AS BIGINT) AS c3"
+    " FROM b GROUP BY doc_id"
+)
+
+
+@query("ll92_byte_histogram_arrow", oracle=_LL92_ORACLE)
+def ll92_byte_histogram_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-class histogram over binary payloads via ``mapInArrow`` —
+    the zero-copy Python boundary (RecordBatches in, 4 ints per row
+    out, no pandas conversion), completing the engine's Python-API
+    matrix; the histogram itself is the cheap binary-content sniffer
+    (text vs compressed vs random) a multimodal ingest runs before
+    deciding which decoder family to try. Payloads are md5-derived
+    (the ll17/ll75 convention), so every count is SQL-checkable.
+    Scale: narrow per-row pass, Arrow-batched, no shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    binary = multimodal.attach_multiwindow_payload(docs, "doc_id", "text")
+    return multimodal.byte_class_histogram_arrow(
+        binary.select("doc_id", "payload")
+    )
