@@ -86,13 +86,19 @@ def _fit(
     DataFrame[cid, cv])."""
     spark = emb.sparkSession
     # _spread: every Lloyd round scores N x k distances over this
-    # frame; a single-row-group scan would pin that to 1-2 cores
+    # frame; a single-row-group scan would pin that to 1-2 cores.
+    # localCheckpoint: the frame feeds init + one assignment and one
+    # update pass PER iteration + the caller's final assignment — 5+
+    # consumers, each of which would otherwise rescan the parquet and
+    # recompute the projection (measured 9x sf0.1->sf1 growth on ll79
+    # before the boundary). Eager per-invocation, released on
+    # dereference — the honest-bench contract of the dedup tiers.
     e = _spread(
         emb.select(
             F.col(id_col).alias("vec_id"),
             F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
         )
-    )
+    ).localCheckpoint(eager=True)
     cent = {
         int(r["cid"]): list(r["cv"])
         for r in e.where(F.col("vec_id") < k)
@@ -190,12 +196,14 @@ def cell_silhouette(
 
     Returns (cell, n_vecs, mean_silhouette), cells with >= 1 member.
     """
+    # same multi-consumer boundary as _fit: e feeds the derived-mod
+    # count, the centroid slice, and the full scoring pass
     e = _spread(
         emb.select(
             F.col(id_col).alias("vec_id"),
             F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
         )
-    )
+    ).localCheckpoint(eager=True)
     if centroid_mod is None:
         import math
 
