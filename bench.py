@@ -106,6 +106,14 @@ HEADLINE = [
     "ss5_stateful_totals",
     "ss17_dynamic_session_window",
     "ss18_streaming_neardup_probe",
+    # round 6b: the ExactSubstr excision materializer (positions +
+    # anti-join + reassembly), the first-occurrence novelty gram pass,
+    # the dim^2 Gramian + power iteration, and the decode->aHash
+    # perceptual dedup (Arrow boundary cost made bench-visible)
+    "ll87_excise_repeated_spans",
+    "ll82_ngram_novelty",
+    "c9_pca_power_iteration",
+    "ll90_image_ahash_dedup",
 ]
 
 

@@ -2665,11 +2665,21 @@ def x6_observation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     metrics query doubles ingest cost, which is exactly what observe
     exists to avoid. The observed aggregates ride the normal action;
     this query materializes them as the result row so the contract is
-    value-checked (counts + an exact DECIMAL sum) against plain SQL."""
+    value-checked (counts + an exact DECIMAL sum) against plain SQL.
+
+    The observation runs in a THROWAWAY ``newSession()`` (same
+    SparkContext, own session state): a registered Observation leaves
+    a reference to the session's non-serializable ObservationManager
+    that a LATER FileFormatWriter command in the same session can
+    capture into a task closure and die on
+    (java.io.NotSerializableException: ObservationManager — observed
+    on the pipeline's CSV sink after this query ran). Scoping the
+    listener to a session nothing else writes from contains it."""
     from pyspark.sql import Observation
 
+    s2 = spark.newSession()
     obs = Observation("x6")
-    li = load(spark, sf_dir, "lineitem")
+    li = load(s2, sf_dir, "lineitem")
     observed = li.observe(
         obs,
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
