@@ -514,9 +514,19 @@ def pca_power_iteration(
     documented metadata-sized boundary like the k-means centroids):
     it is referenced by every iteration and must not re-trigger the
     corpus pass per step."""
+    from .operators.dedup import _spread
+
     dec = "decimal(28,12)"
-    e = emb.select(
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v")
+    # _spread: the Gramian pass explodes dim² products per vector — on
+    # a 1-2 row-group test-scale scan that pins the whole O(N·dim²)
+    # compute to 1-2 cores (measured 3x on the bench); no-op at
+    # cluster scale
+    e = _spread(
+        emb.select(
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+                "v"
+            )
+        )
     )
     n_row = e.agg(F.count(F.lit(1)).alias("n"))
     fi = e.select("v", F.posexplode("v").alias("i", "vi"))
