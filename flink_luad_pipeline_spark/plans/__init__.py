@@ -178,6 +178,7 @@ _NEW_THIS_ROUND = (
     "ll90_image_ahash_dedup",
     "ll91_concordance",
     "ll92_byte_histogram_arrow",
+    "b28_trimmed_mean",
 )
 
 

@@ -1813,3 +1813,80 @@ def b26_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("funnel_stage"),
         F.col("pp").isNotNull().alias("converted"),
     )
+
+
+B28_ORACLE = (
+    # exact 10% trimmed mean: drop the floor(n/10) lowest and highest
+    # values (ties broken by value order — row_number over value), mean
+    # of the rest, rounded 6dp. DECIMAL-quantized sum so row order
+    # can't perturb the mean.
+    "WITH r AS (SELECT event_type, value,"
+    "  row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,"
+    "  count(*) OVER (PARTITION BY event_type) AS n"
+    "  FROM events),"
+    " kept AS (SELECT event_type, value, n FROM r"
+    "  WHERE rn > n // 10 AND rn <= n - n // 10)"
+    " SELECT event_type, CAST(max(n) AS BIGINT) AS n_total,"
+    " CAST(count(*) AS BIGINT) AS n_kept,"
+    " CAST(round(CAST(sum(CAST(round(value, 9) AS DECIMAL(28,9)))"
+    "  AS DOUBLE) / count(*), 6) AS DOUBLE) AS trimmed_mean"
+    " FROM kept GROUP BY event_type"
+)
+
+
+@query("b28_trimmed_mean", oracle=B28_ORACLE)
+def b28_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B28 — exact 10% trimmed mean per event type via a GROUPED-
+    AGGREGATE pandas UDF: the one Python-boundary variant the engine
+    didn't yet exercise (scalar pandas_udf, mapInPandas/Arrow,
+    applyInPandas(WithState), UDTF, and the Python DataSource all
+    exist) — the group's values arrive as ONE pandas Series per group,
+    the trimmed mean goes back as a scalar, so the UDF slots into a
+    normal ``groupBy().agg()`` next to built-ins (here: count).
+    Statistically the outlier-resistant mean b27's median/MAD pairs
+    with. Deterministic: values sorted inside the UDF, trim counts are
+    integer floor(n/10), the kept values' sum is quantized to
+    DECIMAL(28,9)-equivalent by rounding each addend to 9dp and
+    summing with math.fsum before the final 6dp round — the oracle
+    reproduces the identical arithmetic relationally.
+
+    Scale: one shuffle on the group key; each group crosses to Python
+    once as an Arrow batch. Skew bound = the largest single group —
+    for extreme per-key cardinality the x2 sketch percentiles are the
+    documented approximate fallback (same note as b27)."""
+    import math
+
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit functionType: the module's `from __future__ import
+    # annotations` turns hints into strings the UDF inferencer can't
+    # resolve against function-local imports
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def trimmed_mean(v):
+        vals = sorted(float(x) for x in v)
+        k = len(vals) // 10
+        kept = vals[k:len(vals) - k] if k else vals
+        # fsum over 9dp-rounded addends == exact-DECIMAL sum of the
+        # same addends (each is a small finite decimal; fsum is exact)
+        total = math.fsum(round(x, 9) for x in kept)
+        return round(total / len(kept), 6)
+
+    ev = load(spark, sf_dir, "events")
+    # a GROUPED_AGG pandas UDF cannot share an agg() with JVM
+    # aggregates (INVALID_PANDAS_UDF_PLACEMENT) — the count rides a
+    # separate agg on the same key; both group on event_type so the
+    # exchange is shared/reused
+    tm = ev.groupBy("event_type").agg(
+        trimmed_mean(F.col("value")).alias("trimmed_mean")
+    )
+    counts = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total")
+    )
+    return counts.join(tm, "event_type").select(
+        "event_type",
+        "n_total",
+        (F.col("n_total") - 2 * F.floor(F.col("n_total") / 10))
+        .cast("bigint")
+        .alias("n_kept"),
+        "trimmed_mean",
+    )
