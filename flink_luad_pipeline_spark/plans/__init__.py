@@ -179,6 +179,7 @@ _NEW_THIS_ROUND = (
     "ll91_concordance",
     "ll92_byte_histogram_arrow",
     "b28_trimmed_mean",
+    "ll93_filter_rule_ablation",
 )
 
 

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
@@ -1170,22 +1170,11 @@ _GOPHER_ORACLE = (
 )
 
 
-@query("ll43_gopher_quality_rules", oracle=_GOPHER_ORACLE)
-def ll43_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style (Rae et al. 2021, arXiv:2112.11446 Table A1) format
-    and repetition quality rules — the named rule-set complement to
-    ll21's scalar score: word-count bounds, mean word length 3..10,
-    symbol-to-word ratio, bullet-/ellipsis-line fractions, alphabetic
-    word fraction, and required-stopword presence, each applied in a
-    fixed precedence so every drop carries its first failing rule.
-
-    All signals are native expressions (split / filter lambdas /
-    regexp_count / array_intersect) — whole-stage codegen end to end,
-    no Python in the hot path. One narrow pass over the corpus; the
-    rule constants live in one place on each side, and every
-    intermediate signal is emitted and value-checked, so a rule that
-    never fires on this corpus is still verified as computed."""
-    docs = load(spark, sf_dir, "documents")
+def _gopher_signal_frame(docs: DataFrame) -> DataFrame:
+    """The shared Gopher signal pass (ll43's expressions verbatim):
+    (doc_id, n_words, mwl, symr, bulf, ellf, alpf, sw) — one narrow
+    codegen projection, consumed by the rule verdicts (ll43) and the
+    rule-ablation report (ll93)."""
     d = docs.select(
         "doc_id",
         "text",
@@ -1217,7 +1206,7 @@ def ll43_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     sw = F.size(
         F.array_intersect("words", F.array(*[F.lit(s) for s in _GOPHER_STOPS]))
     )
-    m = d.select(
+    return d.select(
         "doc_id",
         n_words.alias("n_words"),
         mwl.alias("mwl"),
@@ -1227,7 +1216,12 @@ def ll43_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         alpf.alias("alpf"),
         sw.alias("sw"),
     )
-    rules = [
+
+
+def _gopher_rules() -> list[tuple[str, Column]]:
+    """(name, pass-predicate over the signal frame) in precedence
+    order — ONE place for the rule constants on the Spark side."""
+    return [
         ("word_count", F.col("n_words").between(30, 100000)),
         ("mean_word_len", F.col("mwl").between(3, 10)),
         ("symbol_ratio", F.col("symr") < 0.1),
@@ -1236,6 +1230,26 @@ def ll43_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("alpha_words", F.col("alpf") > 0.8),
         ("stopwords", F.col("sw") >= 1),
     ]
+
+
+@query("ll43_gopher_quality_rules", oracle=_GOPHER_ORACLE)
+def ll43_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style (Rae et al. 2021, arXiv:2112.11446 Table A1) format
+    and repetition quality rules — the named rule-set complement to
+    ll21's scalar score: word-count bounds, mean word length 3..10,
+    symbol-to-word ratio, bullet-/ellipsis-line fractions, alphabetic
+    word fraction, and required-stopword presence, each applied in a
+    fixed precedence so every drop carries its first failing rule.
+
+    All signals are native expressions (split / filter lambdas /
+    regexp_count / array_intersect) — whole-stage codegen end to end,
+    no Python in the hot path. One narrow pass over the corpus; the
+    rule constants live in one place on each side, and every
+    intermediate signal is emitted and value-checked, so a rule that
+    never fires on this corpus is still verified as computed."""
+    docs = load(spark, sf_dir, "documents")
+    m = _gopher_signal_frame(docs)
+    rules = _gopher_rules()
     kept = rules[0][1]
     for _, ok in rules[1:]:
         kept = kept & ok
@@ -4508,4 +4522,101 @@ def ll92_byte_histogram_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary = multimodal.attach_multiwindow_payload(docs, "doc_id", "text")
     return multimodal.byte_class_histogram_arrow(
         binary.select("doc_id", "payload")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ll93 — filter-rule ablation report (marginal attribution per rule)
+# ---------------------------------------------------------------------------
+
+
+def _ll93_oracle() -> str:
+    # reuse the ll43 oracle's signal CTEs verbatim (everything up to
+    # its final verdict SELECT), then flag/ablate per rule
+    prefix = _GOPHER_ORACLE.split(
+        " SELECT doc_id, CAST(n_words AS INT) AS n_words,"
+    )[0]
+    flags = [
+        ("word_count", "n_words BETWEEN 30 AND 100000"),
+        ("mean_word_len", "mwl BETWEEN 3 AND 10"),
+        ("symbol_ratio", "symr < 0.1"),
+        ("bullet_lines", "bulf < 0.9"),
+        ("ellipsis_lines", "ellf < 0.3"),
+        ("alpha_words", "alpf > 0.8"),
+        ("stopwords", "sw >= 1"),
+    ]
+    cols = ", ".join(
+        f"CASE WHEN {pred} THEN 0 ELSE 1 END AS f_{n}" for n, pred in flags
+    )
+    nf = " + ".join(f"f_{n}" for n, _ in flags)
+    unions = " UNION ALL ".join(
+        f"SELECT '{n}' AS rule, f_{n} AS f, nf FROM tot" for n, _ in flags
+    )
+    return (
+        prefix
+        + f", fl AS (SELECT doc_id, {cols} FROM m),"
+        + f" tot AS (SELECT *, {nf} AS nf FROM fl),"
+        + f" e AS ({unions})"
+        + " SELECT rule, CAST(count(*) AS BIGINT) AS n_docs,"
+        " CAST(sum(f) AS BIGINT) AS n_fail,"
+        " CAST(sum(CASE WHEN f = 1 AND nf = 1 THEN 1 ELSE 0 END)"
+        "  AS BIGINT) AS n_unique_fail,"
+        " CAST(round(sum(f) * 1.0 / count(*), 6) AS DOUBLE) AS fail_rate"
+        " FROM e GROUP BY rule"
+    )
+
+
+@query("ll93_filter_rule_ablation", oracle=_ll93_oracle())
+def ll93_filter_rule_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter rule ABLATION: for each Gopher rule (ll43's set,
+    same constants via the shared signal frame), how many documents it
+    fails and — the number that actually matters — how many it fails
+    UNIQUELY (docs every other rule passes: exactly the documents that
+    come back if you drop the rule). The report a curation team reads
+    before shipping a filter stack: a rule with high unique-fail is
+    carrying real weight; one with zero is redundant on this corpus
+    and pure risk. A null signal (undefined ratio) counts as a fail on
+    both sides (CASE/when-otherwise semantics agree).
+
+    Scale: ONE signal pass (ll43's codegen projection), a 7-flag
+    per-doc projection, a 7-way rule explode (rows = 7·N but 3 tiny
+    ints wide), one rule-keyed aggregation — no joins, no windows."""
+    docs = load(spark, sf_dir, "documents")
+    m = _gopher_signal_frame(docs)
+    rules = _gopher_rules()
+    flags = m.select(
+        "doc_id",
+        *[
+            F.when(ok, 0).otherwise(1).alias(f"f_{name}")
+            for name, ok in rules
+        ],
+    )
+    nf = None
+    for name, _ in rules:
+        c = F.col(f"f_{name}")
+        nf = c if nf is None else nf + c
+    tot = flags.select("*", nf.alias("nf"))
+    e = tot.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("rule"),
+                        F.col(f"f_{name}").alias("f"),
+                    )
+                    for name, _ in rules
+                ]
+            )
+        ).alias("r"),
+        "nf",
+    ).select("r.rule", "r.f", "nf")
+    return e.groupBy("rule").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("f").cast("bigint").alias("n_fail"),
+        F.sum(F.when((F.col("f") == 1) & (F.col("nf") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_unique_fail"),
+        F.round(F.sum("f") * F.lit(1.0) / F.count(F.lit(1)), 6)
+        .cast("double")
+        .alias("fail_rate"),
     )
