@@ -516,6 +516,11 @@ def pca_power_iteration(
     corpus pass per step."""
     from .operators.dedup import _spread
 
+    if iters < 1:
+        # iters=0 would leave the norm frame unbuilt and crash in the
+        # final crossJoin with a bare TypeError (ADVICE r6)
+        raise ValueError(f"pca_power_iteration needs iters >= 1, got {iters}")
+
     dec = "decimal(28,12)"
     # _spread: the Gramian pass explodes dim² products per vector — on
     # a 1-2 row-group test-scale scan that pins the whole O(N·dim²)

@@ -892,6 +892,7 @@ def harmonic_centrality(
     )
     d = e.select("u", "v", F.lit(1).alias("d"))
     n = d.count()
+    stable = False
     for _ in range(max_rounds):
         grown = (
             d.unionAll(
@@ -919,6 +920,15 @@ def harmonic_centrality(
         n = m
         if stable:
             break
+    if not stable:
+        # a hop diameter > max_rounds+1 would silently undercount
+        # n_reachable / deflate the scores — fail loudly instead, the
+        # same discipline as the dedup hasher-mismatch guard (ADVICE r6)
+        raise RuntimeError(
+            "harmonic_centrality: distance relaxation did not reach a "
+            f"fixpoint within max_rounds={max_rounds} (graph hop "
+            "diameter exceeds the round budget); raise max_rounds"
+        )
     terms = d.select(
         "u",
         (F.lit(1.0) / F.col("d").cast("double"))

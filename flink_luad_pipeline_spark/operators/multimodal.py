@@ -574,18 +574,25 @@ def attach_image_payload_jittered(
 
 def image_ahash(binary_df: DataFrame) -> DataFrame:
     """Perceptual average-hash (aHash) of each decoded image: gray
-    value per pixel (r+g+b), bit i = 1 iff pixel i's gray >= the image
+    value per pixel (r+g+b), bit i = 1 iff cell i's gray >= the image
     mean, packed little-endian into one integer — the cheapest
     perceptual fingerprint (robust to brightness jitter, re-encoding,
     format conversion) and the standard first tier of image dedup
-    before pHash/embedding tiers. The threshold compare is exact
-    integer arithmetic (gray·n_pixels >= total), no float mean, so the
-    hash is bit-reproducible by a SQL twin.
+    before pHash/embedding tiers. Images with more than 64 pixels are
+    first average-pooled onto the standard 8×8 aHash grid (cell value
+    = exact integer gray sum; the threshold compare cross-multiplies,
+    cell_sum·n_total >= total·cell_npix, so pooling stays float-free);
+    images at or under 64 pixels hash per-pixel. Either way at most 64
+    bits are packed, re-interpreted two's-complement so the value
+    always fits a signed BIGINT (a >=64-pixel image used to overflow
+    int64 — ADVICE r6). All compares are exact integer arithmetic, no
+    float mean, so the hash is bit-reproducible by a SQL twin.
 
     Arrow-batched mapInPandas over the REAL decode path
     (``decode_image``); heavy bytes cross to Python once, a single
     BIGINT comes back — after this the dedup is a plain hash groupBy,
     the ll4 shape. Returns (doc_id, ahash)."""
+    import numpy as np
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -593,18 +600,37 @@ def image_ahash(binary_df: DataFrame) -> DataFrame:
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 w, h, ch, pix = decode_image(payload)
                 n = w * h
+                a = np.frombuffer(bytes(pix), dtype=np.uint8).astype(
+                    np.int64
+                )
                 if ch == 3:
-                    grays = [
-                        pix[3 * i] + pix[3 * i + 1] + pix[3 * i + 2]
-                        for i in range(n)
-                    ]
+                    grays = a[: 3 * n].reshape(n, 3).sum(axis=1)
                 else:
-                    grays = [3 * pix[i] for i in range(n)]
-                total = sum(grays)
+                    grays = 3 * a[:n]
+                if n > 64:
+                    # exact integer 8x8 average pooling: cell (r, c)
+                    # collects pixels whose (row*8//h, col*8//w) maps
+                    # to it; compare cell mean vs global mean by
+                    # cross-multiplication (no float division)
+                    g2 = grays.reshape(h, w)
+                    rows = np.arange(h) * 8 // h
+                    cols = np.arange(w) * 8 // w
+                    cell = rows[:, None] * 8 + cols[None, :]
+                    sums = np.bincount(
+                        cell.ravel(), weights=g2.ravel(), minlength=64
+                    ).astype(np.int64)
+                    npix = np.bincount(cell.ravel(), minlength=64)
+                    total = int(grays.sum())
+                    bits = sums * n >= total * npix
+                else:
+                    total = int(grays.sum())
+                    bits = grays * n >= total
                 ah = 0
-                for i, g in enumerate(grays):
-                    if g * n >= total:
+                for i, b in enumerate(bits):
+                    if b:
                         ah |= 1 << i
+                if ah >= 1 << 63:  # two's-complement wrap into int64
+                    ah -= 1 << 64
                 ids.append(doc_id)
                 hashes.append(ah)
             yield pd.DataFrame({"doc_id": ids, "ahash": hashes})
@@ -613,19 +639,22 @@ def image_ahash(binary_df: DataFrame) -> DataFrame:
 
 
 def byte_class_histogram_arrow(binary_df: DataFrame) -> DataFrame:
-    """Per-payload byte-class histogram via ``mapInArrow`` — the
-    zero-copy Arrow boundary (no pandas materialization at all):
-    batches arrive as pyarrow RecordBatches, the four class counts
-    (quartiles of the byte range) come from buffer-level iteration,
-    and only 4 ints per row go back. Completes the engine's
-    Python-boundary matrix (mapInPandas / applyInPandas /
-    applyInPandasWithState / scalar pandas_udf / UDTF / Python
-    DataSource / mapInArrow) with the variant that skips the
-    Arrow→pandas conversion entirely — the right boundary when the
-    Python side only walks bytes.
+    """Per-payload byte-class histogram via ``mapInArrow`` — the Arrow
+    RecordBatch boundary (no pandas materialization): batches arrive
+    as pyarrow RecordBatches, each payload's four class counts
+    (quartiles of the byte range) are computed by vectorized numpy
+    over a ``memoryview`` of the value (``frombuffer`` — no byte copy,
+    ``>> 6`` + ``bincount`` — no interpreter inner loop; VERDICT r6
+    replaced the original per-byte Python loop), and only 4 ints per
+    row go back. Completes the engine's Python-boundary matrix
+    (mapInPandas / applyInPandas / applyInPandasWithState / scalar
+    pandas_udf / UDTF / Python DataSource / mapInArrow) with the
+    variant that skips the Arrow→pandas conversion — the right
+    boundary when the Python side only classifies bytes.
 
     Returns (doc_id, n_bytes, c0, c1, c2, c3) with ci = count of
     bytes in [64·i, 64·(i+1))."""
+    import numpy as np
     import pyarrow as pa
 
     def batches(it):
@@ -634,12 +663,13 @@ def byte_class_histogram_arrow(binary_df: DataFrame) -> DataFrame:
             payloads = batch.column("payload").to_pylist()
             n, c = [], [[], [], [], []]
             for p in payloads:
-                counts = [0, 0, 0, 0]
-                for b in p:
-                    counts[b >> 6] += 1
+                counts = np.bincount(
+                    np.frombuffer(memoryview(p), dtype=np.uint8) >> 6,
+                    minlength=4,
+                )
                 n.append(len(p))
                 for i in range(4):
-                    c[i].append(counts[i])
+                    c[i].append(int(counts[i]))
             yield pa.RecordBatch.from_pydict(
                 {
                     "doc_id": pa.array(ids, pa.int64()),

@@ -1818,8 +1818,11 @@ def b26_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
 B28_ORACLE = (
     # exact 10% trimmed mean: drop the floor(n/10) lowest and highest
     # values (ties broken by value order — row_number over value), mean
-    # of the rest, rounded 6dp. DECIMAL-quantized sum so row order
-    # can't perturb the mean.
+    # of the rest, floor-truncated to 6dp (the o9 device: round() is
+    # half-away-from-zero in DuckDB but banker's in Python round(), so
+    # a mean landing on a .5e-6 boundary could flip the last digit —
+    # ADVICE r6). DECIMAL-quantized sum so row order can't perturb the
+    # mean.
     "WITH r AS (SELECT event_type, value,"
     "  row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,"
     "  count(*) OVER (PARTITION BY event_type) AS n"
@@ -1828,8 +1831,8 @@ B28_ORACLE = (
     "  WHERE rn > n // 10 AND rn <= n - n // 10)"
     " SELECT event_type, CAST(max(n) AS BIGINT) AS n_total,"
     " CAST(count(*) AS BIGINT) AS n_kept,"
-    " CAST(round(CAST(sum(CAST(round(value, 9) AS DECIMAL(28,9)))"
-    "  AS DOUBLE) / count(*), 6) AS DOUBLE) AS trimmed_mean"
+    " CAST(floor(CAST(sum(CAST(round(value, 9) AS DECIMAL(28,9)))"
+    "  AS DOUBLE) / count(*) * 1e6) / 1e6 AS DOUBLE) AS trimmed_mean"
     " FROM kept GROUP BY event_type"
 )
 
@@ -1847,8 +1850,10 @@ def b28_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     with. Deterministic: values sorted inside the UDF, trim counts are
     integer floor(n/10), the kept values' sum is quantized to
     DECIMAL(28,9)-equivalent by rounding each addend to 9dp and
-    summing with math.fsum before the final 6dp round — the oracle
-    reproduces the identical arithmetic relationally.
+    summing with math.fsum, and the mean is floor-truncated to 6dp
+    (Python round() is banker's, DuckDB round() half-away-from-zero —
+    the o9 device sidesteps the .5e-6 boundary; ADVICE r6) — the
+    oracle reproduces the identical arithmetic relationally.
 
     Scale: one shuffle on the group key; each group crosses to Python
     once as an Arrow batch. Skew bound = the largest single group —
@@ -1869,7 +1874,7 @@ def b28_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         # fsum over 9dp-rounded addends == exact-DECIMAL sum of the
         # same addends (each is a small finite decimal; fsum is exact)
         total = math.fsum(round(x, 9) for x in kept)
-        return round(total / len(kept), 6)
+        return math.floor(total / len(kept) * 1e6) / 1e6
 
     ev = load(spark, sf_dir, "events")
     # a GROUPED_AGG pandas UDF cannot share an agg() with JVM

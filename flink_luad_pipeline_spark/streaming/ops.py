@@ -898,6 +898,7 @@ def dsir_gate_stream(
     ratio_rows: list[tuple[int, float]],
     buckets: int = 256,
     threshold: float = 0.0,
+    default_lr: float = 0.0,
 ) -> DataFrame:
     """Streaming DSIR quality gate — the ingest-time form of the
     learned-selection tier (ll53/ll89): the bucket→log-ratio table is
@@ -915,6 +916,15 @@ def dsir_gate_stream(
     (this op's oracle groups by bucket instead — identical sums
     because the partials are exact).
 
+    Buckets the trained table has never seen (expected in production —
+    the table is batch-trained, the stream is NEW data) score
+    ``default_lr`` instead of nulling the whole DECIMAL fold and
+    silently dropping the document (ADVICE r6): pass the smoothed
+    unseen-bucket ratio from training (DSIR's add-one smoothing gives
+    every bucket a finite ratio) or leave 0.0 for "neutral". The
+    registered query trains on the full corpus so every bucket is
+    mapped and the default never fires there.
+
     Emits (doc_id, n_bigrams, log_weight) for documents scoring
     >= ``threshold`` (docs at least as target-like as the raw
     average, at the default 0.0)."""
@@ -931,7 +941,9 @@ def dsir_gate_stream(
         ds,
         lambda b: F.round(
             F.size(F.filter(F.col("bks"), lambda x: x == b))
-            * F.element_at(mapping, b),
+            * F.coalesce(
+                F.element_at(mapping, b), F.lit(float(default_lr))
+            ),
             9,
         ).cast("decimal(28,9)"),
     )
