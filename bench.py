@@ -114,6 +114,10 @@ HEADLINE = [
     "ll82_ngram_novelty",
     "c9_pca_power_iteration",
     "ll90_image_ahash_dedup",
+    # round 7: the engine's flagship — the complete curation recipe
+    # (rules -> exact+near dedup -> span excision -> DSIR selection ->
+    # packing) composed as ONE plan (VERDICT r6 item 1)
+    "ll94_curation_pipeline",
 ]
 
 

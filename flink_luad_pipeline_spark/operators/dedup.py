@@ -1291,6 +1291,7 @@ def excise_repeated_spans(
     min_len: int = 8,
     min_docs: int = 2,
     hasher: str = "portable",
+    emit: str = "md5",
 ) -> DataFrame:
     """The REMOVAL step of the ExactSubstr tier (Lee et al. 2022,
     §"substring deduplication"): take ``cross_doc_repeated_spans``'s
@@ -1310,7 +1311,12 @@ def excise_repeated_spans(
 
     Returns (doc_id, n_tokens, n_removed, cleaned_md5) for every doc
     with >= 1 token; cleaned_md5 is md5 of the space-joined surviving
-    tokens, NULL when nothing survives."""
+    tokens, NULL when nothing survives. ``emit="text"`` returns the
+    space-joined surviving tokens themselves as ``cleaned_text``
+    instead of the digest — the form a composed pipeline (ll94) feeds
+    to downstream text-scoring stages."""
+    if emit not in ("md5", "text"):
+        raise ValueError(f"emit must be 'md5' or 'text', got {emit!r}")
     spans = cross_doc_repeated_spans(
         df, id_col, text_col, min_len=min_len, min_docs=min_docs,
         hasher=hasher,
@@ -1329,19 +1335,17 @@ def excise_repeated_spans(
     counts = toks.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_tokens")
     )
+    body = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("idx", "tok"))),
+            lambda p: p["tok"],
+        ),
+        " ",
+    )
+    out_col = "cleaned_md5" if emit == "md5" else "cleaned_text"
     reassembled = kept.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_kept"),
-        F.md5(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("idx", "tok"))
-                    ),
-                    lambda p: p["tok"],
-                ),
-                " ",
-            )
-        ).alias("cleaned_md5"),
+        (F.md5(body) if emit == "md5" else body).alias(out_col),
     )
     return counts.join(reassembled, "doc_id", "left").select(
         "doc_id",
@@ -1349,5 +1353,5 @@ def excise_repeated_spans(
         (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
         .cast("bigint")
         .alias("n_removed"),
-        "cleaned_md5",
+        out_col,
     )

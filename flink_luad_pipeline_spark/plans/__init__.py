@@ -35,6 +35,18 @@ from .registry import ORACLES, QUERIES
 # without re-spending window slots on banked ones (VERDICT r2, item 1).
 _BANKED_GREEN = frozenset(
     {
+        # r06 greens (CORRECTNESS_r06: 50/50 hash-green)
+        "ll76_jl_projection", "ll78_sq8_quantize", "ll81_hashed_embeddings",
+        "ll79_ivfpq_trained_topk", "ll82_ngram_novelty", "ll83_char_entropy",
+        "ll84_signal_agreement", "o9_vwap", "b27_median_mad",
+        "j13_nearest_event_join", "g11_harmonic_centrality",
+        "ll85_vocab_coverage", "ll86_bpe_fertility", "c9_pca_power_iteration",
+        "ll87_excise_repeated_spans", "s19_corrupt_record_audit",
+        "x6_observation_metrics", "ll88_cluster_balanced_sample",
+        "ll89_dsir_select", "o10_max_drawdown", "ss19_streaming_dsir_gate",
+        "ll90_image_ahash_dedup", "ll91_concordance",
+        "ll92_byte_histogram_arrow", "b28_trimmed_mean",
+        "ll93_filter_rule_ablation",
         # r05 greens (CORRECTNESS_r05: 46/50 hash-green)
         "ll24_fuzzy_match", "ll25_bpe_token_count", "ll26_corpus_datacard",
         "ll27_source_overlap", "ll28_tfidf_topterms",
@@ -147,52 +159,51 @@ _RED_LAST_CHECK = ()
 _NEVER_CHECKED = ()
 
 
-# Queries NEW or re-shaped this round (round 6) — after the
+# Queries NEW or re-shaped this round (round 7) — after the
 # never-checked conversion tier (contractual priority per VERDICT
-# r3-r5). ll76/ll78/ll81 were value-correct in r05 but emitted
-# array<double> columns the driver canon cannot lexsort (unhashable
-# list); their queries() wrappers now posexplode to scalar long form
-# (VERDICT r5 item 1), so they re-enter the front for a green row.
+# r3-r6). The 26 round-6 entries all greened in CORRECTNESS_r06
+# (50/50, the first fully-green window) and moved into _BANKED_GREEN.
 _NEW_THIS_ROUND = (
-    "ll76_jl_projection",
-    "ll78_sq8_quantize",
-    "ll81_hashed_embeddings",
-    "ll79_ivfpq_trained_topk",
-    "ll82_ngram_novelty",
-    "ll83_char_entropy",
-    "ll84_signal_agreement",
-    "o9_vwap",
-    "b27_median_mad",
-    "j13_nearest_event_join",
-    "g11_harmonic_centrality",
-    "ll85_vocab_coverage",
-    "ll86_bpe_fertility",
-    "c9_pca_power_iteration",
-    "ll87_excise_repeated_spans",
-    "s19_corrupt_record_audit",
-    "x6_observation_metrics",
-    "ll88_cluster_balanced_sample",
-    "ll89_dsir_select",
-    "o10_max_drawdown",
-    "ss19_streaming_dsir_gate",
-    "ll90_image_ahash_dedup",
-    "ll91_concordance",
-    "ll92_byte_histogram_arrow",
-    "b28_trimmed_mean",
-    "ll93_filter_rule_ablation",
+    "ll94_curation_pipeline",
+    "ll95_residual_ivfpq_topk",
+    "ll96_semantic_dedup_sized",
+)
+
+
+# Regression insurance (VERDICT r6 item 3): leftover window slots
+# re-attest the OLDEST banked greens — this tier fronts the r04-greened
+# b/g/ll core (last driver-checked in CORRECTNESS_r04, two rounds ago)
+# so every green row is periodically re-earned, capped well under half
+# the ~50-slot window.
+_RECHECK_OLDEST = (
+    "b4_cube_agg", "b7_window_rank", "b9_sql_subqueries",
+    "b11_distinct_aggregates", "b12_moving_average",
+    "b15_window_navigation", "b16_ordered_string_agg",
+    "b17_time_bucket_agg", "b18_upsert_compaction", "b20_array_hof",
+    "b23_sessionize", "b24_incremental_agg_merge",
+    "c6_ridge_closed_form", "g5_kcore", "g6_weighted_sssp",
+    "g7_random_walks", "ll1_text_stats", "ll5_jaccard_pairs",
+    "ll6_minhash_lsh", "ll8_cosine_topk", "ll9_ann_lsh_topk",
+    "ll10_multimodal_features", "ll11_embedding_neardup",
 )
 
 
 def _rotated() -> list[str]:
     """Driver-sweep order: ever-red (fixed) queries first, then the
     never-driver-checked tier in the judge's priority order, then this
-    round's new queries, then any unchecked stragglers in registration
-    order, then banked-green ones, then the no-oracle queries last
-    (they can never be hash-green, so they must not spend window
-    slots)."""
+    round's new queries, then the oldest-banked recheck tier
+    (regression insurance — re-earns greens last attested rounds ago),
+    then any unchecked stragglers in registration order, then the
+    remaining banked-green ones, then the no-oracle queries last (they
+    can never be hash-green, so they must not spend window slots)."""
     front_tiers = [
         k
-        for k in (*_RED_LAST_CHECK, *_NEVER_CHECKED, *_NEW_THIS_ROUND)
+        for k in (
+            *_RED_LAST_CHECK,
+            *_NEVER_CHECKED,
+            *_NEW_THIS_ROUND,
+            *_RECHECK_OLDEST,
+        )
         if k in QUERIES
     ]
     seen = set(front_tiers)

@@ -234,14 +234,17 @@ def _hex10(expr: str) -> str:
     )
 
 
-_MINHASH_CTES = (
+def _minhash_ctes_over(src_sql: str) -> str:
     # Mirrors minhash_lsh_pairs(..., max_shingle_df=0.5) exactly, incl.
     # the boilerplate df-cutoff: shingles in more than half the corpus
     # are dropped from every document's set BEFORE signatures. Shared
     # CTE prefix (through the candidate pairs + shingle inverted index)
-    # between the pair oracle below and ll72's calibration oracle.
-    f"WITH aug AS ({_AUG_SQL}),"
-    f" tok AS (SELECT doc_id, {_TOKENS_SQL} AS tokens FROM aug),"
+    # between the pair oracle below, ll72's calibration oracle, and the
+    # ll94 pipeline stage (``src_sql`` = whatever (doc_id, text)
+    # relation the near-dup tier runs over).
+    return (
+    f"WITH mh_src AS ({src_sql}),"
+    f" tok AS (SELECT doc_id, {_TOKENS_SQL} AS tokens FROM mh_src),"
     " sh0 AS (SELECT doc_id, list_distinct(CASE WHEN len(tokens) >= 3 THEN"
     "   list_transform(range(1, len(tokens) - 1),"
     "     i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])"
@@ -249,7 +252,7 @@ _MINHASH_CTES = (
     " inv0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh0"
     "   WHERE len(shingles) > 0),"
     " keep AS (SELECT shingle FROM inv0 GROUP BY shingle"
-    "   HAVING count(*) <= 0.5 * (SELECT count(*) FROM aug)),"
+    "   HAVING count(*) <= 0.5 * (SELECT count(*) FROM mh_src)),"
     " invf AS (SELECT doc_id, shingle FROM inv0"
     "   WHERE shingle IN (SELECT shingle FROM keep)),"
     " nz AS (SELECT doc_id, list(shingle) AS shingles,"
@@ -267,12 +270,14 @@ _MINHASH_CTES = (
     "   FROM bands x JOIN bands y ON x.b = y.b AND x.bhash = y.bhash"
     "   AND x.doc_id < y.doc_id),"
     " inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM nz),"
-)
+    )
 
 
-_MINHASH_ORACLE = (
-    _MINHASH_CTES
-    + " inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i FROM cand c"
+_MINHASH_CTES = _minhash_ctes_over(_AUG_SQL)
+
+
+_MINHASH_TAIL = (
+    " inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i FROM cand c"
     "   JOIN inv a ON a.doc_id = c.doc_a"
     "   JOIN inv b ON b.doc_id = c.doc_b AND b.shingle = a.shingle"
     "   GROUP BY c.doc_a, c.doc_b)"
@@ -283,6 +288,16 @@ _MINHASH_ORACLE = (
     " JOIN nz nb ON nb.doc_id = doc_b"
     " WHERE i * 1.0 / (na.n_sh + nb.n_sh - i) >= 0.4"
 )
+
+
+def _minhash_oracle_over(src_sql: str) -> str:
+    """Full minhash+LSH+exact-verify pair oracle over an arbitrary
+    (doc_id, text) relation — ll6's machinery, reusable by composed
+    pipelines (ll94 stage 3)."""
+    return _minhash_ctes_over(src_sql) + _MINHASH_TAIL
+
+
+_MINHASH_ORACLE = _minhash_oracle_over(_AUG_SQL)
 
 
 @query("ll6_minhash_lsh", oracle=_MINHASH_ORACLE)
@@ -1126,25 +1141,45 @@ def ll44_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
+# the conjunction of the 7 rule predicates over the gopher signal CTE
+# ``m`` — shared between ll43's verdict column and ll94's stage-1 gate
+_GOPHER_KEPT_SQL = (
+    "(n_words BETWEEN 30 AND 100000) AND mwl BETWEEN 3 AND 10"
+    " AND symr < 0.1 AND bulf < 0.9 AND ellf < 0.3 AND alpf > 0.8"
+    " AND sw >= 1"
+)
+
+
+def _gopher_m_ctes(src: str) -> str:
+    """The gopher signal CTEs (``d`` + ``m``) over an arbitrary
+    (doc_id, text) relation named ``src`` — ll43's expressions
+    verbatim, reused by ll94's stage-1 gate. No leading WITH, no
+    trailing comma."""
+    return (
+        "d AS (SELECT doc_id, text,"
+        " regexp_split_to_array(trim(text), '\\s+') AS words,"
+        f" string_split(text, chr(10)) AS lines FROM {src}),"
+        " m AS (SELECT doc_id, len(words) AS n_words,"
+        " CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)"
+        "  / len(words) AS mwl,"
+        " CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE)"
+        "  / len(words) AS symr,"
+        " CAST(len(list_filter(lines, l -> regexp_matches(l, '^\\s*[-*]')))"
+        "  AS DOUBLE) / len(lines) AS bulf,"
+        " CAST(len(list_filter(lines, l -> regexp_matches(l, '\\.\\.\\.\\s*$')))"
+        "  AS DOUBLE) / len(lines) AS ellf,"
+        " CAST(len(list_filter(words, w -> regexp_matches(w, '[a-zA-Z]')))"
+        "  AS DOUBLE) / len(words) AS alpf,"
+        " len(list_intersect(words,"
+        " ['the','be','to','of','and','that','have','with'])) AS sw"
+        " FROM d)"
+    )
+
+
 _GOPHER_ORACLE = (
-    "WITH d AS (SELECT doc_id, text,"
-    " regexp_split_to_array(trim(text), '\\s+') AS words,"
-    " string_split(text, chr(10)) AS lines FROM documents),"
-    " m AS (SELECT doc_id, len(words) AS n_words,"
-    " CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)"
-    "  / len(words) AS mwl,"
-    " CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE)"
-    "  / len(words) AS symr,"
-    " CAST(len(list_filter(lines, l -> regexp_matches(l, '^\\s*[-*]')))"
-    "  AS DOUBLE) / len(lines) AS bulf,"
-    " CAST(len(list_filter(lines, l -> regexp_matches(l, '\\.\\.\\.\\s*$')))"
-    "  AS DOUBLE) / len(lines) AS ellf,"
-    " CAST(len(list_filter(words, w -> regexp_matches(w, '[a-zA-Z]')))"
-    "  AS DOUBLE) / len(words) AS alpf,"
-    " len(list_intersect(words,"
-    " ['the','be','to','of','and','that','have','with'])) AS sw"
-    " FROM d)"
-    " SELECT doc_id, CAST(n_words AS INT) AS n_words,"
+    "WITH "
+    + _gopher_m_ctes("documents")
+    + " SELECT doc_id, CAST(n_words AS INT) AS n_words,"
     " CAST(CAST(round(mwl, 6) AS DECIMAL(18,6)) AS DOUBLE)"
     "  AS mean_word_len,"
     " CAST(CAST(round(symr, 6) AS DECIMAL(18,6)) AS DOUBLE)"
@@ -1156,9 +1191,7 @@ _GOPHER_ORACLE = (
     " CAST(CAST(round(alpf, 6) AS DECIMAL(18,6)) AS DOUBLE)"
     "  AS alpha_word_frac,"
     " CAST(sw AS INT) AS stopword_hits,"
-    " (n_words BETWEEN 30 AND 100000) AND mwl BETWEEN 3 AND 10"
-    "  AND symr < 0.1 AND bulf < 0.9 AND ellf < 0.3 AND alpf > 0.8"
-    "  AND sw >= 1 AS kept,"
+    f" {_GOPHER_KEPT_SQL} AS kept,"
     " CASE WHEN NOT (n_words BETWEEN 30 AND 100000) THEN 'word_count'"
     " WHEN NOT (mwl BETWEEN 3 AND 10) THEN 'mean_word_len'"
     " WHEN NOT (symr < 0.1) THEN 'symbol_ratio'"
@@ -2228,25 +2261,32 @@ def ll52_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ll53 — DSIR importance weights (hashed-bigram log-likelihood ratio)
 # ---------------------------------------------------------------------------
 
-_DSIR_ORACLE = (
-    "WITH tok AS (SELECT doc_id, lang = 'en' AS is_t,"
-    f" {_TOKENS_SQL} AS t FROM documents),"
-    " grams AS (SELECT doc_id, is_t,"
-    " unnest(list_transform(range(1, len(t)),"
-    " i -> t[i] || ' ' || t[i + 1])) AS g FROM tok WHERE len(t) >= 2),"
-    f" feat AS (SELECT doc_id, is_t, {_hex10('g')} % 256 AS b FROM grams),"
-    " cnts AS (SELECT b, count(*) AS cr,"
-    " sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct FROM feat GROUP BY b),"
-    " tot AS (SELECT sum(cr) AS tr, sum(ct) AS tt FROM cnts),"
-    " ratio AS (SELECT b, ln((ct + 1.0) / (tt + 256))"
-    " - ln((cr + 1.0) / (tr + 256)) AS lr FROM cnts, tot),"
-    " db AS (SELECT doc_id, b, count(*) AS c FROM feat GROUP BY doc_id, b),"
-    " w AS (SELECT doc_id, sum(c) AS nf, round(sum(c * lr), 6) AS lw"
-    " FROM db JOIN ratio USING (b) GROUP BY doc_id)"
-    " SELECT d.doc_id, CAST(coalesce(w.nf, 0) AS BIGINT) AS n_bigrams,"
-    " CAST(coalesce(w.lw, 0.0) AS DOUBLE) AS log_weight"
-    " FROM documents d LEFT JOIN w ON w.doc_id = d.doc_id"
-)
+def _dsir_oracle_over(table: str) -> str:
+    """ll53's DSIR weight oracle over an arbitrary (doc_id, text,
+    lang) relation — reused by the ll94 pipeline stage where the
+    scored corpus is the cleaned survivor set, not ``documents``."""
+    return (
+        "WITH tok AS (SELECT doc_id, lang = 'en' AS is_t,"
+        f" {_TOKENS_SQL} AS t FROM {table}),"
+        " grams AS (SELECT doc_id, is_t,"
+        " unnest(list_transform(range(1, len(t)),"
+        " i -> t[i] || ' ' || t[i + 1])) AS g FROM tok WHERE len(t) >= 2),"
+        f" feat AS (SELECT doc_id, is_t, {_hex10('g')} % 256 AS b FROM grams),"
+        " cnts AS (SELECT b, count(*) AS cr,"
+        " sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct FROM feat GROUP BY b),"
+        " tot AS (SELECT sum(cr) AS tr, sum(ct) AS tt FROM cnts),"
+        " ratio AS (SELECT b, ln((ct + 1.0) / (tt + 256))"
+        " - ln((cr + 1.0) / (tr + 256)) AS lr FROM cnts, tot),"
+        " db AS (SELECT doc_id, b, count(*) AS c FROM feat GROUP BY doc_id, b),"
+        " w AS (SELECT doc_id, sum(c) AS nf, round(sum(c * lr), 6) AS lw"
+        " FROM db JOIN ratio USING (b) GROUP BY doc_id)"
+        " SELECT d.doc_id, CAST(coalesce(w.nf, 0) AS BIGINT) AS n_bigrams,"
+        " CAST(coalesce(w.lw, 0.0) AS DOUBLE) AS log_weight"
+        f" FROM {table} d LEFT JOIN w ON w.doc_id = d.doc_id"
+    )
+
+
+_DSIR_ORACLE = _dsir_oracle_over("documents")
 
 
 @query("ll53_dsir_weights", oracle=_DSIR_ORACLE)
@@ -2782,8 +2822,8 @@ def ll62_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the property that lets a frozen parquet snapshot index union with
 # fresh delta artifacts and still equal a from-scratch indexing.
 _MINHASH_ORACLE_NOCUT = _MINHASH_ORACLE.replace(
-    "HAVING count(*) <= 0.5 * (SELECT count(*) FROM aug)",
-    "HAVING count(*) <= 1.0 * (SELECT count(*) FROM aug)",
+    "HAVING count(*) <= 0.5 * (SELECT count(*) FROM mh_src)",
+    "HAVING count(*) <= 1.0 * (SELECT count(*) FROM mh_src)",
 )
 assert _MINHASH_ORACLE_NOCUT != _MINHASH_ORACLE
 
@@ -4169,36 +4209,47 @@ def ll86_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ll87 — ExactSubstr span EXCISION (the cleaned-corpus materializer)
 # ---------------------------------------------------------------------------
 
+def _excise_ctes_over(src: str) -> str:
+    """The ExactSubstr excision CTE chain (``tok`` .. ``counts`` +
+    ``kept``) over an arbitrary (doc_id, text) relation named ``src``
+    — ll87's machinery, reused by the ll94 pipeline (which reassembles
+    cleaned TEXT where ll87 emits a digest). No leading WITH, no
+    trailing comma."""
+    return (
+        f"tok AS (SELECT doc_id, {_TOKENS_SQL} AS tokens FROM {src}),"
+        " gr AS (SELECT doc_id, CASE WHEN len(tokens) >= 8 THEN"
+        f"   list_transform(range(1, len(tokens) - 6), i -> {_hex10(f'({_LL65_GRAM8})')})"
+        "   ELSE [] END AS ghs FROM tok),"
+        " pos AS (SELECT doc_id, unnest(range(len(ghs))) AS pos,"
+        "   unnest(ghs) AS g FROM gr),"
+        " shared AS (SELECT g FROM pos GROUP BY g"
+        "   HAVING count(DISTINCT doc_id) >= 2),"
+        " hits AS (SELECT doc_id, pos FROM pos"
+        "   WHERE g IN (SELECT g FROM shared)),"
+        " isl AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos) OVER"
+        "   (PARTITION BY doc_id ORDER BY pos) = 1 THEN 0 ELSE 1 END AS brk"
+        "   FROM hits),"
+        " isl2 AS (SELECT doc_id, pos, sum(brk) OVER"
+        "   (PARTITION BY doc_id ORDER BY pos) AS island FROM isl),"
+        " spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e"
+        "   FROM isl2 GROUP BY doc_id, island),"
+        # adjacent spans' +7 tails can overlap (island gap < 8) -> DISTINCT
+        " covered AS (SELECT DISTINCT doc_id, idx FROM"
+        "   (SELECT doc_id, unnest(range(s, e + 1)) AS idx FROM spans)),"
+        " ti AS (SELECT doc_id, unnest(range(len(tokens))) AS idx,"
+        "   unnest(tokens) AS tok FROM tok),"
+        " counts AS (SELECT doc_id, count(*) AS n_tokens FROM ti"
+        "   GROUP BY doc_id),"
+        " kept AS (SELECT t.doc_id, t.idx, t.tok FROM ti t"
+        "   LEFT JOIN covered c ON c.doc_id = t.doc_id AND c.idx = t.idx"
+        "   WHERE c.idx IS NULL)"
+    )
+
+
 _LL87_ORACLE = (
     f"WITH aug AS ({_AUG_SQL}),"
-    f" tok AS (SELECT doc_id, {_TOKENS_SQL} AS tokens FROM aug),"
-    " gr AS (SELECT doc_id, CASE WHEN len(tokens) >= 8 THEN"
-    f"   list_transform(range(1, len(tokens) - 6), i -> {_hex10(f'({_LL65_GRAM8})')})"
-    "   ELSE [] END AS ghs FROM tok),"
-    " pos AS (SELECT doc_id, unnest(range(len(ghs))) AS pos,"
-    "   unnest(ghs) AS g FROM gr),"
-    " shared AS (SELECT g FROM pos GROUP BY g"
-    "   HAVING count(DISTINCT doc_id) >= 2),"
-    " hits AS (SELECT doc_id, pos FROM pos"
-    "   WHERE g IN (SELECT g FROM shared)),"
-    " isl AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos) OVER"
-    "   (PARTITION BY doc_id ORDER BY pos) = 1 THEN 0 ELSE 1 END AS brk"
-    "   FROM hits),"
-    " isl2 AS (SELECT doc_id, pos, sum(brk) OVER"
-    "   (PARTITION BY doc_id ORDER BY pos) AS island FROM isl),"
-    " spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e"
-    "   FROM isl2 GROUP BY doc_id, island),"
-    # adjacent spans' +7 tails can overlap (island gap < 8) -> DISTINCT
-    " covered AS (SELECT DISTINCT doc_id, idx FROM"
-    "   (SELECT doc_id, unnest(range(s, e + 1)) AS idx FROM spans)),"
-    " ti AS (SELECT doc_id, unnest(range(len(tokens))) AS idx,"
-    "   unnest(tokens) AS tok FROM tok),"
-    " counts AS (SELECT doc_id, count(*) AS n_tokens FROM ti"
-    "   GROUP BY doc_id),"
-    " kept AS (SELECT t.doc_id, t.idx, t.tok FROM ti t"
-    "   LEFT JOIN covered c ON c.doc_id = t.doc_id AND c.idx = t.idx"
-    "   WHERE c.idx IS NULL),"
-    " re AS (SELECT doc_id, count(*) AS n_kept,"
+    + _excise_ctes_over("aug")
+    + ", re AS (SELECT doc_id, count(*) AS n_kept,"
     "   md5(string_agg(tok, ' ' ORDER BY idx)) AS cleaned_md5"
     "   FROM kept GROUP BY doc_id)"
     " SELECT c.doc_id, CAST(c.n_tokens AS BIGINT) AS n_tokens,"
@@ -4619,4 +4670,251 @@ def ll93_filter_rule_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("f") * F.lit(1.0) / F.count(F.lit(1)), 6)
         .cast("double")
         .alias("fail_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ll94 — the END-TO-END CURATION PIPELINE (the engine's flagship)
+# ---------------------------------------------------------------------------
+
+# 11-token boilerplate planted on every 7th document so the excision
+# stage has a real cross-document span to remove (the license-footer
+# case ExactSubstr dedup exists for)
+_LL94_BOILER = (
+    "this boilerplate legal notice shall accompany every copy of the corpus"
+)
+_LL94_PACK = 2048
+
+
+def _ll94_oracle() -> str:
+    """ONE SQL statement mirroring the composed six-stage plan — each
+    stage's CTE machinery is the same builder its standalone query
+    uses (``_gopher_m_ctes``, ``_minhash_oracle_over``,
+    ``_excise_ctes_over``, ``_dsir_oracle_over``), bound to the
+    previous stage's output instead of ``documents``."""
+    sel_hash = _hex10("'cpl#' || CAST(doc_id AS VARCHAR)")
+    return (
+        "WITH RECURSIVE"
+        # fixture: boilerplate on %7, exact copies (+1e6) of %10=0,
+        # near copies (+2e6, 3-token postscript) of %10=5
+        " base AS MATERIALIZED (SELECT doc_id,"
+        f"  CASE WHEN doc_id % 7 = 0 THEN text || ' {_LL94_BOILER}'"
+        "   ELSE text END AS text, lang FROM documents),"
+        " aug AS MATERIALIZED ("
+        "  SELECT doc_id, text, lang FROM base"
+        "  UNION ALL SELECT doc_id + 1000000, text, lang FROM base"
+        "   WHERE doc_id % 10 = 0"
+        "  UNION ALL SELECT doc_id + 2000000,"
+        "   text || ' postscript edit marker', lang FROM base"
+        "   WHERE doc_id % 10 = 5),"
+        # stage 1: Gopher rule gate (ll43's machinery over aug)
+        " g AS MATERIALIZED (SELECT doc_id FROM (SELECT * FROM ("
+        f"  WITH {_gopher_m_ctes('aug')}"
+        f"  SELECT doc_id FROM m WHERE {_GOPHER_KEPT_SQL}) gq) gqq),"
+        " d1 AS MATERIALIZED (SELECT a.doc_id, a.text, a.lang FROM aug a"
+        "   JOIN g USING (doc_id)),"
+        # stage 2: exact dedup — keeper = min doc_id per normalized md5
+        " d2 AS MATERIALIZED (SELECT doc_id, text, lang FROM ("
+        "   SELECT doc_id, text, lang, min(doc_id) OVER (PARTITION BY"
+        "    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))) AS kp"
+        "   FROM d1) dq WHERE doc_id = kp),"
+        # stage 3: minhash+LSH near-dup pairs (ll6's machinery over d2)
+        # + connected components, keep the min-id canonical per cluster
+        " pairs AS MATERIALIZED (SELECT * FROM ("
+        f" {_minhash_oracle_over('SELECT doc_id, text FROM d2')} ) mh),"
+        " sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs"
+        "   UNION SELECT doc_b, doc_a FROM pairs),"
+        " nodes AS (SELECT DISTINCT src AS v FROM sym),"
+        " reach(v, lbl) AS ("
+        "   SELECT v, v FROM nodes"
+        "   UNION"
+        "   SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.v),"
+        " comp AS (SELECT v AS doc_id, min(lbl) AS canonical FROM reach"
+        "   GROUP BY v),"
+        " dropped AS MATERIALIZED (SELECT doc_id FROM comp WHERE doc_id <> canonical),"
+        " d3 AS MATERIALIZED (SELECT * FROM d2"
+        "   WHERE doc_id NOT IN (SELECT doc_id FROM dropped)),"
+        # stage 4: ExactSubstr span excision (ll87's machinery over d3),
+        # reassembling cleaned TEXT for the downstream scorer
+        " cleaned0 AS MATERIALIZED (SELECT * FROM ("
+        f"  WITH {_excise_ctes_over('d3')},"
+        "   re AS (SELECT doc_id, count(*) AS n_kept,"
+        "     string_agg(tok, ' ' ORDER BY idx) AS ctext FROM kept"
+        "     GROUP BY doc_id)"
+        "   SELECT c.doc_id, coalesce(r.n_kept, 0) AS n_kept,"
+        "    coalesce(r.ctext, '') AS ctext"
+        "   FROM counts c LEFT JOIN re r USING (doc_id)) cq),"
+        " cleaned AS MATERIALIZED (SELECT d.doc_id, d.lang,"
+        "   coalesce(c.n_kept, 0) AS n_kept, coalesce(c.ctext, '') AS ctext"
+        "   FROM d3 d LEFT JOIN cleaned0 c USING (doc_id)),"
+        # stage 5: DSIR scoring over the CLEANED text (ll53's machinery)
+        # + ll89's max-normalized hash-coin selection
+        " dsw AS MATERIALIZED (SELECT * FROM ("
+        f" {_dsir_oracle_over('(SELECT doc_id, ctext AS text, lang FROM cleaned)')}"
+        " ) dsq),"
+        " mx AS MATERIALIZED (SELECT max(log_weight) AS m FROM dsw),"
+        " sel AS MATERIALIZED (SELECT doc_id, log_weight,"
+        "   floor(least(1.0, exp(log_weight - m)) * 1000000) AS thr"
+        "   FROM dsw CROSS JOIN mx),"
+        " d5 AS MATERIALIZED (SELECT doc_id, log_weight FROM sel"
+        f"  WHERE {sel_hash} % 1000000 < CAST(thr AS BIGINT)),"
+        # stage 6: contiguous sequence packing (ll19's exclusive prefix
+        # sum in doc_id order over the cleaned token counts)
+        " pk AS MATERIALIZED (SELECT s.doc_id, s.log_weight, c.n_kept AS n_tokens,"
+        "   coalesce(sum(c.n_kept) OVER (ORDER BY s.doc_id"
+        "    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum"
+        "   FROM d5 s JOIN cleaned c USING (doc_id))"
+        " SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,"
+        " CAST(log_weight AS DOUBLE) AS log_weight,"
+        f" CAST(cum // {_LL94_PACK} AS BIGINT) AS pack_id,"
+        f" CAST(cum % {_LL94_PACK} AS BIGINT) AS pack_offset"
+        " FROM pk"
+    )
+
+
+@query("ll94_curation_pipeline", oracle=_ll94_oracle())
+def ll94_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE FLAGSHIP: the complete modern pretraining-data curation
+    recipe as ONE lazy composed plan — quality rules → exact dedup →
+    near dedup → repeated-span excision → learned importance selection
+    → sequence packing — the LLM-era analog of the reference's own
+    end-to-end PipeLine.scala:7-42, proving the engine's operators
+    COMPOSE (ll40 proves it for the dedup tier alone; this chains all
+    six curation families):
+
+      1. Gopher format rules (ll43's signal frame + rule set) gate the
+         raw corpus.
+      2. Exact dedup (ll4's normalized-md5 fingerprint): keeper = min
+         doc_id per fingerprint — one window over the hash key.
+      3. MinHash+LSH near-dup pairs (ll6's operator) → connected
+         components (I1's operator) → only cluster canonicals survive.
+      4. ExactSubstr span excision (ll87's operator, emit="text"):
+         cross-document repeated spans cut out, survivors reassembled.
+      5. DSIR importance scoring of the CLEANED text (ll53's operator)
+         + ll89's max-normalized keep-probability hash coin.
+      6. Contiguous sequence packing (ll19's hierarchical exclusive
+         prefix sum) assigns each survivor its (pack_id, pack_offset)
+         training-shard slot.
+
+    The planted fixture makes every stage observable: an 11-token
+    boilerplate footer on every 7th doc (excised in stage 4), exact
+    copies of every 10th doc (dropped in stage 2), 3-token-postscript
+    near copies of the %10=5 docs (dropped in stage 3).
+
+    Scale shape = the union of its audited parts: the only
+    corpus-sized shuffles are the fingerprint window (stage 2), the
+    minhash band join + CC (stage 3), the gram-key count + (doc, idx)
+    anti-join (stage 4), the doc-keyed DSIR feature shuffle (stage 5),
+    and the range partition (stage 6). Stage boundaries that feed >1
+    consumer (d2, cleaned) are localCheckpointed — the same documented
+    k-consumer boundary class as the Lloyd frames. The single SQL
+    oracle composes the SAME CTE machinery each stage's standalone
+    oracle uses, so the whole path is value-checked end to end."""
+    from ..operators import graph
+    from ..operators.importance import dsir_logweights
+    from ..operators.relational import exclusive_prefix_sum
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    base = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat("text", F.lit(" " + _LL94_BOILER)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "lang",
+    )
+    exact_copies = base.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text", "lang"
+    )
+    near_copies = base.where(F.col("doc_id") % 10 == 5).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat("text", F.lit(" postscript edit marker")).alias("text"),
+        "lang",
+    )
+    aug = base.unionAll(exact_copies).unionAll(near_copies)
+
+    # stage 1: Gopher gate — ll43's shared signal frame + rule set
+    sig = _gopher_signal_frame(aug)
+    kept_pred = None
+    for _, ok in _gopher_rules():
+        kept_pred = ok if kept_pred is None else kept_pred & ok
+    d1 = aug.join(sig.where(kept_pred).select("doc_id"), "doc_id")
+
+    # stage 2: exact dedup — min doc_id per normalized-text fingerprint
+    d2 = (
+        d1.withColumn("fp", T.text_fingerprint(F.col("text")))
+        .withColumn("kp", F.min("doc_id").over(W.partitionBy("fp")))
+        .where(F.col("doc_id") == F.col("kp"))
+        .select("doc_id", "text", "lang")
+        # two consumers (the pair tier + the survivor anti-join) — the
+        # documented materialization boundary, else Catalyst re-runs
+        # stages 1-2 per consumer
+        .localCheckpoint(eager=True)
+    )
+
+    # stage 3: near dedup — ll6's pair tier + I1's connected components
+    pairs = dedup.minhash_lsh_pairs(
+        d2, "doc_id", "text", k=3, threshold=0.4, max_shingle_df=0.5
+    )
+    dropped = (
+        graph.connected_components(pairs, src="doc_a", dst="doc_b")
+        .where(F.col("vertex") != F.col("component"))
+        .select(F.col("vertex").alias("doc_id"))
+    )
+    d3 = d2.join(dropped, "doc_id", "left_anti")
+
+    # stage 4: ExactSubstr excision, reassembling cleaned TEXT
+    ex = dedup.excise_repeated_spans(
+        d3, "doc_id", "text", min_len=8, min_docs=2, emit="text"
+    )
+    cleaned = (
+        d3.select("doc_id", "lang")
+        .join(ex, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce(
+                F.col("n_tokens") - F.col("n_removed"), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("n_kept"),
+            F.coalesce("cleaned_text", F.lit("")).alias("ctext"),
+        )
+        # three consumers (DSIR train pass, DSIR score join, packing)
+        .localCheckpoint(eager=True)
+    )
+
+    # stage 5: DSIR scoring of the cleaned text + ll89's selection coin
+    w = dsir_logweights(
+        cleaned.select("doc_id", F.col("ctext").alias("text"), "lang"),
+        target=F.col("lang") == "en",
+    )
+    mx = w.agg(F.max("log_weight").alias("m"))
+    sel = w.crossJoin(F.broadcast(mx)).select(
+        "doc_id",
+        "log_weight",
+        F.floor(
+            F.least(F.lit(1.0), F.exp(F.col("log_weight") - F.col("m")))
+            * F.lit(1000000.0)
+        ).alias("thr"),
+    )
+    coin = dedup.portable_hash40(
+        F.concat(F.lit("cpl#"), F.col("doc_id").cast("string"))
+    )
+    d5 = sel.where(coin % F.lit(1000000) < F.col("thr").cast("bigint")).select(
+        "doc_id", "log_weight"
+    )
+
+    # stage 6: sequence packing — hierarchical exclusive prefix sum
+    toks = d5.join(
+        cleaned.select("doc_id", F.col("n_kept").alias("n_tokens")), "doc_id"
+    )
+    return exclusive_prefix_sum(toks, "doc_id", "n_tokens").select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("log_weight").cast("double").alias("log_weight"),
+        F.floor(F.col("cum") / _LL94_PACK).cast("bigint").alias("pack_id"),
+        (F.col("cum") % _LL94_PACK).cast("bigint").alias("pack_offset"),
     )

@@ -1399,3 +1399,49 @@ def test_image_ahash_robust_to_jitter_exact_dedup_is_not(spark, sf_dir):
         ah.groupBy("base", "ahash").count().where(F.col("count") == 2).count()
     )
     assert matched >= 0.8 * n_docs, (matched, n_docs)
+
+
+def test_curation_pipeline_every_stage_acts(spark, sf_dir):
+    """ll94's planted fixture must be observably processed by every
+    stage: exact copies (+1e6) gone, near copies (+2e6) gone,
+    boilerplate-carrying survivors lose >= the 11 planted tokens, and
+    the packing invariants hold (offsets advance by cleaned lengths
+    in doc_id order, modulo the 2048 budget)."""
+    from flink_luad_pipeline_spark.plans.llm_queries import (
+        _LL94_PACK,
+        ll94_curation_pipeline,
+    )
+
+    rows = sorted(
+        ll94_curation_pipeline(spark, sf_dir).collect(),
+        key=lambda r: r.doc_id,
+    )
+    assert rows, "pipeline should keep some documents"
+    ids = {r.doc_id for r in rows}
+    # stage 2+3: no planted copy may survive (its original is the
+    # min-id keeper/canonical in both tiers)
+    assert not {i for i in ids if i >= 1000000}
+    # stage 4: survivors whose source doc carried the boilerplate
+    # footer must have had it excised — their cleaned token count is
+    # strictly below the raw tokenized length of the boilerplated text
+    docs = load(spark, sf_dir, "documents")
+    from flink_luad_pipeline_spark.functions.text import tokenize
+
+    raw = {
+        r.doc_id: r.n_raw
+        for r in docs.where(F.col("doc_id") % 7 == 0)
+        .select(
+            "doc_id", (F.size(tokenize(F.col("text"))) + 11).alias("n_raw")
+        )
+        .collect()
+    }
+    boiler_survivors = [r for r in rows if r.doc_id in raw]
+    if boiler_survivors:  # the gopher gate may drop them all at tiny SF
+        for r in boiler_survivors:
+            assert r.n_tokens <= raw[r.doc_id] - 11
+    # stage 6: exclusive prefix-sum invariant in doc_id order
+    cum = 0
+    for r in rows:
+        assert r.pack_id == cum // _LL94_PACK
+        assert r.pack_offset == cum % _LL94_PACK
+        cum += r.n_tokens

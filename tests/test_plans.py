@@ -235,6 +235,8 @@ INTENTIONAL_CARTESIAN = {
     "ll89_dsir_select",       # 1-row max-log-weight broadcast attach
     "ll85_vocab_coverage",    # 1-row corpus-total attach to the 4-row curve
     "x5_skew_profile",        # 1-row totals broadcast attach
+    "ll94_curation_pipeline",  # ll89's 1-row max-log-weight broadcast
+                              # attach inside the composed selection stage
 }
 
 
