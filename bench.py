@@ -116,8 +116,11 @@ HEADLINE = [
     "ll90_image_ahash_dedup",
     # round 7: the engine's flagship — the complete curation recipe
     # (rules -> exact+near dedup -> span excision -> DSIR selection ->
-    # packing) composed as ONE plan (VERDICT r6 item 1)
+    # packing) composed as ONE plan (VERDICT r6 item 1) — and the
+    # recall-fixed 64x ANN tier (residual PQ + trained codebook,
+    # VERDICT r6 item 2)
     "ll94_curation_pipeline",
+    "ll95_residual_ivfpq_topk",
 ]
 
 

@@ -753,6 +753,275 @@ def ivfpq_topk(
     return _ranked(scored, k)
 
 
+def residual_ivfpq_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    centroid_mod: int | None = 25,
+    nprobe: int = 3,
+    m: int = 4,
+    dim: int = 64,
+    code_mod: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    centroids: DataFrame | None = None,
+    train_iters: int = 0,
+    train_mod: int = 4,
+) -> DataFrame:
+    """RESIDUAL-encoded IVF-PQ top-k — the FAISS IVFPQ layout proper
+    (Jegou et al. 2011, "Product Quantization for Nearest Neighbor
+    Search", §IV.B): PQ quantizes the residual v − c(v) against the
+    assigned coarse centroid instead of the raw vector, and each
+    candidate's inner-product estimate decomposes as
+
+        q·v  ≈  q·c(v)  +  q·PQ(v − c(v))
+
+    — the coarse term is exact (c(v) is stored), so PQ only has to
+    model the small within-cell displacement, which is why this is
+    the production default: at the same code budget the quantization
+    error drops by roughly the coarse quantizer's explained variance
+    (recall@10 0.275 → 0.385 sampled / ~0.46 trained on the scorecard
+    fixture; see the README scorecard). Two deliberate differences
+    from ``ivfpq_topk``'s raw-vector tier, both the FAISS defaults:
+    the codebook holds residuals (mod-sampled at ``train_iters=0``),
+    and code assignment minimizes L2 distance (round(||r_s − c_s||²,
+    6), tie by code id) rather than maximizing the inner product — the
+    correct quantizer objective for unnormalized residuals.
+
+    ``train_iters > 0`` additionally TRAINS the per-subspace codebook
+    with deterministic Lloyd iterations (the clustering.kmeans_fit
+    discipline verbatim: smallest-id residuals as init, rounded
+    distances with code-id tie-breaks, per-dimension means rounded to
+    ``round_digits``, empty codes keep their previous centroid) over
+    the ``id % train_mod = 0`` residual sample — FAISS trains PQ on a
+    sample too; the codebook (k_codes × m rows, capped at fixed size
+    in production — see ivfpq_topk's scale note) is the same
+    documented k-row driver boundary as the k-means centroids.
+
+    Deterministic end to end (same devices as the parents: rounded
+    cosine cell choice, rounded-DECIMAL partials, explicit
+    tie-breaks), so the DuckDB oracle reproduces cells, residuals,
+    codes, LUT, the exact q·c term, and the ranking.
+
+    Plan shape at 100 TB = ``ivfpq_topk``'s audited shape plus one
+    narrow residual projection per shortlisted candidate and one
+    (query × probed-cell)-sized exact q·c attach — no new
+    corpus-sized shuffle: cell assignment and encoding stay narrow
+    passes, the LUT equi-join stays hash-partitioned on
+    (query_id, s, code)."""
+    from ..functions.vectors import dot
+
+    subdim = dim // m
+    if centroids is not None:
+        cents = centroids.select("centroid_id", "centv")
+    else:
+        if centroid_mod is None:
+            centroid_mod = derive_centroid_mod(candidates)
+        cents = candidates.where(F.col(id_col) % centroid_mod == 0).select(
+            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centv")
+        )
+
+    def nearest_cells(df: DataFrame, out_id: str, n: int) -> DataFrame:
+        w = Window.partitionBy(out_id).orderBy(
+            F.col("csim").desc(), F.col("centroid_id")
+        )
+        return (
+            df.select(F.col(id_col).alias(out_id), F.col(vec_col).alias("v"))
+            .crossJoin(F.broadcast(cents))
+            .select(
+                out_id,
+                "centroid_id",
+                F.round(
+                    cosine_similarity(F.col("v"), F.col("centv")), round_digits
+                ).alias("csim"),
+            )
+            .where(F.col("csim").isNotNull())
+            .withColumn("crank", F.row_number().over(w))
+            .where(F.col("crank") <= n)
+            .select(out_id, "centroid_id")
+        )
+
+    candidates = _spread(candidates)
+    assigned = nearest_cells(candidates, "cand_id", 1)
+    probes = nearest_cells(queries, "query_id", nprobe)
+    # shortlist keeps the candidate's cell id: the exact q·c(v) term
+    # needs it, and it is free (assigned already carries it)
+    shortlist = assigned.join(probes, "centroid_id").select(
+        "query_id", "cand_id", "centroid_id"
+    )
+
+    # residual frame: v − c(v), only for the rows that are consumed
+    # (codebook sample ∪ shortlisted candidates)
+    def residuals(src: DataFrame) -> DataFrame:
+        return (
+            src.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("v"))
+            .join(assigned, "cand_id")
+            .join(F.broadcast(cents), "centroid_id")
+            .select(
+                "cand_id",
+                F.zip_with(
+                    "v",
+                    "centv",
+                    lambda x, c: x.cast("double") - c.cast("double"),
+                ).alias("rv"),
+            )
+        )
+
+    def subvectors(df: DataFrame, in_id: str, out_id: str, vec: str):
+        subs = F.array(
+            *[F.slice(F.col(vec), s * subdim + 1, subdim) for s in range(m)]
+        )
+        return df.select(
+            F.col(in_id).alias(out_id), F.posexplode(subs).alias("s", "sub")
+        )
+
+    # L2 code assignment over residual subvectors (FAISS's quantizer
+    # objective — the inner-product argmax is wrong for unnormalized
+    # residuals); shared by the Lloyd training loop and the encode
+    l2sq = F.round(
+        F.aggregate(
+            F.zip_with("sub", "cent", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        round_digits,
+    ).cast("decimal(18,6)")
+
+    if train_iters > 0:
+        spark = candidates.sparkSession
+        # the k smallest-id residuals seed the codebook (kmeans_fit's
+        # no-RNG init); the count is the same documented driver action
+        # as derive_centroid_mod
+        k_codes = max(1, candidates.count() // code_mod)
+        init = subvectors(
+            residuals(candidates.where(F.col(id_col) < k_codes)),
+            "cand_id",
+            "code",
+            "rv",
+        ).select("code", "s", F.col("sub").alias("cent"))
+        train = subvectors(
+            residuals(candidates.where(F.col(id_col) % train_mod == 0)),
+            "cand_id",
+            "cand_id",
+            "rv",
+        ).localCheckpoint(eager=True)
+        cb = {
+            (int(r["s"]), int(r["code"])): list(r["cent"])
+            for r in init.collect()
+        }
+
+        def cb_df() -> DataFrame:
+            rows = [(s_, c_, v_) for (s_, c_), v_ in sorted(cb.items())]
+            return spark.createDataFrame(
+                rows, "s int, code bigint, cent array<double>"
+            )
+
+        train_w = Window.partitionBy("cand_id", "s").orderBy(
+            F.col("d").asc(), F.col("code")
+        )
+        for _ in range(train_iters):
+            asg = (
+                train.join(F.broadcast(cb_df()), "s")
+                .select("cand_id", "s", "code", "sub", l2sq.alias("d"))
+                .where(F.col("d").isNotNull())
+                .withColumn("rk", F.row_number().over(train_w))
+                .where(F.col("rk") == 1)
+            )
+            upd = (
+                asg.select("s", "code", F.posexplode("sub").alias("i", "val"))
+                .groupBy("s", "code", "i")
+                .agg(F.round(F.avg("val"), round_digits).alias("av"))
+                .groupBy("s", "code")
+                .agg(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("i"), F.col("av")))
+                    ).alias("pairs")
+                )
+                .select(
+                    "s",
+                    "code",
+                    F.transform(F.col("pairs"), lambda p: p["av"]).alias(
+                        "cent"
+                    ),
+                )
+            )
+            # k_codes × m rows of subdim doubles — the documented
+            # driver boundary; codes that lose every member keep their
+            # previous centroid
+            for r in upd.collect():
+                cb[(int(r["s"]), int(r["code"]))] = list(r["cent"])
+        codebook = cb_df()
+    else:
+        codebook = subvectors(
+            residuals(candidates.where(F.col(id_col) % code_mod == 0)),
+            "cand_id",
+            "code",
+            "rv",
+        ).select("code", "s", F.col("sub").alias("cent"))
+
+    short_cands = candidates.join(
+        shortlist.select(F.col("cand_id").alias(id_col)).distinct(),
+        id_col,
+        "left_semi",
+    )
+    enc_w = Window.partitionBy("cand_id", "s").orderBy(
+        F.col("d").asc(), F.col("code")
+    )
+    codes = (
+        subvectors(residuals(short_cands), "cand_id", "cand_id", "rv")
+        .join(F.broadcast(codebook), "s")
+        .select("cand_id", "s", "code", l2sq.alias("d"))
+        .where(F.col("d").isNotNull())
+        .withColumn("rk", F.row_number().over(enc_w))
+        .where(F.col("rk") == 1)
+        .select("cand_id", "s", "code")
+    )
+    # LUT: raw query subvectors against the residual codebook (the
+    # q·r̂ half of the estimate); shuffle equi-join, never broadcast
+    lut = (
+        subvectors(queries, id_col, "query_id", vec_col)
+        .join(F.broadcast(codebook), "s")
+        .select(
+            "query_id",
+            "s",
+            "code",
+            F.round(dot(F.col("sub"), F.col("cent")), round_digits)
+            .cast("decimal(18,6)")
+            .alias("qd"),
+        )
+        .where(F.col("qd").isNotNull())
+    )
+    adc = (
+        codes.join(shortlist, "cand_id")
+        .join(lut, ["query_id", "s", "code"])
+        .where(F.col("query_id") != F.col("cand_id"))
+        .groupBy("query_id", "cand_id", "centroid_id")
+        .agg(F.sum("qd").cast("decimal(18,6)").alias("rsim"))
+    )
+    # the exact q·c(v) coarse term
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    scored = (
+        adc.join(qv, "query_id")
+        .join(F.broadcast(cents), "centroid_id")
+        .select(
+            "query_id",
+            "cand_id",
+            (
+                F.round(dot(F.col("qvec"), F.col("centv")), round_digits)
+                .cast("decimal(18,6)")
+                + F.col("rsim")
+            )
+            .cast("decimal(18,6)")
+            .alias("sim"),
+        )
+        .where(F.col("sim").isNotNull())
+    )
+    return _ranked(scored, k)
+
+
 def semantic_decontaminate(
     vectors: DataFrame,
     is_eval: Column,

@@ -2679,6 +2679,157 @@ def ll79_ivfpq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "cand_id", "sim", "rank")
 
 
+def _l2sq6_sql(a: str, b: str) -> str:
+    """Rounded-then-exact partial squared L2 distance: DECIMAL(18,6)
+    of the 6-digit rounded sum of squared differences (mirrors
+    residual_ivfpq_topk's code-assignment objective)."""
+    return (
+        f"CAST(round(list_sum(list_transform(range(1, len({a}) + 1),"
+        f" i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+        f" * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)))), 6)"
+        " AS DECIMAL(18,6))"
+    )
+
+
+_RESIDUAL_IVFPQ_BODY = (
+    # Mirrors similarity.residual_ivfpq_topk (FAISS IVFPQ layout):
+    # residual codebook, L2 code assignment, exact q·c(v) coarse term
+    " cand_sc AS (SELECT c.vec_id AS cand_id, centroid_id,"
+    f" {_cos_sql('c.embedding', 'centv')} AS csim FROM embeddings c, cents),"
+    " assigned AS (SELECT cand_id, centroid_id FROM ("
+    " SELECT cand_id, centroid_id, row_number() OVER ("
+    " PARTITION BY cand_id ORDER BY csim DESC, centroid_id) AS r"
+    " FROM cand_sc WHERE csim IS NOT NULL) WHERE r = 1),"
+    " q_sc AS (SELECT q.vec_id AS query_id, centroid_id,"
+    f" {_cos_sql('q.embedding', 'centv')} AS csim"
+    " FROM embeddings q, cents WHERE q.vec_id < 5),"
+    " probes AS (SELECT query_id, centroid_id FROM ("
+    " SELECT query_id, centroid_id, row_number() OVER ("
+    " PARTITION BY query_id ORDER BY csim DESC, centroid_id) AS r"
+    " FROM q_sc WHERE csim IS NOT NULL) WHERE r <= 3),"
+    " short AS (SELECT query_id, cand_id, centroid_id"
+    "  FROM assigned JOIN probes USING (centroid_id)),"
+    " resid AS (SELECT a.cand_id, list_transform("
+    "  range(1, len(e.embedding) + 1),"
+    "  i -> CAST(e.embedding[i] AS DOUBLE) - CAST(ct.centv[i] AS DOUBLE))"
+    "  AS rv FROM assigned a JOIN embeddings e ON e.vec_id = a.cand_id"
+    "  JOIN cents ct USING (centroid_id)),"
+    " sp AS (SELECT unnest([0, 1, 2, 3]) AS s),"
+    # the PQ codebook: trained per-subspace Lloyd over the id%4 residual
+    # sample, seeded by the k = N//64 smallest-id residuals — mirrors
+    # residual_ivfpq_topk(train_iters=2, train_mod=4) exactly (rounded
+    # L2 argmin with code tie-break, rounded per-dim means, empty codes
+    # carry the previous centroid — the _kmeans_ctes discipline)
+    " kk AS (SELECT greatest(1, count(*) // 64) AS k FROM embeddings),"
+    " cb0 AS (SELECT r.cand_id AS code, sp.s,"
+    "  list_slice(r.rv, sp.s * 16 + 1, sp.s * 16 + 16) AS cent"
+    "  FROM resid r, sp, kk WHERE r.cand_id < kk.k),"
+    " trs AS (SELECT r.cand_id, sp.s,"
+    "  list_slice(r.rv, sp.s * 16 + 1, sp.s * 16 + 16) AS sub"
+    "  FROM resid r, sp WHERE r.cand_id % 4 = 0),"
+    " t0s AS (SELECT t.cand_id, t.s, t.sub, c.code,"
+    f" {_l2sq6_sql('t.sub', 'c.cent')} AS d FROM trs t JOIN cb0 c ON c.s = t.s),"
+    " t0a AS (SELECT s, code, sub FROM ("
+    "  SELECT t.s AS s, code, sub, row_number() OVER ("
+    "   PARTITION BY cand_id, t.s ORDER BY d ASC, code) AS r"
+    "  FROM t0s t WHERE d IS NOT NULL) WHERE r = 1),"
+    " t0u AS (SELECT s, code, list(av ORDER BY i) AS cent FROM ("
+    "  SELECT s, code, i, round(avg(val), 6) AS av FROM ("
+    "   SELECT s, code, unnest(sub) AS val,"
+    "    unnest(range(len(sub))) AS i FROM t0a)"
+    "  GROUP BY s, code, i) GROUP BY s, code),"
+    " cb1 AS (SELECT c.s, c.code, coalesce(u.cent, c.cent) AS cent"
+    "  FROM cb0 c LEFT JOIN t0u u ON u.s = c.s AND u.code = c.code),"
+    " t1s AS (SELECT t.cand_id, t.s, t.sub, c.code,"
+    f" {_l2sq6_sql('t.sub', 'c.cent')} AS d FROM trs t JOIN cb1 c ON c.s = t.s),"
+    " t1a AS (SELECT s, code, sub FROM ("
+    "  SELECT t.s AS s, code, sub, row_number() OVER ("
+    "   PARTITION BY cand_id, t.s ORDER BY d ASC, code) AS r"
+    "  FROM t1s t WHERE d IS NOT NULL) WHERE r = 1),"
+    " t1u AS (SELECT s, code, list(av ORDER BY i) AS cent FROM ("
+    "  SELECT s, code, i, round(avg(val), 6) AS av FROM ("
+    "   SELECT s, code, unnest(sub) AS val,"
+    "    unnest(range(len(sub))) AS i FROM t1a)"
+    "  GROUP BY s, code, i) GROUP BY s, code),"
+    " cb2 AS (SELECT c.s, c.code, coalesce(u.cent, c.cent) AS cent"
+    "  FROM cb1 c LEFT JOIN t1u u ON u.s = c.s AND u.code = c.code),"
+    " cb AS (SELECT s, code, cent FROM cb2),"
+    " csub AS (SELECT r.cand_id, sp.s,"
+    "  list_slice(r.rv, sp.s * 16 + 1, sp.s * 16 + 16) AS sub"
+    "  FROM resid r, sp"
+    "  WHERE r.cand_id IN (SELECT cand_id FROM short)),"
+    " enc AS (SELECT cand_id, c.s, c.code,"
+    f" {_l2sq6_sql('sub', 'cent')} AS d"
+    "  FROM csub JOIN cb c ON c.s = csub.s),"
+    " codes AS (SELECT cand_id, s, code FROM ("
+    "  SELECT cand_id, s, code, row_number() OVER ("
+    "   PARTITION BY cand_id, s ORDER BY d ASC, code) AS rk"
+    "  FROM enc WHERE d IS NOT NULL) WHERE rk = 1),"
+    " qsub AS (SELECT e.vec_id AS query_id, sp.s,"
+    "  list_slice(e.embedding, sp.s * 16 + 1, sp.s * 16 + 16) AS sub"
+    "  FROM embeddings e, sp WHERE e.vec_id < 5),"
+    " lut AS (SELECT query_id, c.s, c.code,"
+    f" {_dot6_sql('sub', 'cent')} AS qd"
+    "  FROM qsub JOIN cb c ON c.s = qsub.s),"
+    " adc AS (SELECT sh.query_id, sh.cand_id, sh.centroid_id,"
+    "  CAST(sum(qd) AS DECIMAL(18,6)) AS rsim"
+    "  FROM short sh JOIN codes ON codes.cand_id = sh.cand_id"
+    "  JOIN lut ON lut.query_id = sh.query_id AND lut.s = codes.s"
+    "   AND lut.code = codes.code"
+    "  WHERE sh.query_id <> sh.cand_id AND qd IS NOT NULL"
+    "  GROUP BY 1, 2, 3),"
+    " scored AS (SELECT a.query_id, a.cand_id,"
+    f"  CAST({_dot6_sql('q.embedding', 'ct.centv')} + a.rsim"
+    "   AS DECIMAL(18,6)) AS sim"
+    "  FROM adc a JOIN embeddings q ON q.vec_id = a.query_id"
+    "  JOIN cents ct ON ct.centroid_id = a.centroid_id)"
+    " SELECT query_id, cand_id, CAST(sim AS DOUBLE) AS sim, rank FROM ("
+    "  SELECT query_id, cand_id, sim, CAST(row_number() OVER ("
+    "   PARTITION BY query_id ORDER BY sim DESC, cand_id) AS BIGINT)"
+    "   AS rank FROM scored WHERE sim IS NOT NULL) WHERE rank <= 10"
+)
+
+_RESIDUAL_IVFPQ_ORACLE = (
+    _kmeans_ctes(8, 3)
+    + " cents AS (SELECT cid AS centroid_id, cv AS centv FROM c3),"
+    + _RESIDUAL_IVFPQ_BODY
+)
+
+
+@query("ll95_residual_ivfpq_topk", oracle=_RESIDUAL_IVFPQ_ORACLE)
+def ll95_residual_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual-encoded IVF-PQ top-10, fully trained — ll79's
+    configuration upgraded to the FAISS IVFPQ layout proper (VERDICT
+    r6 item 2): trained coarse centroids (kmeans k=8, 3 iters), PQ of
+    the RESIDUAL v − c(v) with a per-subspace codebook itself trained
+    by 2 deterministic Lloyd iterations over the id%4 residual sample,
+    L2 code assignment, and a score that is the exact q·c(v) plus the
+    ADC estimate of q·(v − c(v)). At the same code budget (m=4
+    subspaces, N//64 codes) this lifts recall@10 from ll79's 0.275 to
+    ~0.46 on the scorecard fixture — both rows in the README
+    scorecard, recall pinned by tests/test_llm_ops.py. The oracle
+    composes the unrolled coarse-kmeans CTEs with the residual body
+    AND the unrolled per-subspace codebook training, so coarse
+    training, assignment, residuals, PQ training, codes, the coarse
+    term, and the ranking are all value-checked in composition."""
+    from ..operators import clustering
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = clustering.kmeans_fit(emb, k=8, iters=3).select(
+        F.col("cid").alias("centroid_id"), F.col("cv").alias("centv")
+    )
+    out = similarity.residual_ivfpq_topk(
+        emb.where(F.col("vec_id") < 5), emb, k=10, centroids=cents,
+        train_iters=2, train_mod=4,
+    )
+    return out.select(
+        "query_id",
+        "cand_id",
+        F.col("sim").cast("double").alias("sim"),
+        "rank",
+    )
+
+
 # ---------------------------------------------------------------------------
 # ll61 — asymmetric shingle containment (quote / superset detection)
 # ---------------------------------------------------------------------------

@@ -1348,6 +1348,16 @@ def test_compression_stack_recall_scorecard(spark, sf_dir):
         "ivfpq_mod": recall(
             similarity.ivfpq_topk(queries, emb, k=10).collect()
         ),
+        "ivfpq_residual": recall(
+            similarity.residual_ivfpq_topk(
+                queries, emb, k=10, centroids=cents
+            ).collect()
+        ),
+        "ivfpq_residual_trained": recall(
+            similarity.residual_ivfpq_topk(
+                queries, emb, k=10, centroids=cents, train_iters=2
+            ).collect()
+        ),
         "jl16_brute": recall(
             similarity.brute_force_topk(jl(queries), jl(emb), k=10).collect()
         ),
@@ -1358,15 +1368,23 @@ def test_compression_stack_recall_scorecard(spark, sf_dir):
         ),
     }
     # floors (measured on the sf0.001 fixture: 0.99 / 0.855 / 0.275 /
-    # 0.135 / 0.14 / 0.14 — set with slack for other sf fixtures)
+    # 0.135 / 0.385 / 0.455 / 0.14 / 0.14 — set with slack for other
+    # sf fixtures)
     assert score["sq8_brute"] >= 0.9
     assert score["ivf_trained"] >= 0.6
     assert score["ivfpq_trained"] >= 0.1
+    assert score["ivfpq_residual"] >= 0.25
+    assert score["ivfpq_residual_trained"] >= 0.3
     assert score["jl16_brute"] >= 0.05
     assert score["jl16_sq8_brute"] >= 0.05
     # ordering relations — each tier's reason to exist
     assert score["sq8_brute"] >= score["ivf_trained"]  # 4x, near-lossless
     assert score["ivfpq_trained"] > score["ivfpq_mod"]  # training helps
+    # residual encoding beats raw-vector PQ at the same code budget
+    # (FAISS IVFPQ's reason to exist), and codebook training does not
+    # give it back (small slack: 20 queries x 10 is a noisy fixture)
+    assert score["ivfpq_residual"] >= score["ivfpq_trained"] + 0.05
+    assert score["ivfpq_residual_trained"] >= score["ivfpq_residual"] - 0.05
     # SQ8 on top of JL costs (almost) nothing beyond JL itself
     assert abs(score["jl16_sq8_brute"] - score["jl16_brute"]) <= 0.1
 

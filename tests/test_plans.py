@@ -237,6 +237,8 @@ INTENTIONAL_CARTESIAN = {
     "x5_skew_profile",        # 1-row totals broadcast attach
     "ll94_curation_pipeline",  # ll89's 1-row max-log-weight broadcast
                               # attach inside the composed selection stage
+    "ll95_residual_ivfpq_topk",  # ll79's k-row trained-centroid broadcast
+                              # (cells, residuals, and the exact q·c term)
 }
 
 
