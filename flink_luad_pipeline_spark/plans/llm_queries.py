@@ -932,6 +932,66 @@ def _semdedup_oracle(threshold: float = 0.35) -> str:
     )
 
 
+def _semdedup_sized_oracle(threshold: float = 0.35) -> str:
+    """DuckDB twin of similarity.semantic_dedup_sized: the plane count
+    is derived IN SQL from the same corpus count the Spark side uses
+    (ceil(log2(N / cell_target))), each ±1 sign is recomputed from the
+    md5 parity (hyperplane_signs' formula), the per-plane projection
+    folds in dimension order (list_sum over list_transform — the
+    zip_with/aggregate order), and the greedy within-cell rule is
+    ll42's. The derivation itself is value-checked, so the
+    constant-population path is the verified one."""
+    sgn = _hex10("CAST(ps.p AS VARCHAR) || '#' || CAST(js.j AS VARCHAR)")
+    return (
+        "WITH np AS (SELECT greatest(1, CAST(ceil(log2(greatest(2.0,"
+        " count(*) / 64.0))) AS BIGINT)) AS np FROM embeddings),"
+        " ps AS (SELECT unnest(range((SELECT np FROM np))) AS p),"
+        " js AS (SELECT unnest(range(64)) AS j),"
+        f" pl AS (SELECT ps.p, js.j, CASE WHEN ({sgn}) % 2 = 1"
+        "  THEN 1.0 ELSE -1.0 END AS sg FROM ps, js),"
+        " pla AS (SELECT p, list(sg ORDER BY j) AS sgs FROM pl GROUP BY p),"
+        " nzv AS (SELECT vec_id AS m_id, embedding AS v FROM embeddings"
+        "  WHERE list_sum(list_transform(embedding,"
+        "   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0),"
+        " proj AS (SELECT m_id, p,"
+        "  round(list_sum(list_transform(range(1, len(v) + 1),"
+        "   j -> CAST(v[j] AS DOUBLE) * sgs[j])), 6) AS comp"
+        "  FROM nzv, pla),"
+        " cells AS (SELECT m_id, CAST(sum(CASE WHEN comp > 0"
+        "  THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS cell"
+        "  FROM proj GROUP BY m_id),"
+        " asg AS (SELECT n.m_id, n.v, c.cell FROM nzv n"
+        "  JOIN cells c USING (m_id)),"
+        " p2 AS (SELECT a.m_id AS doc_a, b.m_id AS doc_b,"
+        f" {_cos_sql('a.v', 'b.v')} AS sim"
+        "  FROM asg a JOIN asg b USING (cell) WHERE a.m_id < b.m_id),"
+        " dups AS (SELECT doc_b AS m_id, min(doc_a) AS dup_of FROM p2"
+        f" WHERE sim >= {threshold} GROUP BY doc_b)"
+        " SELECT asg.m_id AS vec_id, asg.cell,"
+        " dups.dup_of IS NOT NULL AS dropped, dups.dup_of"
+        " FROM asg LEFT JOIN dups ON asg.m_id = dups.m_id"
+    )
+
+
+@query("ll96_semantic_dedup_sized", oracle=_semdedup_sized_oracle())
+def ll96_semantic_dedup_sized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constant-cell-population semantic dedup (VERDICT r6 item 7) —
+    ll42's greedy SemDeDup rule over hyperplane SIGN cells sized to a
+    fixed expected population (cell_target=64): n_planes =
+    ceil(log2(N/64)) derived from the corpus count on BOTH sides, so
+    cells multiply with the corpus instead of fattening. ll42's
+    √N-cells policy is the best a scored-centroid quantizer can do
+    (assignment and pairs both O(N^1.5), the two highest legitimate
+    sf1 growth factors); this tier's assignment is O(N log N) sign
+    projections with no centroid table and its pair stage is
+    Σ|cell|² ≈ N·64 — linear. The boundary-recall trade vs the
+    centroid tier is pinned in tests/test_llm_ops.py."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup_sized(
+        emb, threshold=0.35, cell_target=64
+    )
+
+
 @query("ll42_semantic_dedup", oracle=_semdedup_oracle())
 def ll42_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic (embedding-space) dedup, SemDeDup-style: coarse-cluster
