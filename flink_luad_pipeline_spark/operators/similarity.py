@@ -1225,6 +1225,98 @@ def semantic_decontaminate(
     )
 
 
+def semantic_decontaminate_sized(
+    vectors: DataFrame,
+    is_eval: Column,
+    threshold: float = 0.35,
+    cell_target: int = 64,
+    n_planes: int | None = None,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Constant-cell-population embedding decontamination — the
+    ``semantic_decontaminate`` verdict (flag every TRAIN vector with a
+    >=threshold EVAL neighbor, deterministic max-sim/min-eval-id
+    match) over ``semantic_dedup_sized``'s hyperplane sign cells:
+    n_planes = ceil(log2(N / cell_target)) keeps the expected cell
+    population flat at any corpus size, so the train x eval cell join
+    costs ~N·(eval fraction)·cell_target — linear — with an
+    O(N log N) no-centroid-table assignment (see
+    semantic_dedup_sized's scale analysis vs the √N-cells policy).
+    Zero-norm vectors are excluded (family convention). Returns
+    (id, contaminated, eval_id, sim) for every train vector."""
+    import math as _math
+
+    if n_planes is None:
+        n = vectors.count()
+        n_planes = max(
+            1, _math.ceil(_math.log2(max(2.0, n / float(cell_target))))
+        )
+    planes = hyperplane_signs(n_planes, dim)
+    sumsq = F.aggregate(
+        F.col("v"),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    members = (
+        _spread(
+            vectors.select(
+                F.col(id_col).alias("m_id"),
+                F.col(vec_col).alias("v"),
+                is_eval.alias("is_eval"),
+            )
+        )
+        .where(sumsq > 0)
+        .select(
+            "m_id",
+            "v",
+            "is_eval",
+            _bucket_from_planes(F.col("v"), planes)
+            .cast("bigint")
+            .alias("cell"),
+        )
+        # feeds both pair sides + the final left join (the documented
+        # boundary of the centroid tier)
+        .localCheckpoint(eager=True)
+    )
+    train = members.where(~F.col("is_eval")).select(
+        "cell", F.col("m_id").alias("train_id"), F.col("v").alias("vt")
+    )
+    ev = members.where(F.col("is_eval")).select(
+        "cell", F.col("m_id").alias("eval_id"), F.col("v").alias("ve")
+    )
+    hit_w = Window.partitionBy("train_id").orderBy(
+        F.col("sim").desc(), F.col("eval_id")
+    )
+    hits = (
+        train.join(ev, "cell")
+        .select(
+            "train_id",
+            "eval_id",
+            F.round(
+                cosine_similarity(F.col("vt"), F.col("ve")), round_digits
+            ).alias("sim"),
+        )
+        .where(F.col("sim") >= threshold)
+        .withColumn("hrank", F.row_number().over(hit_w))
+        .where(F.col("hrank") == 1)
+        .select("train_id", "eval_id", "sim")
+    )
+    return (
+        members.where(~F.col("is_eval"))
+        .select(F.col("m_id").alias("train_id"))
+        .join(hits, "train_id", "left")
+        .select(
+            F.col("train_id").alias(id_col),
+            F.col("eval_id").isNotNull().alias("contaminated"),
+            "eval_id",
+            "sim",
+        )
+    )
+
+
 def jl_signs(dim: int, k: int) -> list[list[int]]:
     """Deterministic ±1 Johnson-Lindenstrauss sign matrix (k rows of
     dim): sign(i, j) from the parity of the portable 40-bit md5 hash

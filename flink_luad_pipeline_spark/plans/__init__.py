@@ -167,6 +167,7 @@ _NEW_THIS_ROUND = (
     "ll94_curation_pipeline",
     "ll95_residual_ivfpq_topk",
     "ll96_semantic_dedup_sized",
+    "ll97_decontaminate_sized",
 )
 
 

@@ -2510,6 +2510,75 @@ def ll55_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _semdecon_sized_oracle(threshold: float = 0.35) -> str:
+    """DuckDB twin of similarity.semantic_decontaminate_sized: ll96's
+    SQL-derived sign cells (plane count from the corpus count, ±1
+    signs from md5 parity, dimension-ordered fold), ll55's TRAIN x
+    EVAL verdict."""
+    sgn = _hex10("CAST(ps.p AS VARCHAR) || '#' || CAST(js.j AS VARCHAR)")
+    pair_cos = _cos_sql("t.v", "v.ve")
+    return (
+        "WITH np AS (SELECT greatest(1, CAST(ceil(log2(greatest(2.0,"
+        " count(*) / 64.0))) AS BIGINT)) AS np FROM embeddings),"
+        " ps AS (SELECT unnest(range((SELECT np FROM np))) AS p),"
+        " js AS (SELECT unnest(range(64)) AS j),"
+        f" pl AS (SELECT ps.p, js.j, CASE WHEN ({sgn}) % 2 = 1"
+        "  THEN 1.0 ELSE -1.0 END AS sg FROM ps, js),"
+        " pla AS (SELECT p, list(sg ORDER BY j) AS sgs FROM pl GROUP BY p),"
+        " nzv AS (SELECT vec_id AS m_id, embedding AS v,"
+        "  vec_id % 5 = 0 AS is_eval FROM embeddings"
+        "  WHERE list_sum(list_transform(embedding,"
+        "   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0),"
+        " proj AS (SELECT m_id, p,"
+        "  round(list_sum(list_transform(range(1, len(v) + 1),"
+        "   j -> CAST(v[j] AS DOUBLE) * sgs[j])), 6) AS comp"
+        "  FROM nzv, pla),"
+        " cells AS (SELECT m_id, CAST(sum(CASE WHEN comp > 0"
+        "  THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS cell"
+        "  FROM proj GROUP BY m_id),"
+        " asg AS (SELECT n.m_id, n.v, n.is_eval, c.cell FROM nzv n"
+        "  JOIN cells c USING (m_id)),"
+        " t AS (SELECT cell, m_id AS train_id, v FROM asg"
+        "  WHERE NOT is_eval),"
+        " v AS (SELECT cell, m_id AS eval_id, v AS ve FROM asg"
+        "  WHERE is_eval),"
+        " hits AS (SELECT train_id, eval_id, sim FROM ("
+        f"  SELECT t.train_id, v.eval_id, {pair_cos} AS sim,"
+        "  row_number() OVER (PARTITION BY t.train_id"
+        f"   ORDER BY {pair_cos} DESC, v.eval_id) AS hrank"
+        "  FROM t JOIN v USING (cell)"
+        f"  WHERE {pair_cos} >= {threshold}) WHERE hrank = 1)"
+        " SELECT t.train_id AS vec_id,"
+        " h.eval_id IS NOT NULL AS contaminated, h.eval_id,"
+        " CAST(h.sim AS DOUBLE) AS sim"
+        " FROM t LEFT JOIN hits h ON h.train_id = t.train_id"
+    )
+
+
+@query("ll97_decontaminate_sized", oracle=_semdecon_sized_oracle())
+def ll97_decontaminate_sized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constant-cell-population decontamination (VERDICT r6 item 7's
+    second tier): ll55's train-vs-eval verdict over ll96's sign-bucket
+    cells — the train x eval join costs ~N·(eval fraction)·64 at ANY
+    corpus size, with the O(N log N) no-centroid-table assignment,
+    where ll55's √N-cells policy grows O(N^1.5). Both the plane-count
+    derivation and every sign are recomputed in the oracle, so the
+    constant-population path is the value-checked one."""
+    emb = load(spark, sf_dir, "embeddings")
+    out = similarity.semantic_decontaminate_sized(
+        emb,
+        is_eval=F.col("vec_id") % 5 == 0,
+        threshold=0.35,
+        cell_target=64,
+    )
+    return out.select(
+        "vec_id",
+        "contaminated",
+        "eval_id",
+        F.col("sim").cast("double").alias("sim"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # ll56 — repeated-segment removal (C4 line-dedup / Lee et al. excision)
 # ---------------------------------------------------------------------------
