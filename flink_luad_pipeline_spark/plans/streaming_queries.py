@@ -538,6 +538,46 @@ def ss18_streaming_neardup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain(pairs, "ss18_neardup", "append")
 
 
+def ss18_components(spark: SparkSession, sf_dir: str) -> dict:
+    """Bench decomposition of ss18 (VERDICT r6 item 5): the registered
+    query's end-to-end time conflates the one-time snapshot INDEX
+    BUILD with the streaming DRAIN, which made the streaming cost
+    illegible in the headline. This helper times them separately —
+    index build materialized the way a production snapshot write would
+    be, then the AvailableNow drain probing the prebuilt index — and
+    derives the micro-batch throughput (documents ingested per second
+    of drain), the number a streaming user actually sizes a feed by.
+    Not a registered query (no oracle — it reports timings); bench.py
+    records it in bench_full.json next to the ss18 headline row."""
+    import time as _time
+
+    from ..catalog import load
+    from ..operators import dedup
+
+    snap = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 250)
+        .select("doc_id", "text")
+    )
+    t0 = _time.perf_counter()
+    sh, banded = dedup.build_minhash_index(snap, "doc_id", "text", k=3)
+    sh = sh.localCheckpoint(eager=True)
+    banded = banded.localCheckpoint(eager=True)
+    index_build_s = _time.perf_counter() - t0
+
+    n_docs = load(spark, sf_dir, "documents").count()
+    t0 = _time.perf_counter()
+    stream = ops.read_documents_stream(spark, sf_dir)
+    pairs = ops.neardup_probe_stream(stream, sh, banded, threshold=0.5)
+    _drain(pairs, "ss18_components", "append").count()
+    drain_s = _time.perf_counter() - t0
+    return {
+        "index_build_s": round(index_build_s, 4),
+        "drain_s": round(drain_s, 4),
+        "docs_per_s": round(n_docs / drain_s, 1),
+    }
+
+
 def _ss19_oracle() -> str:
     """Batch twin of the streaming DSIR gate: the full-table ratio
     (target = lang 'en', the _DSIR_ORACLE arithmetic) applied back to
