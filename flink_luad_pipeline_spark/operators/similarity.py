@@ -867,6 +867,7 @@ def residual_ivfpq_topk(
     centroids: DataFrame | None = None,
     train_iters: int = 0,
     train_mod: int = 4,
+    max_codes: int = 256,
 ) -> DataFrame:
     """RESIDUAL-encoded IVF-PQ top-k — the FAISS IVFPQ layout proper
     (Jegou et al. 2011, "Product Quantization for Nearest Neighbor
@@ -991,8 +992,13 @@ def residual_ivfpq_topk(
         spark = candidates.sparkSession
         # the k smallest-id residuals seed the codebook (kmeans_fit's
         # no-RNG init); the count is the same documented driver action
-        # as derive_centroid_mod
-        k_codes = max(1, candidates.count() // code_mod)
+        # as derive_centroid_mod. The codebook is CAPPED at
+        # ``max_codes`` (FAISS trains 256 codes per subspace
+        # regardless of corpus size): an uncapped N/code_mod codebook
+        # makes the encode join O(N²/code_mod) — measured 24x on 10x
+        # data in the sf10 probe of the mod-sampled tier (SCALE.md
+        # round 7).
+        k_codes = min(max(1, candidates.count() // code_mod), max_codes)
         init = subvectors(
             residuals(candidates.where(F.col(id_col) < k_codes)),
             "cand_id",

@@ -2849,7 +2849,8 @@ _RESIDUAL_IVFPQ_BODY = (
     # residual_ivfpq_topk(train_iters=2, train_mod=4) exactly (rounded
     # L2 argmin with code tie-break, rounded per-dim means, empty codes
     # carry the previous centroid — the _kmeans_ctes discipline)
-    " kk AS (SELECT greatest(1, count(*) // 64) AS k FROM embeddings),"
+    " kk AS (SELECT least(greatest(1, count(*) // 64), 256) AS k"
+    "  FROM embeddings),"
     " cb0 AS (SELECT r.cand_id AS code, sp.s,"
     "  list_slice(r.rv, sp.s * 16 + 1, sp.s * 16 + 16) AS cent"
     "  FROM resid r, sp, kk WHERE r.cand_id < kk.k),"

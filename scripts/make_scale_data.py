@@ -46,24 +46,35 @@ SHIFT = {
 VERBATIM = ["region", "nation"]
 
 
-def materialize(spark, out: str) -> None:
-    """Write the 10x replica tables under ``out`` using an existing
-    session (bench.py calls this in-process to build its sf1 input)."""
+def materialize(
+    spark,
+    out: str,
+    src: str = SRC,
+    copies_n: int = COPIES,
+    stride: int = STRIDE,
+    tag: str = "r",
+) -> None:
+    """Write the ``copies_n``x replica tables under ``out`` using an
+    existing session (bench.py calls this in-process to build its sf1
+    input). ``src``/``stride``/``tag`` generalize the derivation so a
+    second decade can be stacked on top of a replica (sf1 -> sf10:
+    src=<sf1 dir>, stride larger than the sf1 key domain, a distinct
+    ``tag`` so re-tagged words stay globally unique)."""
     from flink_luad_pipeline_spark.catalog import load
 
     os.makedirs(out, exist_ok=True)
     for table in VERBATIM:
-        load(spark, SRC, table).write.mode("overwrite").parquet(
+        load(spark, src, table).write.mode("overwrite").parquet(
             f"{out}/{table}.parquet"
         )
         print(f"{table}: copied")
     for table, keys in SHIFT.items():
-        df = load(spark, SRC, table)
+        df = load(spark, src, table)
         copies = []
-        for i in range(COPIES):
+        for i in range(copies_n):
             c = df
             for k in keys:
-                c = c.withColumn(k, F.col(k) + F.lit(i * STRIDE))
+                c = c.withColumn(k, F.col(k) + F.lit(i * stride))
             if table == "documents" and i > 0:
                 # Replica texts must NOT be near-duplicates of each
                 # other (a real 10x corpus has 10x distinct documents,
@@ -73,7 +84,7 @@ def materialize(spark, out: str) -> None:
                 # leaves zero shared shingles across replicas while
                 # keeping each replica's internal dup structure intact.
                 c = c.withColumn(
-                    "text", F.regexp_replace("text", r"(\S+)", f"r{i}$1")
+                    "text", F.regexp_replace("text", r"(\S+)", f"{tag}{i}$1")
                 ).withColumn("n_chars", F.length("text"))
             copies.append(c)
         scaled = copies[0]
