@@ -630,3 +630,44 @@ def test_sequence_packing_prefix_sum_is_hierarchical(spark, sf_dir):
         "windowspecdefinition(SPARK_PARTITION_ID()" in plan
         or "spark_partition_id" in plan.lower()
     ), plan
+
+
+def test_curation_pipeline_plan_shape(spark, sf_dir):
+    """ll94 (the flagship): the composed six-stage plan must keep every
+    stage's audited shape — no unkeyed CartesianProduct beyond the
+    documented 1-row max broadcast, the packing prefix sum
+    range-partitioned, and no data-scale single-partition window."""
+    plan = physical(QUERIES["ll94_curation_pipeline"](spark, sf_dir))
+    assert "rangepartitioning" in plan.lower(), "packing lost its range stage"
+    # the only single-partition exchanges allowed are metadata-sized:
+    # the prefix-sum totals table and the DSIR ratio-table coalesce
+    assert plan.count("Exchange SinglePartition") <= 2, plan
+
+
+def test_residual_ivfpq_lut_is_equi_join(spark, sf_dir):
+    """ll95: the per-query LUT must join on its (query, s, code) hash
+    key — broadcastable adaptively but never REQUIRED to broadcast
+    (the table is linear in queries x codes, ADVICE r4's unbounded-
+    broadcast trap) — and the codebook Lloyd training must not
+    introduce a cartesian beyond the k-row centroid broadcasts."""
+    plan = physical(QUERIES["ll95_residual_ivfpq_topk"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert any(
+        j in plan
+        for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )
+
+
+def test_sized_dedup_has_no_centroid_scoring(spark, sf_dir):
+    """ll96/ll97: the whole point of sign-bucket cells is NO broadcast
+    centroid table — the plans must contain no nested-loop join at all
+    (the assignment is a pure projection) and the pair stage must be a
+    cell equi-join."""
+    for name in ("ll96_semantic_dedup_sized", "ll97_decontaminate_sized"):
+        plan = physical(QUERIES[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert any(
+            j in plan
+            for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+        ), name
