@@ -121,6 +121,10 @@ HEADLINE = [
     # VERDICT r6 item 2)
     "ll94_curation_pipeline",
     "ll95_residual_ivfpq_topk",
+    # round 7b: paragraph-grain dedup and the composed streaming
+    # ingest gate (rules -> snapshot dedup -> in-feed dedup -> DSIR)
+    "ll98_paragraph_dedup",
+    "ss20_streaming_curation_gate",
 ]
 
 

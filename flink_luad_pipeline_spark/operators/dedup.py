@@ -49,6 +49,91 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def paragraph_dedup(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Paragraph-level exact dedup (the Dolma/C4 line-dedup recipe):
+    every newline-delimited, trimmed, non-empty paragraph keeps only
+    its globally FIRST occurrence — first = smallest (doc_id, idx)
+    lexicographically, the deterministic arrival order — and every
+    later identical paragraph is excised. Sits between ll4 (whole-doc
+    exact) and ll56 (fixed 10-token segments): the grain real web
+    boilerplate repeats at (nav lines, footers, quoted headers), cut
+    on the author's own paragraph boundaries.
+
+    Scale: paragraphs hash-group on their text (one exchange), the
+    first-occurrence pick is a min over a (doc_id, idx) struct (no
+    window), the survivors join back on the same key (shuffle reuse)
+    and reassemble per doc with an in-group sort — the ll4 shape at
+    paragraph grain, no pair join anywhere.
+
+    Returns (doc_id, n_paragraphs, n_removed, cleaned_md5) for every
+    input doc; cleaned_md5 = md5 of the kept paragraphs joined by
+    newline in original order, NULL when nothing survives (or the doc
+    had no non-empty paragraph)."""
+    paras = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias(
+                "idx", "para"
+            ),
+        )
+        .select("doc_id", "idx", F.trim(F.col("para")).alias("para"))
+        .where(F.length("para") > 0)
+    )
+    first = paras.groupBy("para").agg(
+        F.min(F.struct(F.col("doc_id"), F.col("idx"))).alias("fst")
+    )
+    marked = paras.join(first, "para").select(
+        "doc_id",
+        "idx",
+        "para",
+        (
+            (F.col("doc_id") == F.col("fst.doc_id"))
+            & (F.col("idx") == F.col("fst.idx"))
+        ).alias("is_first"),
+    )
+    agg = marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_paragraphs"),
+        F.sum(F.when(F.col("is_first"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("n_removed"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("is_first"),
+                                F.struct("idx", "para"),
+                            )
+                        )
+                    ),
+                    lambda p: p["para"],
+                ),
+                "\n",
+            )
+        ).alias("cleaned_md5"),
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_paragraphs", F.lit(0))
+            .cast("bigint")
+            .alias("n_paragraphs"),
+            F.coalesce("n_removed", F.lit(0)).cast("bigint").alias(
+                "n_removed"
+            ),
+            F.when(
+                F.col("n_paragraphs") > F.col("n_removed"),
+                F.col("cleaned_md5"),
+            ).alias("cleaned_md5"),
+        )
+    )
+
+
 def _spread(df: DataFrame) -> DataFrame:
     """Small-input parallelism guard for the CPU-heavy shingle pass.
 

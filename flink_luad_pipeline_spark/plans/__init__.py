@@ -168,6 +168,8 @@ _NEW_THIS_ROUND = (
     "ll95_residual_ivfpq_topk",
     "ll96_semantic_dedup_sized",
     "ll97_decontaminate_sized",
+    "ll98_paragraph_dedup",
+    "ss20_streaming_curation_gate",
 )
 
 

@@ -1263,11 +1263,15 @@ _GOPHER_ORACLE = (
 )
 
 
-def _gopher_signal_frame(docs: DataFrame) -> DataFrame:
+def _gopher_signal_frame(
+    docs: DataFrame, extra: tuple[str, ...] = ()
+) -> DataFrame:
     """The shared Gopher signal pass (ll43's expressions verbatim):
     (doc_id, n_words, mwl, symr, bulf, ellf, alpf, sw) — one narrow
-    codegen projection, consumed by the rule verdicts (ll43) and the
-    rule-ablation report (ll93)."""
+    codegen projection, consumed by the rule verdicts (ll43), the
+    rule-ablation report (ll93), and — with ``extra`` passthrough
+    columns — the composed gates (ll94's batch stage 1, ss20's
+    streaming rule filter, which needs ``text`` downstream)."""
     d = docs.select(
         "doc_id",
         "text",
@@ -1301,6 +1305,7 @@ def _gopher_signal_frame(docs: DataFrame) -> DataFrame:
     )
     return d.select(
         "doc_id",
+        *extra,
         n_words.alias("n_words"),
         mwl.alias("mwl"),
         symr.alias("symr"),
@@ -4555,6 +4560,49 @@ def ll87_excise_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.excise_repeated_spans(
         _augmented(spark, sf_dir), "doc_id", "text", min_len=8, min_docs=2
     )
+
+
+_LL98_ORACLE = (
+    f"WITH aug AS ({_AUG_SQL}),"
+    " p0 AS (SELECT doc_id,"
+    "   unnest(string_split(text, chr(10))) AS para,"
+    "   unnest(range(len(string_split(text, chr(10))))) AS idx FROM aug),"
+    " p AS (SELECT doc_id, idx, trim(para) AS para FROM p0"
+    "   WHERE length(trim(para)) > 0),"
+    " f AS (SELECT para, min({'d': doc_id, 'i': idx}) AS fst FROM p"
+    "   GROUP BY para),"
+    " k AS (SELECT p.doc_id, p.idx, p.para,"
+    "   (p.doc_id = f.fst.d AND p.idx = f.fst.i) AS is_first"
+    "   FROM p JOIN f USING (para)),"
+    " agg AS (SELECT doc_id, count(*) AS n_paragraphs,"
+    "   sum(CASE WHEN is_first THEN 0 ELSE 1 END) AS n_removed,"
+    "   md5(string_agg(para, chr(10) ORDER BY idx)"
+    "    FILTER (WHERE is_first)) AS cleaned_md5"
+    "   FROM k GROUP BY doc_id)"
+    " SELECT a.doc_id,"
+    " CAST(coalesce(g.n_paragraphs, 0) AS BIGINT) AS n_paragraphs,"
+    " CAST(coalesce(g.n_removed, 0) AS BIGINT) AS n_removed,"
+    " CASE WHEN coalesce(g.n_paragraphs, 0) > coalesce(g.n_removed, 0)"
+    "  THEN g.cleaned_md5 END AS cleaned_md5"
+    " FROM aug a LEFT JOIN agg g USING (doc_id)"
+)
+
+
+@query("ll98_paragraph_dedup", oracle=_LL98_ORACLE)
+def ll98_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level exact dedup (the Dolma/C4 line-dedup recipe):
+    every trimmed non-empty newline-delimited paragraph keeps only its
+    globally first occurrence (smallest (doc_id, idx) — the min-struct
+    device, no window) and later identical paragraphs are excised,
+    survivors reassembled in order. The dedup grain between ll4
+    (whole documents) and ll56 (fixed token segments) — the one real
+    web boilerplate (footers, nav lines, quoted headers) repeats at.
+    Runs over the augmented corpus (planted exact copies), so every
+    copy's paragraphs are removals and the originals' survive intact.
+    Scale: one hash exchange on the paragraph text + a same-key join
+    back + per-doc in-group reassembly — the ll4 shape at paragraph
+    grain (operators/dedup.paragraph_dedup)."""
+    return dedup.paragraph_dedup(_augmented(spark, sf_dir), "doc_id", "text")
 
 
 # ---------------------------------------------------------------------------

@@ -634,3 +634,112 @@ def ss19_streaming_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = ops.read_documents_stream(spark, sf_dir)
     gated = ops.dsir_gate_stream(stream, ratio_rows, threshold=0.0)
     return _drain(gated, "ss19_dsirgate", "append")
+
+
+def _ss20_oracle() -> str:
+    """Batch twin of the COMPOSED streaming ingest gate: gopher-kept
+    docs (ll43's machinery), fingerprint not in the doc_id<250
+    snapshot, one row per DISTINCT surviving fingerprint (which copy
+    arrives first is nondeterministic — same contract as ss4/ss10; all
+    copies share tokens, hence scores), scored by the full-corpus DSIR
+    ratio with the stream's exact DECIMAL-quantized fold, gated at
+    log_weight >= 0."""
+    from .llm_queries import (
+        _GOPHER_KEPT_SQL,
+        _TOKENS_SQL,
+        _gopher_m_ctes,
+        _hex10,
+    )
+
+    fp_sql = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+    return (
+        "WITH "
+        + _gopher_m_ctes("documents")
+        + f", keptd AS (SELECT doc_id FROM m WHERE {_GOPHER_KEPT_SQL}),"
+        f" fps AS (SELECT doc_id, {fp_sql} AS fp FROM documents),"
+        " snap AS (SELECT DISTINCT fp FROM fps WHERE doc_id < 250),"
+        " cand AS (SELECT f.fp, min(f.doc_id) AS rid FROM fps f"
+        "   JOIN keptd USING (doc_id)"
+        "   WHERE f.fp NOT IN (SELECT fp FROM snap) GROUP BY f.fp),"
+        f" ctok AS (SELECT c.fp, {_TOKENS_SQL} AS t FROM cand c"
+        "   JOIN documents ON documents.doc_id = c.rid),"
+        " nb AS (SELECT fp, CASE WHEN len(t) >= 2 THEN len(t) - 1"
+        "   ELSE 0 END AS n_bigrams FROM ctok),"
+        " cgrams AS (SELECT fp, unnest(list_transform(range(1, len(t)),"
+        "   i -> t[i] || ' ' || t[i + 1])) AS g FROM ctok"
+        "   WHERE len(t) >= 2),"
+        f" cfeat AS (SELECT fp, {_hex10('g')} % 256 AS b FROM cgrams),"
+        # ratio table trained on the FULL corpus (ss19's arithmetic)
+        " tokall AS (SELECT doc_id, lang = 'en' AS is_t,"
+        f" {_TOKENS_SQL} AS t FROM documents),"
+        " gall AS (SELECT doc_id, is_t,"
+        " unnest(list_transform(range(1, len(t)),"
+        " i -> t[i] || ' ' || t[i + 1])) AS g FROM tokall"
+        " WHERE len(t) >= 2),"
+        f" fall AS (SELECT doc_id, is_t, {_hex10('g')} % 256 AS b"
+        " FROM gall),"
+        " cnts AS (SELECT b, count(*) AS cr,"
+        " sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct FROM fall"
+        " GROUP BY b),"
+        " tot AS (SELECT sum(cr) AS tr, sum(ct) AS tt FROM cnts),"
+        " ratio AS (SELECT b, ln((ct + 1.0) / (tt + 256))"
+        " - ln((cr + 1.0) / (tr + 256)) AS lr FROM cnts, tot),"
+        " db AS (SELECT fp, b, count(*) AS c FROM cfeat GROUP BY fp, b),"
+        " w AS (SELECT fp,"
+        " round(CAST(sum(CAST(round(c * lr, 9) AS DECIMAL(28,9)))"
+        "  AS DOUBLE), 6) AS lw"
+        " FROM db JOIN ratio USING (b) GROUP BY fp)"
+        " SELECT n.fp, CAST(n.n_bigrams AS BIGINT) AS n_bigrams,"
+        " CAST(coalesce(w.lw, 0.0) AS DOUBLE) AS log_weight"
+        " FROM nb n LEFT JOIN w USING (fp)"
+        " WHERE coalesce(w.lw, 0.0) >= 0.0"
+    )
+
+
+@query("ss20_streaming_curation_gate", oracle=_ss20_oracle())
+def ss20_streaming_curation_gate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The COMPOSED streaming ingest gate — ll94's curation recipe in
+    its at-ingest form: Gopher format rules (stateless ll43 signal
+    projections on the feed) → exact dedup against the persisted
+    corpus snapshot (ss10's stream-static fingerprint anti-join) →
+    exact dedup within the feed (ss4's keyed dropDuplicates state) →
+    the learned DSIR quality gate (ss19's map-literal scorer). Proves
+    the streaming devices COMPOSE the way the batch operators do in
+    ll94 — one query, one drain, every stage acting. Emitted rows are
+    keyed by fingerprint (the ss4/ss10 determinism contract; same-fp
+    copies share tokens hence scores), so the set is value-checked by
+    a single batch oracle replaying all four stages."""
+    from ..catalog import load
+    from ..operators.importance import dsir_ratio_table
+    from .llm_queries import _gopher_rules, _gopher_signal_frame
+
+    docs = load(spark, sf_dir, "documents")
+    ratio_rows = [
+        (int(r["b"]), float(r["lr"]))
+        for r in dsir_ratio_table(docs, F.col("lang") == "en").collect()
+    ]
+    snap = (
+        docs.where(F.col("doc_id") < 250)
+        .select(
+            F.md5(
+                F.trim(
+                    F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+                )
+            ).alias("fp")
+        )
+        .distinct()
+    )
+    stream = ops.read_documents_stream(spark, sf_dir)
+    sig = _gopher_signal_frame(stream, extra=("text",))
+    kept_pred = None
+    for _, ok in _gopher_rules():
+        kept_pred = ok if kept_pred is None else kept_pred & ok
+    gated = ops.curation_gate_stream(
+        sig.where(kept_pred).select("doc_id", "text"),
+        snap,
+        ratio_rows,
+        threshold=0.0,
+    )
+    return _drain(gated, "ss20_curationgate", "append")

@@ -21,7 +21,7 @@ import tempfile
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -930,12 +930,28 @@ def dsir_gate_stream(
     average, at the default 0.0)."""
     from ..operators.importance import _bigram_buckets
 
+    bks = _bigram_buckets(F.col("text"), buckets)
+    staged = docs_stream.select(F.col("doc_id"), bks.alias("bks"))
+    scored = staged.select(
+        "doc_id",
+        F.size("bks").cast("bigint").alias("n_bigrams"),
+        _dsir_map_log_weight(ratio_rows, default_lr).alias("log_weight"),
+    )
+    return scored.where(F.col("log_weight") >= F.lit(float(threshold)))
+
+
+def _dsir_map_log_weight(
+    ratio_rows: list[tuple[int, float]], default_lr: float
+) -> Column:
+    """The baked map-literal DSIR scorer over a staged ``bks`` bucket
+    array column — dsir_gate_stream's fold, shared with the composed
+    ingest gate (curation_gate_stream). Per-bucket terms c·lr rounded
+    9dp and summed as exact DECIMAL over the SORTED distinct buckets,
+    so the score is fold-order-free and batch-SQL-reproducible."""
     mapping = F.map_from_arrays(
         F.array(*[F.lit(int(b)) for b, _ in ratio_rows]),
         F.array(*[F.lit(float(lr)) for _, lr in ratio_rows]),
     )
-    bks = _bigram_buckets(F.col("text"), buckets)
-    staged = docs_stream.select(F.col("doc_id"), bks.alias("bks"))
     ds = F.array_sort(F.array_distinct(F.col("bks")))
     terms = F.transform(
         ds,
@@ -949,7 +965,7 @@ def dsir_gate_stream(
     )
     # the merge must return the accumulator's exact type: DECIMAL
     # addition widens precision (28,9)+(28,9) -> (29,9), so cast back
-    lw = F.round(
+    return F.round(
         F.aggregate(
             terms,
             F.lit(0).cast("decimal(28,9)"),
@@ -957,9 +973,51 @@ def dsir_gate_stream(
         ).cast("double"),
         6,
     )
-    scored = staged.select(
-        "doc_id",
+
+
+def curation_gate_stream(
+    docs_stream: DataFrame,
+    snapshot_fps: DataFrame,
+    ratio_rows: list[tuple[int, float]],
+    buckets: int = 256,
+    threshold: float = 0.0,
+    default_lr: float = 0.0,
+) -> DataFrame:
+    """The COMPOSED streaming ingest gate — ll94's curation recipe in
+    its at-ingest form, chaining three audited streaming devices in
+    one query: exact dedup against the persisted corpus snapshot
+    (ss10's stream-static fingerprint anti-join), exact dedup WITHIN
+    the feed (ss4's keyed dropDuplicates state), and the learned DSIR
+    quality gate (ss19's stateless map-literal scorer). The quality
+    rules ran upstream (the caller filters on the Gopher signal frame
+    — stateless projections compose freely before this).
+
+    Emits (fp, n_bigrams, log_weight) keyed by FINGERPRINT, not
+    doc_id: which copy of a duplicated text arrives first is
+    nondeterministic under replay (the ss4/ss10 contract), but every
+    copy has the same fingerprint, the same tokens (the fingerprint
+    normalization — lower + whitespace-collapse — is invisible to the
+    tokenizer), hence the same bigram buckets and score, so the
+    emitted SET is deterministic and batch-SQL-checkable.
+
+    Scale: the anti-join is stream-static on the fp (the snapshot side
+    is a materialized index), the within-feed state is one fp key per
+    distinct text, scoring is stateless — no watermark, no windows,
+    feed-rate throughput like ss19."""
+    from ..operators.importance import _bigram_buckets
+
+    fp = F.md5(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    )
+    staged = docs_stream.select(
+        fp.alias("fp"),
+        _bigram_buckets(F.col("text"), buckets).alias("bks"),
+    )
+    fresh = staged.join(snapshot_fps, "fp", "left_anti")
+    uniq = fresh.dropDuplicates(["fp"])
+    scored = uniq.select(
+        "fp",
         F.size("bks").cast("bigint").alias("n_bigrams"),
-        lw.alias("log_weight"),
+        _dsir_map_log_weight(ratio_rows, default_lr).alias("log_weight"),
     )
     return scored.where(F.col("log_weight") >= F.lit(float(threshold)))

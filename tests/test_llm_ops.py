@@ -1510,3 +1510,34 @@ def test_semantic_dedup_sized_matches_centroid_tier_quality(spark, sf_dir):
     rs = len(set(ds) & truth) / len(truth)
     assert rs >= rc - 0.1
     assert rs >= 0.15
+
+
+def test_paragraph_dedup_keeps_first_occurrence_only(spark):
+    """ll98's operator on a hand fixture: a boilerplate line shared by
+    three docs survives only at its first (doc_id, idx); unique lines
+    all survive; a doc of only duplicate lines gets a NULL digest."""
+    boiler = "subscribe to our newsletter"
+    docs = [
+        (1, f"alpha one\n{boiler}\nbeta two"),
+        (2, f"{boiler}\ngamma three"),
+        (3, f"delta four\n{boiler}"),
+        (4, boiler),
+        (5, "  \n\n"),  # whitespace-only -> zero paragraphs
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {
+        r.doc_id: r for r in dedup.paragraph_dedup(df, "doc_id", "text").collect()
+    }
+    assert out[1].n_paragraphs == 3 and out[1].n_removed == 0
+    assert out[2].n_paragraphs == 2 and out[2].n_removed == 1
+    assert out[3].n_paragraphs == 2 and out[3].n_removed == 1
+    assert out[4].n_paragraphs == 1 and out[4].n_removed == 1
+    assert out[4].cleaned_md5 is None  # nothing survives
+    assert out[5].n_paragraphs == 0 and out[5].cleaned_md5 is None
+    import hashlib
+
+    assert out[2].cleaned_md5 == hashlib.md5(b"gamma three").hexdigest()
+    assert (
+        out[1].cleaned_md5
+        == hashlib.md5(f"alpha one\n{boiler}\nbeta two".encode()).hexdigest()
+    )
