@@ -943,7 +943,14 @@ def residual_ivfpq_topk(
         )
 
     candidates = _spread(candidates)
-    assigned = nearest_cells(candidates, "cand_id", 1)
+    # the N×k assignment (cosines + per-vector window) feeds the
+    # shortlist AND every residuals() call (codebook init, training
+    # sample, encode) — 4+ consumers; without a boundary Catalyst
+    # re-runs the whole pass per consumer (the semantic_dedup /
+    # Lloyd-frame contract)
+    assigned = nearest_cells(candidates, "cand_id", 1).localCheckpoint(
+        eager=True
+    )
     probes = nearest_cells(queries, "query_id", nprobe)
     # shortlist keeps the candidate's cell id: the exact q·c(v) term
     # needs it, and it is free (assigned already carries it)
