@@ -249,6 +249,16 @@ def main() -> None:
 
 
 def _sf1_section(spark, queries, sf01_per_query) -> dict:
+    # The sf0.1 pass leaves the JVM aged — 59 queries x 4 runs of
+    # accumulated broadcast/codegen/checkpoint state inflated several
+    # sf1 rows 2-7x (ll42: 81.7 s aged vs 12.1 s fresh, measured r7).
+    # The sf1 probe is a separate protocol section, so it runs on a
+    # FRESH session; the first queries re-warm footers/codegen, which
+    # is the same one-warm-run contract the section always had.
+    from flink_luad_pipeline_spark.session import get_spark
+
+    spark.stop()
+    spark = get_spark("bench_sf1")
     sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1")
     # _SUCCESS sentinel, written only after materialize() returns: a
     # crashed prior run leaves table dirs (even lineitem's) behind, and
