@@ -170,6 +170,7 @@ _NEW_THIS_ROUND = (
     "ll97_decontaminate_sized",
     "ll98_paragraph_dedup",
     "ss20_streaming_curation_gate",
+    "ll99_curation_funnel",
 )
 
 

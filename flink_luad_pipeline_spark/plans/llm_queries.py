@@ -5015,12 +5015,14 @@ _LL94_BOILER = (
 _LL94_PACK = 2048
 
 
-def _ll94_oracle() -> str:
-    """ONE SQL statement mirroring the composed six-stage plan — each
-    stage's CTE machinery is the same builder its standalone query
-    uses (``_gopher_m_ctes``, ``_minhash_oracle_over``,
-    ``_excise_ctes_over``, ``_dsir_oracle_over``), bound to the
-    previous stage's output instead of ``documents``."""
+def _ll94_ctes() -> str:
+    """The composed six-stage CTE chain (fixture ``aug`` through the
+    packed frame ``pk``) — each stage's machinery is the same builder
+    its standalone query uses (``_gopher_m_ctes``,
+    ``_minhash_oracle_over``, ``_excise_ctes_over``,
+    ``_dsir_oracle_over``), bound to the previous stage's output
+    instead of ``documents``. Shared by ll94's per-doc oracle and
+    ll99's funnel oracle."""
     sel_hash = _hex10("'cpl#' || CAST(doc_id AS VARCHAR)")
     return (
         "WITH RECURSIVE"
@@ -5093,6 +5095,11 @@ def _ll94_oracle() -> str:
         "   coalesce(sum(c.n_kept) OVER (ORDER BY s.doc_id"
         "    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum"
         "   FROM d5 s JOIN cleaned c USING (doc_id))"
+    )
+
+
+def _ll94_oracle() -> str:
+    return _ll94_ctes() + (
         " SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,"
         " CAST(log_weight AS DOUBLE) AS log_weight,"
         f" CAST(cum // {_LL94_PACK} AS BIGINT) AS pack_id,"
@@ -5139,6 +5146,22 @@ def ll94_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-consumer boundary class as the Lloyd frames. The single SQL
     oracle composes the SAME CTE machinery each stage's standalone
     oracle uses, so the whole path is value-checked end to end."""
+    return _curation_stage_frames(spark, sf_dir)["packed"].select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("log_weight").cast("double").alias("log_weight"),
+        F.floor(F.col("cum") / _LL94_PACK).cast("bigint").alias("pack_id"),
+        (F.col("cum") % _LL94_PACK).cast("bigint").alias("pack_offset"),
+    )
+
+
+def _curation_stage_frames(
+    spark: SparkSession, sf_dir: str
+) -> dict[str, DataFrame]:
+    """Build the six composed stages ONCE and return every boundary
+    frame — ll94 reads ``packed``, ll99's funnel report aggregates all
+    of them. Keys: aug, d1, d2, d3, cleaned, d5, packed (packed
+    carries doc_id, n_tokens, log_weight, cum)."""
     from ..operators import graph
     from ..operators.importance import dsir_logweights
     from ..operators.relational import exclusive_prefix_sum
@@ -5240,10 +5263,99 @@ def ll94_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d5.join(
         cleaned.select("doc_id", F.col("n_kept").alias("n_tokens")), "doc_id"
     )
-    return exclusive_prefix_sum(toks, "doc_id", "n_tokens").select(
-        "doc_id",
-        F.col("n_tokens").cast("bigint").alias("n_tokens"),
-        F.col("log_weight").cast("double").alias("log_weight"),
-        F.floor(F.col("cum") / _LL94_PACK).cast("bigint").alias("pack_id"),
-        (F.col("cum") % _LL94_PACK).cast("bigint").alias("pack_offset"),
+    packed = exclusive_prefix_sum(toks, "doc_id", "n_tokens")
+    return {
+        "aug": aug,
+        "d1": d1,
+        "d2": d2,
+        "d3": d3,
+        "cleaned": cleaned,
+        "d5": d5,
+        "packed": packed,
+    }
+
+
+def _ll99_oracle() -> str:
+    """The funnel SELECT over ll94's shared CTE chain: one row per
+    stage with surviving doc count and total (cleaned) token count —
+    raw tokenize counts through stage 3, excised counts from stage 4
+    on; the 'packed' row's n_docs is the PACK count (documented
+    semantic switch, the only row where docs would duplicate s5)."""
+    tok_n = f"len({_TOKENS_SQL})"
+    return _ll94_ctes() + (
+        f" SELECT 's0_input' AS stage, count(*) AS n_docs,"
+        f"  sum({tok_n}) AS n_tokens FROM aug"
+        f" UNION ALL SELECT 's1_quality', count(*), sum({tok_n}) FROM d1"
+        f" UNION ALL SELECT 's2_exact_dedup', count(*), sum({tok_n})"
+        "   FROM d2"
+        f" UNION ALL SELECT 's3_near_dedup', count(*), sum({tok_n})"
+        "   FROM d3"
+        " UNION ALL SELECT 's4_excised', count(*), sum(n_kept)"
+        "   FROM cleaned"
+        " UNION ALL SELECT 's5_selected', count(*), sum(n_tokens)"
+        "   FROM pk"
+        f" UNION ALL SELECT 's6_packed', count(DISTINCT cum // {_LL94_PACK}),"
+        "   sum(n_tokens) FROM pk"
     )
+
+
+def _ll99_wrap(inner: str) -> str:
+    # cast AFTER the union (sum() is HUGEINT in DuckDB, NULL-able)
+    return (
+        f"SELECT stage, CAST(n_docs AS BIGINT) AS n_docs,"
+        f" CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens"
+        f" FROM ({inner}) fq"
+    )
+
+
+@query("ll99_curation_funnel", oracle=_ll99_wrap(_ll99_oracle()))
+def ll99_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation-funnel DATACARD of the ll94 flagship: one row per
+    pipeline stage with surviving document count and total token count
+    — the observability artifact a data team reviews before committing
+    a corpus (how much did quality rules drop? how much text did
+    excision actually cut? what's the final token budget and pack
+    count?). Stages share ll94's frames (ONE build of the composed
+    plan; the funnel is seven aggregates over its boundary frames),
+    and the oracle shares ll94's CTE chain — flagship and report can
+    never drift apart. Token columns: raw tokenize counts through
+    stage 3, cleaned counts from excision on; the s6 row's n_docs is
+    the PACK count (the only stage where doc count would repeat s5).
+    Scale: seven aggregates over already-materialized boundaries —
+    the report is free relative to the pipeline it describes."""
+    stages = _curation_stage_frames(spark, sf_dir)
+    tok_n = F.size(T.tokenize(F.col("text")))
+
+    def srow(name: str, df: DataFrame, tokens) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.coalesce(F.sum(tokens), F.lit(0))
+            .cast("bigint")
+            .alias("n_tokens"),
+        )
+
+    pk = stages["packed"]
+    rows = [
+        srow("s0_input", stages["aug"], tok_n),
+        srow("s1_quality", stages["d1"], tok_n),
+        srow("s2_exact_dedup", stages["d2"], tok_n),
+        srow("s3_near_dedup", stages["d3"], tok_n),
+        srow("s4_excised", stages["cleaned"], F.col("n_kept")),
+        srow("s5_selected", pk, F.col("n_tokens")),
+        pk.agg(
+            F.lit("s6_packed").alias("stage"),
+            F.count_distinct(
+                F.floor(F.col("cum") / _LL94_PACK)
+            )
+            .cast("bigint")
+            .alias("n_docs"),
+            F.coalesce(F.sum("n_tokens"), F.lit(0))
+            .cast("bigint")
+            .alias("n_tokens"),
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out

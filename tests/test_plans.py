@@ -239,6 +239,7 @@ INTENTIONAL_CARTESIAN = {
                               # attach inside the composed selection stage
     "ll95_residual_ivfpq_topk",  # ll79's k-row trained-centroid broadcast
                               # (cells, residuals, and the exact q·c term)
+    "ll99_curation_funnel",   # ll94's frames (same 1-row max broadcast)
 }
 
 
