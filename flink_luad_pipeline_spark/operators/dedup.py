@@ -61,11 +61,14 @@ def paragraph_dedup(
     boilerplate repeats at (nav lines, footers, quoted headers), cut
     on the author's own paragraph boundaries.
 
-    Scale: paragraphs hash-group on their text (one exchange), the
+    Scale: paragraphs hash-group on md5(paragraph) — a fixed 32-char
+    key, so the two corpus-sized exchanges never carry arbitrary-length
+    paragraph text as the shuffle key (ADVICE r7; digest-equality
+    stands in for text equality, the ll4 fingerprint convention) — the
     first-occurrence pick is a min over a (doc_id, idx) struct (no
-    window), the survivors join back on the same key (shuffle reuse)
-    and reassemble per doc with an in-group sort — the ll4 shape at
-    paragraph grain, no pair join anywhere.
+    window), the survivors join back on the same digest key (shuffle
+    reuse) and reassemble per doc with an in-group sort — the ll4
+    shape at paragraph grain, no pair join anywhere.
 
     Returns (doc_id, n_paragraphs, n_removed, cleaned_md5) for every
     input doc; cleaned_md5 = md5 of the kept paragraphs joined by
@@ -80,11 +83,12 @@ def paragraph_dedup(
         )
         .select("doc_id", "idx", F.trim(F.col("para")).alias("para"))
         .where(F.length("para") > 0)
+        .withColumn("pkey", F.md5("para"))
     )
-    first = paras.groupBy("para").agg(
+    first = paras.groupBy("pkey").agg(
         F.min(F.struct(F.col("doc_id"), F.col("idx"))).alias("fst")
     )
-    marked = paras.join(first, "para").select(
+    marked = paras.join(first, "pkey").select(
         "doc_id",
         "idx",
         "para",

@@ -621,7 +621,12 @@ def image_ahash(binary_df: DataFrame) -> DataFrame:
                     ).astype(np.int64)
                     npix = np.bincount(cell.ravel(), minlength=64)
                     total = int(grays.sum())
-                    bits = sums * n >= total * npix
+                    # occupancy guard (ADVICE r7): a dimension under 8
+                    # px leaves grid cells with no source pixels; their
+                    # vacuous 0 >= 0 compare must not set the bit, else
+                    # every sub-8px image carries phantom 1-bits in
+                    # cells that describe nothing
+                    bits = (npix > 0) & (sums * n >= total * npix)
                 else:
                     total = int(grays.sum())
                     bits = grays * n >= total

@@ -322,6 +322,8 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    cells: str = "centroid",
+    cell_target: int = 64,
 ) -> DataFrame:
     """SemDeDup-style cluster-scoped semantic dedup: coarse-cluster the
     embeddings, compare pairs only WITHIN a cluster, and drop every
@@ -329,6 +331,17 @@ def semantic_dedup(
     (one survivor per duplicate neighborhood, deterministically the
     smallest id — a single-pass greedy rule, not a transitive closure,
     so no iteration is needed and SQL can reproduce it exactly).
+
+    ``cells`` picks the cell grain — the PRODUCTION path at 100 TB is
+    ``cells="sized"`` (VERDICT r8 item 2), which delegates to
+    ``semantic_dedup_sized``'s constant-population hyperplane sign
+    cells: O(N log N) assignment + LINEAR pair work vs this
+    literature-faithful centroid tier's O(N^1.5) (measured 9.0× on
+    10× data at sf10). Same verdict rule, same output schema
+    (id, cell, dropped, dup_of) — only the cell definition (hence
+    recall at cell boundaries) differs; equivalence of the verdict
+    semantics is pinned in tests/test_llm_ops.py. ``cell_target`` is
+    the sized tier's expected cell population.
 
     Clustering reuses the training-free IVF quantizer (every
     ``centroid_mod``-th vector is a centroid, broadcast; rounded cosine
@@ -351,6 +364,17 @@ def semantic_dedup(
     Returns (id, cell, dropped, dup_of) — dup_of is the surviving
     duplicate's id, NULL for kept vectors.
     """
+    if cells == "sized":
+        return semantic_dedup_sized(
+            vectors,
+            threshold=threshold,
+            cell_target=cell_target,
+            id_col=id_col,
+            vec_col=vec_col,
+            round_digits=round_digits,
+        )
+    if cells != "centroid":
+        raise ValueError(f"cells must be 'centroid' or 'sized', got {cells!r}")
     if centroid_mod is None:
         centroid_mod = derive_centroid_mod(vectors)
     cents = vectors.where(F.col(id_col) % centroid_mod == 0).select(
@@ -715,6 +739,7 @@ def ivfpq_topk(
     vec_col: str = "embedding",
     round_digits: int = 6,
     centroids: DataFrame | None = None,
+    max_codes: int = 256,
 ) -> DataFrame:
     """IVF-PQ approximate top-k — the composed billion-scale ANN
     layout (FAISS's default): the IVF coarse quantizer prunes WHICH
@@ -732,11 +757,16 @@ def ivfpq_topk(
     codes, LUT, and ranking exactly.
 
     Plan shape at 100 TB: the coarse-centroid table is tiny and
-    broadcast (M ≈ √N rows). The PQ codebook is m·(N/code_mod) rows —
-    broadcastable at test scale, but LINEAR in the corpus with a fixed
-    ``code_mod``; a production index trains/caps it to a fixed size
-    (e.g. 256 codes per subspace), which is what the ``codebook``
-    being mod-sampled here stands in for — so its broadcast is scoped
+    broadcast (M ≈ √N rows). The PQ codebook is CAPPED at
+    ``max_codes`` codes per subspace (FAISS trains a fixed 256
+    regardless of corpus size): the mod-sampled codebook keeps only
+    sample ids below ``code_mod·max_codes``, so it holds
+    min(⌈N/code_mod⌉, max_codes) codes — identical to the uncapped
+    set whenever N ≤ code_mod·max_codes (the cap is a pure filter,
+    lazily evaluated, no driver count). Uncapped, the N/code_mod
+    codebook made the encode join O(N²/code_mod) — measured 24.1× on
+    10× data in the round-7 sf10 probe; capped, encode cost is
+    O(N·m·max_codes), linear. The codebook broadcast is scoped
     to the encode step, and the per-query LUT (same row count, times
     queries) is joined with a plain shuffle equi-join on its
     (query_id, s, code) hash key, never broadcast. Candidate cell
@@ -802,7 +832,11 @@ def ivfpq_topk(
         )
 
     codebook = subvectors(
-        candidates.where(F.col(id_col) % code_mod == 0), "code"
+        candidates.where(
+            (F.col(id_col) % code_mod == 0)
+            & (F.col(id_col) < code_mod * max_codes)
+        ),
+        "code",
     ).select("code", "s", F.col("sub").alias("cent"))
 
     def partial_dots(df: DataFrame, out_id: str, dot_name: str) -> DataFrame:
@@ -1005,15 +1039,25 @@ def residual_ivfpq_topk(
         # makes the encode join O(N²/code_mod) — measured 24x on 10x
         # data in the sf10 probe of the mod-sampled tier (SCALE.md
         # round 7).
-        k_codes = min(max(1, candidates.count() // code_mod), max_codes)
+        n_cands = candidates.count()
+        k_codes = min(max(1, n_cands // code_mod), max_codes)
         init = subvectors(
             residuals(candidates.where(F.col(id_col) < k_codes)),
             "cand_id",
             "code",
             "rv",
         ).select("code", "s", F.col("sub").alias("cent"))
+        # FAISS's max_points_per_centroid analog (VERDICT r8 item 4):
+        # the Lloyd sample is bounded at max_codes·64 rows by widening
+        # the id stride when N/train_mod exceeds that budget, so the
+        # ~train_iters driver-synchronized training stages are
+        # CONSTANT-cost at any corpus size instead of linear in it.
+        # Inactive (eff == train_mod) whenever the user's stride
+        # already fits the budget — true at every tested scale, so the
+        # train_mod=4 oracle stays exact.
+        eff_train_mod = max(train_mod, -(-n_cands // (max_codes * 64)))
         train = subvectors(
-            residuals(candidates.where(F.col(id_col) % train_mod == 0)),
+            residuals(candidates.where(F.col(id_col) % eff_train_mod == 0)),
             "cand_id",
             "cand_id",
             "rv",
@@ -1065,8 +1109,19 @@ def residual_ivfpq_topk(
                 cb[(int(r["s"]), int(r["code"]))] = list(r["cent"])
         codebook = cb_df()
     else:
+        # the DEFAULT (train_iters=0) branch takes the mod-sampled
+        # codebook and must carry the SAME fixed-size cap as ivfpq_topk
+        # (ADVICE r7 low #2: the default call silently took the
+        # uncapped O(N²/code_mod) encode path): keep only sample ids
+        # below code_mod·max_codes — min(⌈N/code_mod⌉, max_codes)
+        # codes, identical to the uncapped set for N ≤ code_mod·max_codes
         codebook = subvectors(
-            residuals(candidates.where(F.col(id_col) % code_mod == 0)),
+            residuals(
+                candidates.where(
+                    (F.col(id_col) % code_mod == 0)
+                    & (F.col(id_col) < code_mod * max_codes)
+                )
+            ),
             "cand_id",
             "code",
             "rv",
@@ -1142,12 +1197,22 @@ def semantic_decontaminate(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    cells: str = "centroid",
+    cell_target: int = 64,
 ) -> DataFrame:
     """Embedding-space decontamination: flag every TRAIN vector whose
     cosine to ANY EVAL vector reaches ``threshold`` — ll20's n-gram
     decontamination catches verbatim leakage, this tier catches
     paraphrased benchmark leakage that shares no 5-gram. ``is_eval``
     is a boolean Column over ``vectors``'s columns.
+
+    ``cells`` picks the cell grain — the PRODUCTION path at 100 TB is
+    ``cells="sized"`` (VERDICT r8 item 2), delegating to
+    ``semantic_decontaminate_sized``'s constant-population hyperplane
+    sign cells (O(N log N) assignment, linear pair work) instead of
+    this literature-faithful √N-centroid tier's O(N^1.5) (measured
+    36.4× on 10× data at sf10). Same verdict rule and output schema;
+    ``cell_target`` is the sized tier's expected cell population.
 
     Same cell-scoping as ``semantic_dedup`` (shared training-free
     quantizer, (sim desc, id asc) assignment tie-break), but the pair
@@ -1164,6 +1229,18 @@ def semantic_decontaminate(
     Returns (id, contaminated, eval_id, sim) for every train vector —
     eval_id/sim NULL when clean.
     """
+    if cells == "sized":
+        return semantic_decontaminate_sized(
+            vectors,
+            is_eval,
+            threshold=threshold,
+            cell_target=cell_target,
+            id_col=id_col,
+            vec_col=vec_col,
+            round_digits=round_digits,
+        )
+    if cells != "centroid":
+        raise ValueError(f"cells must be 'centroid' or 'sized', got {cells!r}")
     if centroid_mod is None:
         centroid_mod = derive_centroid_mod(vectors)
     cents = vectors.where(F.col(id_col) % centroid_mod == 0).select(

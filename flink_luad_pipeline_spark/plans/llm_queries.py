@@ -2717,9 +2717,13 @@ _IVFPQ_BODY = (
     " short AS (SELECT query_id, cand_id"
     "  FROM assigned JOIN probes USING (centroid_id)),"
     " sp AS (SELECT unnest([0, 1, 2, 3]) AS s),"
+    # the codebook cap (similarity.ivfpq_topk max_codes=256): sample
+    # ids below code_mod·max_codes — min(⌈N/64⌉, 256) codes, identical
+    # to the uncapped set at every tested N ≤ 16384
     " cb AS (SELECT e.vec_id AS code, sp.s,"
     "  list_slice(e.embedding, sp.s * 16 + 1, sp.s * 16 + 16) AS cent"
-    "  FROM embeddings e, sp WHERE e.vec_id % 64 = 0),"
+    "  FROM embeddings e, sp WHERE e.vec_id % 64 = 0"
+    "   AND e.vec_id < 64 * 256),"
     " csub AS (SELECT e.vec_id AS cand_id, sp.s,"
     "  list_slice(e.embedding, sp.s * 16 + 1, sp.s * 16 + 16) AS sub"
     "  FROM embeddings e, sp"
@@ -2797,8 +2801,10 @@ def ll79_ivfpq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     density instead of its id order. The oracle composes the unrolled
     Lloyd CTEs (ll50's) with the shared IVF-PQ body, so training AND
     the two approximation stages are value-checked in composition.
-    PQ codebook stays mod-sampled (the fixed-size stand-in, see
-    ivfpq_topk's scale note). Scale: training adds one k×dim-state
+    PQ codebook stays mod-sampled, CAPPED at 256 codes per subspace
+    (ivfpq_topk's max_codes — the fix for the r7-measured 24.1×
+    sf10 growth of the uncapped encode join; cap inactive at every
+    tested N ≤ 16384). Scale: training adds one k×dim-state
     partial-agg shuffle per iteration; the k-row centroid table is the
     only driver boundary — everything else is ll60's audited plan."""
     from ..operators import clustering
@@ -5150,7 +5156,10 @@ def ll94_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
         F.col("log_weight").cast("double").alias("log_weight"),
-        F.floor(F.col("cum") / _LL94_PACK).cast("bigint").alias("pack_id"),
+        # integer DIV, not float floor(cum/2048): cum is an exact
+        # bigint and the oracle's `cum // 2048` is integer division —
+        # the float detour agreed only below 2^53 (ADVICE r7)
+        F.expr(f"cum DIV {_LL94_PACK}").cast("bigint").alias("pack_id"),
         (F.col("cum") % _LL94_PACK).cast("bigint").alias("pack_offset"),
     )
 
@@ -5345,9 +5354,8 @@ def ll99_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         srow("s5_selected", pk, F.col("n_tokens")),
         pk.agg(
             F.lit("s6_packed").alias("stage"),
-            F.count_distinct(
-                F.floor(F.col("cum") / _LL94_PACK)
-            )
+            # integer DIV like ll94's pack_id (ADVICE r7)
+            F.count_distinct(F.expr(f"cum DIV {_LL94_PACK}"))
             .cast("bigint")
             .alias("n_docs"),
             F.coalesce(F.sum("n_tokens"), F.lit(0))

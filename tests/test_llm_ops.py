@@ -1419,6 +1419,32 @@ def test_image_ahash_robust_to_jitter_exact_dedup_is_not(spark, sf_dir):
     assert matched >= 0.8 * n_docs, (matched, n_docs)
 
 
+def test_image_ahash_sub8px_dimension_occupancy(spark):
+    """ADVICE r7: a >64-pixel image with a dimension under 8 px leaves
+    8×8 grid cells with NO source pixels; their vacuous 0 >= 0 compare
+    must not set phantom bits. For a 40×2 image only grid rows 0 and 4
+    receive pixels (np.arange(2)*8//2 = [0, 4]) — every bit outside
+    those 16 cells must be 0, and the real content must still set at
+    least one bit (left half bright, right half dark)."""
+    from flink_luad_pipeline_spark.operators import multimodal
+
+    w, h = 40, 2
+    # left half bright (200), right half dark (10), RGB
+    row = bytes([200] * (3 * (w // 2)) + [10] * (3 * (w - w // 2)))
+    payload = f"P6\n{w} {h}\n255\n".encode() + row * h
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "doc_id bigint, payload binary"
+    )
+    ah = multimodal.image_ahash(df).collect()[0].ahash
+    bits = ah & ((1 << 64) - 1)  # undo two's-complement view
+    occupied = {r * 8 + c for r in (0, 4) for c in range(8)}
+    set_bits = {i for i in range(64) if bits >> i & 1}
+    assert set_bits, "bright half must set at least one occupied bit"
+    assert set_bits <= occupied, (
+        f"phantom bits in unoccupied cells: {sorted(set_bits - occupied)}"
+    )
+
+
 def test_curation_pipeline_every_stage_acts(spark, sf_dir):
     """ll94's planted fixture must be observably processed by every
     stage: exact copies (+1e6) gone, near copies (+2e6) gone,
@@ -1510,6 +1536,30 @@ def test_semantic_dedup_sized_matches_centroid_tier_quality(spark, sf_dir):
     rs = len(set(ds) & truth) / len(truth)
     assert rs >= rc - 0.1
     assert rs >= 0.15
+
+
+def test_semantic_dedup_cells_routing(spark, sf_dir):
+    """VERDICT r8 item 2: the semantic dedup/decontamination APIs no
+    longer silently default 100 TB users onto the O(N^1.5) grain —
+    ``cells="sized"`` on the parent functions must delegate to the
+    sized-cell machinery EXACTLY (same rows as calling the sized tier
+    directly), and an unknown grain must fail loudly."""
+    import pytest as _pytest
+
+    emb = load(spark, sf_dir, "embeddings").limit(200)
+    via_param = similarity.semantic_dedup(emb, cells="sized").collect()
+    direct = similarity.semantic_dedup_sized(emb).collect()
+    assert sorted(map(tuple, via_param)) == sorted(map(tuple, direct))
+
+    is_eval = F.col("vec_id") % 10 == 0
+    dvia = similarity.semantic_decontaminate(
+        emb, is_eval, cells="sized"
+    ).collect()
+    ddirect = similarity.semantic_decontaminate_sized(emb, is_eval).collect()
+    assert sorted(map(tuple, dvia)) == sorted(map(tuple, ddirect))
+
+    with _pytest.raises(ValueError, match="cells"):
+        similarity.semantic_dedup(emb, cells="bogus")
 
 
 def test_paragraph_dedup_keeps_first_occurrence_only(spark):
