@@ -125,7 +125,40 @@ HEADLINE = [
     # ingest gate (rules -> snapshot dedup -> in-feed dedup -> DSIR)
     "ll98_paragraph_dedup",
     "ss20_streaming_curation_gate",
+    # round 9: the funnel datacard over ll94's shared stages (records
+    # the "report is free relative to the pipeline" claim — VERDICT r8
+    # item 9), the day-N incremental curation pipeline, and the
+    # weak-label learned quality scorer
+    "ll99_curation_funnel",
+    "ll100_incremental_curation",
+    "ll101_learned_quality_scorer",
 ]
+
+
+def _calibration_query(spark, sf_dir):
+    """Fixed trivial query timed FIRST and LAST in the headline pass
+    (VERDICT r8 item 5): one narrow scan + 25-key aggregate whose plan
+    never changes across rounds, so cross-round drift on it separates
+    session/registry/host overhead from genuine query regressions —
+    measured necessary in r08, where a -12% headline and a +10%
+    r02-subset moved in opposite directions on byte-identical code."""
+    from flink_luad_pipeline_spark import catalog
+
+    return (
+        catalog.load(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .count()
+    )
+
+
+def _time_calibration(spark, sf_dir) -> float:
+    _calibration_query(spark, sf_dir).toPandas()  # warmup
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _calibration_query(spark, sf_dir).toPandas()
+        runs.append(time.perf_counter() - t0)
+    return round(statistics.median(runs), 4)
 
 
 def main() -> None:
@@ -143,6 +176,8 @@ def main() -> None:
     # catalog.load handles the events TIMESTAMP(NANOS) column
     for t in ("lineitem", "events", "documents", "embeddings"):
         catalog.load(spark, sf_dir, t).count()
+
+    calibration_first = _time_calibration(spark, sf_dir)
 
     per_query: dict[str, float | None] = {}
     failed: list[str] = []
@@ -174,12 +209,18 @@ def main() -> None:
         if failed
         else round(sum(v for v in per_query.values() if v is not None), 4)
     )
+    calibration_last = _time_calibration(spark, sf_dir)
     out = {
         "metric": "headline_queries_total_runtime",
         "value": total,
         "unit": "sec",
         "queries": per_query,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # same fixed plan measured before and after the sweep: _first
+        # drift across rounds = host/session baseline moved; _last >>
+        # _first within a round = the session aged during the sweep
+        "calibration_first_s": calibration_first,
+        "calibration_last_s": calibration_last,
     }
     # Round-over-round comparability (VERDICT r3 item 5): the set grew
     # 20 -> 30 queries across rounds, so also report the original
@@ -220,7 +261,10 @@ def main() -> None:
             print(f"bench: ss18 decomposition FAILED: {exc}", file=sys.stderr)
     if is_default_sf and not os.environ.get("SPARK_GRAFT_SKIP_SF1"):
         try:
-            out["sf1"] = _sf1_section(spark, queries, per_query)
+            # _sf1_section stops the aged session and runs on a fresh
+            # one; reassigning keeps main()'s handle live (ADVICE r7 —
+            # the old handle was dead after the sf1 block)
+            out["sf1"], spark = _sf1_section(spark, queries, per_query)
         except Exception as exc:  # the probe must not kill the metric
             print(f"bench: sf1 probe FAILED: {exc}", file=sys.stderr)
             out["sf1"] = {"error": str(exc)[:200]}
@@ -248,7 +292,7 @@ def main() -> None:
     print(json.dumps(compact, separators=(",", ":")))
 
 
-def _sf1_section(spark, queries, sf01_per_query) -> dict:
+def _sf1_section(spark, queries, sf01_per_query) -> tuple[dict, object]:
     # The sf0.1 pass leaves the JVM aged — 59 queries x 4 runs of
     # accumulated broadcast/codegen/checkpoint state inflated several
     # sf1 rows 2-7x (ll42: 81.7 s aged vs 12.1 s fresh, measured r7).
@@ -330,7 +374,7 @@ def _sf1_section(spark, queries, sf01_per_query) -> dict:
         section["scale_factor_vs_sf0.1"] = round(
             sum(per_query[n] for n in common) / base, 2
         )
-    return section
+    return section, spark
 
 
 if __name__ == "__main__":

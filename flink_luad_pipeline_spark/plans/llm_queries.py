@@ -4061,8 +4061,10 @@ def ll80_kneser_ney_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_LL81_ORACLE = (
-    f"WITH tok0 AS (SELECT doc_id, {_TOKENS_SQL} AS tokens FROM documents),"
+# CTE body (tok0 .. f) without the WITH/final-SELECT so composed
+# queries (ll101's learned scorer) can reuse the hashed-feature frame
+_LL81_CTES = (
+    f"tok0 AS (SELECT doc_id, {_TOKENS_SQL} AS tokens FROM documents),"
     " t AS (SELECT doc_id, unnest(tokens) AS token FROM tok0),"
     " h AS (SELECT doc_id,"
     "  list_sum(list_transform(range(1, 11), j ->"
@@ -4087,8 +4089,12 @@ _LL81_ORACLE = (
     "  ELSE list_transform(raw, x -> round(x / n.nrm, 6) + 0.0) END"
     "  AS embedding"
     " FROM docs d JOIN n ON n.doc_id = d.doc_id)"
+)
+
+_LL81_ORACLE = (
+    "WITH " + _LL81_CTES
     # long form (doc_id, dim_idx, value): scalar-only registry contract
-    " SELECT doc_id, n_tokens, unnest(range(0, 64)) AS dim_idx,"
+    + " SELECT doc_id, n_tokens, unnest(range(0, 64)) AS dim_idx,"
     " unnest(embedding) AS value FROM f"
 )
 
@@ -5367,3 +5373,192 @@ def ll99_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionAll(r)
     return out
+
+
+# ---------------------------------------------------------------------------
+# ll101 — learned quality scorer (weak labels -> logistic IRLS -> gate)
+# ---------------------------------------------------------------------------
+
+
+def _ll101_oracle() -> str:
+    """Compose ll81's hashed-feature CTEs, ll43's rule CTEs (the weak
+    labels), the weak-positive prototype (per-dim 6dp-rounded mean of
+    the kept docs' embeddings — the Rocchio centroid), and c8's
+    unrolled 3-step IRLS CTEs (exact DECIMAL(28,9) per-row
+    quantization before every sum, closed-form 2x2 Newton in identical
+    operation order) into the full train->score->gate SQL."""
+    dec = "DECIMAL(28,9)"
+
+    def msums(name: str, psrc: str) -> str:
+        return (
+            f" {name} AS (SELECT"
+            f" CAST(sum(CAST(p * (1.0 - p) AS {dec})) AS DOUBLE) AS a0,"
+            f" CAST(sum(CAST((p * (1.0 - p)) * x AS {dec})) AS DOUBLE) AS a1,"
+            f" CAST(sum(CAST((p * (1.0 - p)) * x * x AS {dec})) AS DOUBLE)"
+            "   AS a2,"
+            f" CAST(sum(CAST(y - p AS {dec})) AS DOUBLE) AS g0,"
+            f" CAST(sum(CAST((y - p) * x AS {dec})) AS DOUBLE) AS g1"
+            f" FROM ({psrc}) tt),"
+        )
+
+    def wstep(name: str, m: str, pb0: str, pb1: str) -> str:
+        return (
+            f" {name} AS (SELECT"
+            f" {pb0} + (a2 * g0 - a1 * g1) / det AS b0,"
+            f" {pb1} + (a0 * g1 - a1 * g0) / det AS b1"
+            f" FROM (SELECT *, a0 * a2 - a1 * a1 AS det FROM {m}) dd),"
+        )
+
+    mg = "round(round(w3.b0, 6) + round(w3.b1, 6) * q.x, 6) + 0.0"
+    return (
+        "WITH "
+        + _LL81_CTES
+        + ","
+        + _gopher_m_ctes("documents")
+        + ","
+        # the Rocchio prototype: per-dim 6dp-rounded mean embedding of
+        # the weak-POSITIVE docs (the kmeans per-dim-mean device)
+        " pr0 AS (SELECT unnest(embedding) AS v,"
+        "  unnest(range(len(embedding))) AS i"
+        "  FROM f JOIN m ON m.doc_id = f.doc_id"
+        f"  WHERE {_GOPHER_KEPT_SQL}),"
+        " proto AS (SELECT list(av ORDER BY i) AS pv FROM ("
+        "  SELECT i, round(avg(v), 6) AS av FROM pr0 GROUP BY i) pq),"
+        # the 1-D feature: cosine of each doc's hashed embedding to
+        # the prototype (already rounded to 6 by _cos_sql)
+        " prj AS (SELECT doc_id,"
+        f"  {_cos_sql('f.embedding', 'pv')} + 0.0 AS x"
+        "  FROM f CROSS JOIN proto),"
+        " td AS (SELECT p.doc_id, p.x,"
+        f"  CASE WHEN {_GOPHER_KEPT_SQL} THEN 1.0 ELSE 0.0 END AS y"
+        "  FROM prj p JOIN m ON m.doc_id = p.doc_id"
+        "  WHERE p.x IS NOT NULL),"
+        + msums(
+            "m1",
+            "SELECT y, x, 1.0 / (1.0 + exp(-(0.0 + 0.0 * x))) AS p FROM td",
+        )
+        + wstep("w1", "m1", "0.0", "0.0")
+        + msums(
+            "m2",
+            "SELECT td.y, td.x,"
+            " 1.0 / (1.0 + exp(-(w1.b0 + w1.b1 * td.x))) AS p"
+            " FROM td CROSS JOIN w1",
+        )
+        + " m2b AS (SELECT m2.*, w1.b0 AS pb0, w1.b1 AS pb1"
+        "   FROM m2 CROSS JOIN w1),"
+        + wstep("w2", "m2b", "pb0", "pb1")
+        + msums(
+            "m3",
+            "SELECT td.y, td.x,"
+            " 1.0 / (1.0 + exp(-(w2.b0 + w2.b1 * td.x))) AS p"
+            " FROM td CROSS JOIN w2",
+        )
+        + " m3b AS (SELECT m3.*, w2.b0 AS pb0, w2.b1 AS pb1"
+        "   FROM m3 CROSS JOIN w2),"
+        # wstep emits a trailing comma (it always precedes another CTE
+        # in c8); the final SELECT follows directly here, so trim it
+        + wstep("w3", "m3b", "pb0", "pb1").rstrip(",")
+        + " SELECT q.doc_id, q.x AS hash_proj, q.y = 1.0 AS weak_label,"
+        f" {mg} AS margin, ({mg}) > 0.0 AS keep"
+        " FROM td q CROSS JOIN w3"
+    )
+
+
+@query("ll101_learned_quality_scorer", oracle=_ll101_oracle())
+def ll101_learned_quality_scorer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEARNED quality scorer, trained in-engine on weak labels — the
+    DCLM/fastText-style third rung of the quality ladder the engine
+    already carries (Gopher RULES ll43 -> DSIR importance ll53 ->
+    learned CLASSIFIER here): take ll43's rule verdicts as weak labels
+    (the standard bootstrap when no human labels exist), featurize
+    every document with ll81's vocabulary-free hashed embedding via
+    its cosine to the WEAK-POSITIVE PROTOTYPE (the Rocchio / nearest-
+    centroid device: the per-dim 6dp-rounded mean embedding of the
+    kept docs — a learned direction in hashed-feature space, and the
+    1-D oracle-checkable stand-in for the full 64-dim weight vector a
+    production fastText head would learn; a fixed random ±1 projection
+    carried no signal — measured all-keep at 0.668 majority, vs 0.81
+    separability for the prototype cosine), fit P(keep | doc) by c8's
+    3-step IRLS, and score + GATE the corpus with the learned margin —
+    one composed lazy plan, every number value-checked: the margin is
+    computed from 6dp-rounded betas so both engines do identical IEEE
+    arithmetic.
+
+    Why learn what the rules already decide: the classifier
+    generalizes BEYOND the rule boundary — `weak_label` and `keep` are
+    both emitted so their disagreement rows (docs the rules drop but
+    the classifier scores high, and vice versa) are first-class
+    output, which is exactly the reviewable artifact a DCLM-style
+    curation loop audits before swapping rules for a model.
+
+    Scale: feature pass = ll81's one (doc, bucket) map-side-combined
+    count; the prototype is ONE dim-keyed partial aggregation whose
+    64-row result broadcasts into a narrow cosine projection; training
+    = 3 IRLS steps, each ONE map-side-combined aggregation with the
+    betas as a 1-row broadcast (c8's audited layout); scoring = the
+    same broadcast into a narrow projection. The embedding frame feeds
+    the prototype AND the projection, and the training frame feeds 3
+    sequential aggregations plus the scoring join — both are
+    localCheckpointed (the documented k-consumer boundary class).
+
+    Returns (doc_id, hash_proj, weak_label, margin, keep) for every
+    doc with >= 1 token and a nonzero feature vector."""
+    from .. import ml
+    from ..functions.vectors import cosine_similarity
+
+    docs = load(spark, sf_dir, "documents")
+    emb = similarity.hashed_embeddings(docs, "doc_id", "text", dim=64)
+    sig = _gopher_signal_frame(docs)
+    kept = None
+    for _, ok in _gopher_rules():
+        kept = ok if kept is None else kept & ok
+    labeled = (
+        emb.join(sig.select("doc_id", kept.alias("kept")), "doc_id")
+        # feeds the prototype aggregation AND the cosine projection
+        .localCheckpoint(eager=True)
+    )
+    # Rocchio prototype: per-dim 6dp-rounded mean of the weak-positive
+    # embeddings — one dim-keyed partial agg, assembled into a single
+    # 64-double row (the kmeans centroid-frame device)
+    proto = (
+        labeled.where(F.col("kept"))
+        .select(F.posexplode("embedding").alias("i", "v"))
+        .groupBy("i")
+        .agg(F.round(F.avg("v"), 6).alias("av"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "av"))),
+                lambda p: p["av"],
+            ).alias("pv")
+        )
+    )
+    x = F.round(cosine_similarity(F.col("embedding"), F.col("pv")), 6) + F.lit(
+        0.0
+    )
+    td = (
+        labeled.crossJoin(F.broadcast(proto))
+        .select(
+            "doc_id",
+            x.alias("x"),
+            F.when(F.col("kept"), 1.0).otherwise(0.0).alias("y"),
+        )
+        .where(F.col("x").isNotNull())
+        # feeds 3 IRLS aggregation passes + the scoring join — without
+        # the boundary Catalyst re-runs the hash-feature shuffle and
+        # the prototype pass once per consumer
+        .localCheckpoint(eager=True)
+    )
+    w = ml.logistic_irls_1d(td.select("y", "x"), steps=3)
+    margin = (
+        F.round(
+            F.round(F.col("b0"), 6) + F.round(F.col("b1"), 6) * F.col("x"), 6
+        )
+        + F.lit(0.0)
+    )
+    return td.crossJoin(F.broadcast(w)).select(
+        "doc_id",
+        F.col("x").alias("hash_proj"),
+        (F.col("y") == 1.0).alias("weak_label"),
+        margin.alias("margin"),
+        (margin > 0.0).alias("keep"),
+    )
