@@ -671,6 +671,68 @@ def _pair_jaccard(cand: DataFrame, sh: DataFrame) -> DataFrame:
     )
 
 
+def minhash_incremental_pairs(
+    snapshot: DataFrame | None,
+    delta: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    max_shingle_df: int | float | None = None,
+    snapshot_index: tuple[DataFrame, DataFrame] | None = None,
+    hasher: str = "portable",
+) -> DataFrame:
+    """The PAIR LIST of the incremental probe: every exact-verified
+    near-dup pair (doc_a, doc_b, jaccard) with doc_a a DELTA document
+    and doc_b anything in snapshot ∪ delta — the factored-out candidate
+    + verify stages of ``minhash_dedup_incremental``, exposed because
+    composed pipelines (ll100's incremental curation) need the pairs
+    (to run connected components over the delta-touching subgraph),
+    not just the greedy per-doc verdicts. Snapshot × snapshot
+    candidates are never generated; delta-delta pairs appear in BOTH
+    directions. With ``snapshot_index`` the snapshot corpus is never
+    touched (``snapshot`` may be None)."""
+    did = delta.select(F.col(id_col), F.col(text_col))
+    if snapshot_index is not None:
+        if max_shingle_df is not None:
+            raise ValueError(
+                "snapshot_index requires max_shingle_df=None: a df-cutoff"
+                " is a corpus-level statistic, so a frozen snapshot index"
+                " cannot reproduce it over snapshot ∪ delta"
+            )
+        sh_s, banded_s = snapshot_index
+        _require_index_hasher(banded_s, "bhash", hasher)
+        _require_index_hasher(sh_s, "sig", hasher)
+        sh_d, banded_d = _minhash_index(
+            did, id_col, text_col, k, num_hashes, bands, None,
+            hasher=hasher,
+        )
+        sh = sh_s.unionByName(sh_d)
+        banded = banded_s.unionByName(banded_d)
+    else:
+        if snapshot is None:
+            raise ValueError("snapshot frame required without snapshot_index")
+        sid = snapshot.select(F.col(id_col), F.col(text_col))
+        sh, banded = _minhash_index(
+            sid.unionAll(did), id_col, text_col, k, num_hashes, bands,
+            max_shingle_df, hasher=hasher,
+        )
+    delta_ids = did.select(F.col(id_col).alias("doc_id"))
+    banded_delta = banded.join(delta_ids, "doc_id", "left_semi")
+    cand = (
+        banded_delta.alias("x")
+        .join(banded.alias("y"), ["band", "bhash"])
+        .where(F.col("x.doc_id") != F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    return _pair_jaccard(cand, sh).where(F.col("jaccard") >= F.lit(threshold))
+
+
 def minhash_dedup_incremental(
     snapshot: DataFrame,
     delta: DataFrame,
@@ -712,41 +774,12 @@ def minhash_dedup_incremental(
 
     Returns (doc_id, dropped, dup_of) — one row per delta document.
     """
-    sid = snapshot.select(F.col(id_col), F.col(text_col))
     did = delta.select(F.col(id_col), F.col(text_col))
-    if snapshot_index is not None:
-        if max_shingle_df is not None:
-            raise ValueError(
-                "snapshot_index requires max_shingle_df=None: a df-cutoff"
-                " is a corpus-level statistic, so a frozen snapshot index"
-                " cannot reproduce it over snapshot ∪ delta"
-            )
-        sh_s, banded_s = snapshot_index
-        _require_index_hasher(banded_s, "bhash", hasher)
-        _require_index_hasher(sh_s, "sig", hasher)
-        sh_d, banded_d = _minhash_index(
-            did, id_col, text_col, k, num_hashes, bands, None,
-            hasher=hasher,
-        )
-        sh = sh_s.unionByName(sh_d)
-        banded = banded_s.unionByName(banded_d)
-    else:
-        sh, banded = _minhash_index(
-            sid.unionAll(did), id_col, text_col, k, num_hashes, bands,
-            max_shingle_df, hasher=hasher,
-        )
     delta_ids = did.select(F.col(id_col).alias("doc_id"))
-    banded_delta = banded.join(delta_ids, "doc_id", "left_semi")
-    cand = (
-        banded_delta.alias("x")
-        .join(banded.alias("y"), ["band", "bhash"])
-        .where(F.col("x.doc_id") != F.col("y.doc_id"))
-        .select(
-            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
-        )
-        .distinct()
+    pairs = minhash_incremental_pairs(
+        snapshot, delta, id_col, text_col, k, num_hashes, bands, threshold,
+        max_shingle_df, snapshot_index, hasher,
     )
-    pairs = _pair_jaccard(cand, sh).where(F.col("jaccard") >= F.lit(threshold))
     # doc_b disqualifies doc_a iff it's a snapshot doc or an earlier
     # batch-mate; delta-delta candidates exist in both directions, so
     # no pair is lost to the asymmetry
@@ -1138,6 +1171,42 @@ def _gram_hasher(hasher: str):
     return _HASHERS[hasher]
 
 
+def gram_doc_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_len: int = 8,
+    hasher: str = "portable",
+) -> DataFrame:
+    """Per-gram distinct-document counts over the same stride-1
+    ``min_len``-gram hash table ``cross_doc_repeated_spans`` builds —
+    the PERSISTABLE ExactSubstr state (g, nd): counts over disjoint
+    corpora are ADDITIVE (distinct docs can't repeat across disjoint
+    doc-id sets), so a frozen snapshot count table plus a fresh delta
+    count table reproduces the union's shared-gram set exactly — the
+    property the incremental curation pipeline (ll100) rests on, the
+    gram-grain analog of ``build_minhash_index``'s frozen artifacts.
+    One narrow gram pass + one gram-keyed map-side-combined count."""
+    gram_hash = _gram_hasher(hasher)
+    return (
+        _spread(
+            df.select(
+                F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+            )
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    word_ngrams(tokenize(F.col("text")), min_len), gram_hash
+                )
+            ).alias("g"),
+        )
+        .groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+    )
+
+
 def cross_doc_repeated_spans(
     df: DataFrame,
     id_col: str,
@@ -1145,6 +1214,7 @@ def cross_doc_repeated_spans(
     min_len: int = 8,
     min_docs: int = 2,
     hasher: str = "portable",
+    snapshot_gram_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Cross-document repeated-substring spans — the ExactSubstr dedup
     tier (Lee et al. 2022, "Deduplicating Training Data Makes Language
@@ -1179,6 +1249,13 @@ def cross_doc_repeated_spans(
     Returns (doc_id, span_start, span_end, span_tokens): 0-based
     inclusive token offsets, span_tokens = span_end - span_start + 1
     >= min_len. Docs with no shared spans are absent.
+
+    ``snapshot_gram_counts`` is the INCREMENTAL path (ll100): a frozen
+    (g, nd) table from ``gram_doc_counts`` over a disjoint snapshot
+    corpus; a gram is then shared when its ``df``-side distinct-doc
+    count PLUS the snapshot count reaches ``min_docs`` — exactly the
+    union corpus's verdict for every gram present in ``df`` (disjoint
+    doc-id sets make the counts additive), with only ``df`` tokenized.
     """
     gram_hash = _gram_hasher(hasher)
     gh = (
@@ -1196,12 +1273,19 @@ def cross_doc_repeated_spans(
         .localCheckpoint(eager=True)
     )
     grams = gh.select("doc_id", F.posexplode("ghs").alias("pos", "g"))
-    shared = (
-        grams.groupBy("g")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .where(F.col("nd") >= F.lit(int(min_docs)))
-        .select("g")
-    )
+    own = grams.groupBy("g").agg(F.count_distinct("doc_id").alias("nd"))
+    if snapshot_gram_counts is not None:
+        own = own.join(
+            snapshot_gram_counts.select(
+                "g", F.col("nd").alias("nd_snap")
+            ),
+            "g",
+            "left",
+        ).select(
+            "g",
+            (F.col("nd") + F.coalesce("nd_snap", F.lit(0))).alias("nd"),
+        )
+    shared = own.where(F.col("nd") >= F.lit(int(min_docs))).select("g")
     hits = grams.join(shared, "g", "left_semi").select("doc_id", "pos")
     w = Window.partitionBy("doc_id").orderBy("pos")
     islands = hits.withColumn(
@@ -1381,6 +1465,7 @@ def excise_repeated_spans(
     min_docs: int = 2,
     hasher: str = "portable",
     emit: str = "md5",
+    snapshot_gram_counts: DataFrame | None = None,
 ) -> DataFrame:
     """The REMOVAL step of the ExactSubstr tier (Lee et al. 2022,
     §"substring deduplication"): take ``cross_doc_repeated_spans``'s
@@ -1403,12 +1488,15 @@ def excise_repeated_spans(
     tokens, NULL when nothing survives. ``emit="text"`` returns the
     space-joined surviving tokens themselves as ``cleaned_text``
     instead of the digest — the form a composed pipeline (ll94) feeds
-    to downstream text-scoring stages."""
+    to downstream text-scoring stages. ``snapshot_gram_counts`` is the
+    incremental path (see ``cross_doc_repeated_spans``): spans are
+    decided against frozen snapshot counts plus ``df``'s own, with
+    only ``df`` tokenized."""
     if emit not in ("md5", "text"):
         raise ValueError(f"emit must be 'md5' or 'text', got {emit!r}")
     spans = cross_doc_repeated_spans(
         df, id_col, text_col, min_len=min_len, min_docs=min_docs,
-        hasher=hasher,
+        hasher=hasher, snapshot_gram_counts=snapshot_gram_counts,
     )
     covered = spans.select(
         "doc_id",

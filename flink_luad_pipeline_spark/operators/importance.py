@@ -57,6 +57,41 @@ def _bigram_buckets(text: Column, buckets: int) -> Column:
     return F.transform(grams, lambda g: portable_hash40(g) % buckets)
 
 
+def dsir_doc_features(
+    docs: DataFrame,
+    target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 256,
+) -> DataFrame:
+    """The per-(doc, bucket) hashed-bigram count table — DSIR's
+    PERSISTABLE state (doc_id, is_target, b, c): both model
+    distributions are bucket-sums over it and per-doc weights are
+    bucket-joins against it, so a frozen snapshot feature table
+    unioned with a fresh delta's reproduces the union-trained model
+    AND lets the snapshot docs be re-scored under that updated model
+    WITHOUT re-tokenizing a byte of snapshot text — the property the
+    incremental curation pipeline (ll100) rests on. One corpus scan
+    (tokenize + slice-bigrams + hash, all codegen) collapsed by a
+    map-side-combined count."""
+    # _spread: tokenize+bigram+hash is the CPU pass; a single-row-group
+    # scan would serialize it onto 1-2 cores (no-op at cluster scale)
+    feat = _spread(
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            target.alias("is_target"),
+            F.col(text_col).alias("text"),
+        )
+    ).select(
+        "doc_id",
+        "is_target",
+        F.explode(_bigram_buckets(F.col("text"), buckets)).alias("b"),
+    )
+    return feat.groupBy("doc_id", "is_target", "b").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+
+
 def dsir_logweights(
     docs: DataFrame,
     target: Column,
@@ -71,19 +106,6 @@ def dsir_logweights(
     Returns ``DataFrame[doc_id, n_bigrams, log_weight]`` — one row per
     input document; docs with no bigrams get (0, 0.0).
     """
-    # _spread: tokenize+bigram+hash is the CPU pass; a single-row-group
-    # scan would serialize it onto 1-2 cores (no-op at cluster scale)
-    feat = _spread(
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            target.alias("is_target"),
-            F.col(text_col).alias("text"),
-        )
-    ).select(
-        "doc_id",
-        "is_target",
-        F.explode(_bigram_buckets(F.col("text"), buckets)).alias("b"),
-    )
     # ONE corpus pass: collapse to per-(doc, bucket) counts first, then
     # derive both distributions from that small table. db feeds two
     # consumers (the ratio table and the per-doc weights), so it is
@@ -93,11 +115,26 @@ def dsir_logweights(
     # the ContextCleaner once this DataFrame is dereferenced, whereas a
     # cache() entry would pin storage for the whole session (the bench
     # reuses one session across 30 queries).
-    db = (
-        feat.groupBy("doc_id", "is_target", "b")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=True)
+    db = dsir_doc_features(
+        docs, target, id_col, text_col, buckets
+    ).localCheckpoint(eager=True)
+    return dsir_logweights_from_features(
+        docs.select(F.col(id_col).alias("doc_id")), db, buckets, round_digits
     )
+
+
+def dsir_logweights_from_features(
+    doc_ids: DataFrame,
+    db: DataFrame,
+    buckets: int = 256,
+    round_digits: int = 6,
+) -> DataFrame:
+    """DSIR scoring from a FEATURE TABLE (``dsir_doc_features``'s
+    (doc_id, is_target, b, c) schema — e.g. a persisted snapshot's
+    features unioned with a fresh delta's): derive both smoothed
+    distributions, then the per-doc weights, touching no text. Every
+    doc in ``doc_ids`` gets a row; docs with no feature rows get
+    (0, 0.0) — the ``dsir_logweights`` contract."""
     counts = db.groupBy("b").agg(
         F.sum("c").alias("cr"),
         F.sum(F.when(F.col("is_target"), F.col("c")).otherwise(0)).alias("ct"),
@@ -126,8 +163,7 @@ def dsir_logweights(
         )
     )
     return (
-        docs.select(F.col(id_col).alias("doc_id"))
-        .join(per_doc, "doc_id", "left")
+        doc_ids.join(per_doc, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("nf", F.lit(0)).cast("bigint").alias("n_bigrams"),

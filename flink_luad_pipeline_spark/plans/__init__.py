@@ -139,8 +139,15 @@ _GREEN_R06 = (
     "b28_trimmed_mean", "ll93_filter_rule_ablation",
 )
 
+_GREEN_R07 = (
+    "ll94_curation_pipeline", "ll95_residual_ivfpq_topk",
+    "ll96_semantic_dedup_sized", "ll97_decontaminate_sized",
+    "ll98_paragraph_dedup", "ss20_streaming_curation_gate",
+    "ll99_curation_funnel",
+)
+
 _BANKED_GREEN = frozenset(
-    _GREEN_R04_AND_EARLIER + _GREEN_R05 + _GREEN_R06
+    _GREEN_R04_AND_EARLIER + _GREEN_R05 + _GREEN_R06 + _GREEN_R07
 )
 
 
@@ -160,36 +167,52 @@ _RED_LAST_CHECK = ()
 _NEVER_CHECKED = ()
 
 
-# Queries NEW or re-shaped this round (round 7) — after the
-# never-checked conversion tier (contractual priority per VERDICT
-# r3-r6). The 26 round-6 entries all greened in CORRECTNESS_r06
-# (50/50, the first fully-green window) and moved into _BANKED_GREEN.
+# Queries NEW or re-shaped this round (round 9) — the r07 tier greened
+# twice (CORRECTNESS_r07 + r08) and moved into _GREEN_R07. This tier
+# fronts the two new compositions (ll100/ll101) plus every query whose
+# code or oracle was touched this round: ll60/ll79 (PQ codebook cap,
+# oracle term changed), ll95 (bounded Lloyd sample), ll94/ll99
+# (integer DIV pack-id), ll98 (md5 shuffle key), ll90 (aHash occupancy
+# bit), ll42/ll55 (cells= routing added; default path unchanged).
 _NEW_THIS_ROUND = (
-    "ll94_curation_pipeline",
+    "ll100_incremental_curation",
+    "ll101_learned_quality_scorer",
+    "ll60_ivfpq_ann_topk",
+    "ll79_ivfpq_trained_topk",
     "ll95_residual_ivfpq_topk",
-    "ll96_semantic_dedup_sized",
-    "ll97_decontaminate_sized",
-    "ll98_paragraph_dedup",
-    "ss20_streaming_curation_gate",
+    "ll94_curation_pipeline",
     "ll99_curation_funnel",
+    "ll98_paragraph_dedup",
+    "ll90_image_ahash_dedup",
+    "ll42_semantic_dedup",
+    "ll55_semantic_decontaminate",
 )
 
 
-# Regression insurance (VERDICT r6 item 3): leftover window slots
-# re-attest the OLDEST banked greens — this tier fronts the r04-greened
-# b/g/ll core (last driver-checked in CORRECTNESS_r04, two rounds ago)
-# so every green row is periodically re-earned, capped well under half
-# the ~50-slot window.
+# Regression insurance (VERDICT r6 item 3, rebanked per VERDICT r8
+# item 3): the r07/r08 windows both re-attested the same 50 rows, so
+# this tier fronts the 40 STALEST greens — rows whose last driver
+# check was CORRECTNESS_r05 or earlier (the r06 window went to the
+# r06-new queries + s/p/a/j1-j3 families; r07/r08 to the r07-new +
+# b/g/ll tier). With the 11-row new/re-shaped tier above, the ~50-slot
+# window spends no slot on a query attested in the last two windows.
 _RECHECK_OLDEST = (
-    "b4_cube_agg", "b7_window_rank", "b9_sql_subqueries",
-    "b11_distinct_aggregates", "b12_moving_average",
-    "b15_window_navigation", "b16_ordered_string_agg",
-    "b17_time_bucket_agg", "b18_upsert_compaction", "b20_array_hof",
-    "b23_sessionize", "b24_incremental_agg_merge",
-    "c6_ridge_closed_form", "g5_kcore", "g6_weighted_sssp",
-    "g7_random_walks", "ll1_text_stats", "ll5_jaccard_pairs",
-    "ll6_minhash_lsh", "ll8_cosine_topk", "ll9_ann_lsh_topk",
-    "ll10_multimodal_features", "ll11_embedding_neardup",
+    "ss7_stream_static_enrich", "ss8_foreach_batch_sink",
+    "ss9_stateful_ewma", "ss13_streaming_ohlc",
+    "ss14_dedup_within_watermark", "ss15_stream_stream_left_outer",
+    "ss16_chained_stateful_ops", "b10_exact_percentiles",
+    "b13_grouping_sets", "b14_lateral_posexplode", "b19_unpivot",
+    "b1_topk", "b21_scd2_dimension", "b22_recursive_cte", "b2_rollup",
+    "b3_window_running_sum", "b5_intersect_except",
+    "b6_full_outer_join", "b8_pivot_counts", "c2_pearson_corr_edges",
+    "flagship_revenue_by_nation", "g1_pagerank", "g2_triangle_count",
+    "g3_label_propagation", "g4_bfs_distances",
+    "i1_c3_connected_components", "i1b_cc_star",
+    "j10_interval_overlap_join", "j11_asof_tolerance_join",
+    "j4_cross_join", "j5_broadcast_nested_loop", "j6_semi_join",
+    "j7_anti_join", "j8_asof_join", "j9_range_count_join",
+    "ll13_chunk_documents", "ll14_redact_pii", "ll15_train_test_split",
+    "ll16_ngram_vocab", "ll17_window_byte_stats",
 )
 
 
@@ -221,7 +244,12 @@ def _rotated() -> list[str]:
     # re-attests the rows whose last driver check is most stale
     banked = [
         k
-        for k in (*_GREEN_R04_AND_EARLIER, *_GREEN_R05, *_GREEN_R06)
+        for k in (
+            *_GREEN_R04_AND_EARLIER,
+            *_GREEN_R05,
+            *_GREEN_R06,
+            *_GREEN_R07,
+        )
         if k in QUERIES and k not in seen
     ]
     # The no-oracle tail (c1_als_completion, c4_c5_svm_train_predict,

@@ -5027,29 +5027,49 @@ _LL94_BOILER = (
 _LL94_PACK = 2048
 
 
-def _ll94_ctes() -> str:
+def _ll94_ctes(
+    aug_ctes: str | None = None, minhash_cutoff: bool = True
+) -> str:
     """The composed six-stage CTE chain (fixture ``aug`` through the
     packed frame ``pk``) — each stage's machinery is the same builder
     its standalone query uses (``_gopher_m_ctes``,
     ``_minhash_oracle_over``, ``_excise_ctes_over``,
     ``_dsir_oracle_over``), bound to the previous stage's output
-    instead of ``documents``. Shared by ll94's per-doc oracle and
-    ll99's funnel oracle."""
+    instead of ``documents``. Shared by ll94's per-doc oracle, ll99's
+    funnel oracle, and — via the two knobs — ll100's incremental
+    contract: ``aug_ctes`` swaps in a different fixture (CTE text
+    ending with an ``aug`` relation, leading space, trailing comma)
+    and ``minhash_cutoff=False`` relaxes stage 3's shingle-df cutoff
+    to the no-cutoff grain (ll63's pure-per-document-artifact
+    property, which is what makes a frozen band index provably equal
+    to from-scratch indexing)."""
     sel_hash = _hex10("'cpl#' || CAST(doc_id AS VARCHAR)")
+    if aug_ctes is None:
+        aug_ctes = (
+            # fixture: boilerplate on %7, exact copies (+1e6) of %10=0,
+            # near copies (+2e6, 3-token postscript) of %10=5
+            " base AS MATERIALIZED (SELECT doc_id,"
+            f"  CASE WHEN doc_id % 7 = 0 THEN text || ' {_LL94_BOILER}'"
+            "   ELSE text END AS text, lang FROM documents),"
+            " aug AS MATERIALIZED ("
+            "  SELECT doc_id, text, lang FROM base"
+            "  UNION ALL SELECT doc_id + 1000000, text, lang FROM base"
+            "   WHERE doc_id % 10 = 0"
+            "  UNION ALL SELECT doc_id + 2000000,"
+            "   text || ' postscript edit marker', lang FROM base"
+            "   WHERE doc_id % 10 = 5),"
+        )
+    pairs_sql = _minhash_oracle_over("SELECT doc_id, text FROM d2")
+    if not minhash_cutoff:
+        nocut = pairs_sql.replace(
+            "HAVING count(*) <= 0.5 * (SELECT count(*) FROM mh_src)",
+            "HAVING count(*) <= 1.0 * (SELECT count(*) FROM mh_src)",
+        )
+        assert nocut != pairs_sql
+        pairs_sql = nocut
     return (
         "WITH RECURSIVE"
-        # fixture: boilerplate on %7, exact copies (+1e6) of %10=0,
-        # near copies (+2e6, 3-token postscript) of %10=5
-        " base AS MATERIALIZED (SELECT doc_id,"
-        f"  CASE WHEN doc_id % 7 = 0 THEN text || ' {_LL94_BOILER}'"
-        "   ELSE text END AS text, lang FROM documents),"
-        " aug AS MATERIALIZED ("
-        "  SELECT doc_id, text, lang FROM base"
-        "  UNION ALL SELECT doc_id + 1000000, text, lang FROM base"
-        "   WHERE doc_id % 10 = 0"
-        "  UNION ALL SELECT doc_id + 2000000,"
-        "   text || ' postscript edit marker', lang FROM base"
-        "   WHERE doc_id % 10 = 5),"
+        + aug_ctes +
         # stage 1: Gopher rule gate (ll43's machinery over aug)
         " g AS MATERIALIZED (SELECT doc_id FROM (SELECT * FROM ("
         f"  WITH {_gopher_m_ctes('aug')}"
@@ -5064,7 +5084,7 @@ def _ll94_ctes() -> str:
         # stage 3: minhash+LSH near-dup pairs (ll6's machinery over d2)
         # + connected components, keep the min-id canonical per cluster
         " pairs AS MATERIALIZED (SELECT * FROM ("
-        f" {_minhash_oracle_over('SELECT doc_id, text FROM d2')} ) mh),"
+        f" {pairs_sql} ) mh),"
         " sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs"
         "   UNION SELECT doc_b, doc_a FROM pairs),"
         " nodes AS (SELECT DISTINCT src AS v FROM sym),"
@@ -5561,4 +5581,398 @@ def ll101_learned_quality_scorer(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("y") == 1.0).alias("weak_label"),
         margin.alias("margin"),
         (margin > 0.0).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ll100 — INCREMENTAL curation: the day-N delta through ll94's six
+# stages against persisted state (VERDICT r8 item 6)
+# ---------------------------------------------------------------------------
+
+_LL100_POST = " postscript edit marker"
+
+
+def _ll100_aug_ctes() -> str:
+    """The incremental fixture's union corpus: BASE day = originals
+    with doc_id <= t (t = floor(0.8·max id), so every delta id exceeds
+    every base id — the precondition that makes min-id keepers, CC
+    canonicals, and the packing order base-first); DELTA day = the
+    remaining originals (genuinely new docs) plus planted copies that
+    exercise every stateful stage: exact copies of base (+1e7, stage-2
+    drops against the fingerprint snapshot), near copies of base
+    (+2e7, stage-3 drops against the persisted band index), exact
+    copies of delta naturals (+3e7, within-batch stage-2 drops), near
+    copies of delta naturals (+4e7, within-batch stage-3 CC drops).
+    Boilerplate rides on %7 of ALL originals so excision exercises the
+    persisted gram counts — preceded by a doc-unique 'd<id>' token:
+    without it, the 8-grams BRIDGING a doc's own text into the shared
+    boiler collide whenever a base doc and a delta doc share the same
+    pre-boiler word, pushing a base-count-1 gram to 2 via the delta —
+    retroactively excising base text the incremental path has
+    legitimately frozen (measured: exactly 4 base docs at sf0.01).
+    The unique token pins every bridging gram's count at 1 while the
+    boiler-interior grams stay corpus-shared; from-scratch and
+    incremental agree EXACTLY, which is also the real production
+    invariant (a frozen corpus is never retro-edited — a detected
+    threshold-crossing triggers re-curation, not an in-place patch).
+    Ends with the ``aug`` relation plus the ``tsel`` threshold CTE the
+    final delta filter reuses."""
+    return (
+        " base0 AS MATERIALIZED (SELECT doc_id,"
+        "  CASE WHEN doc_id % 7 = 0 THEN text || ' d' ||"
+        f"   CAST(doc_id AS VARCHAR) || ' {_LL94_BOILER}'"
+        "   ELSE text END AS text, lang FROM documents),"
+        " tsel AS (SELECT CAST(floor(max(doc_id) * 0.8) AS BIGINT) AS t"
+        "   FROM documents),"
+        " aug AS MATERIALIZED ("
+        "  SELECT doc_id, text, lang FROM base0"
+        "  UNION ALL SELECT doc_id + 10000000, text, lang"
+        "   FROM base0, tsel WHERE doc_id % 10 = 0 AND doc_id <= t"
+        f"  UNION ALL SELECT doc_id + 20000000, text || '{_LL100_POST}',"
+        "   lang FROM base0, tsel WHERE doc_id % 10 = 5 AND doc_id <= t"
+        "  UNION ALL SELECT doc_id + 30000000, text, lang"
+        "   FROM base0, tsel WHERE doc_id % 10 = 1 AND doc_id > t"
+        f"  UNION ALL SELECT doc_id + 40000000, text || '{_LL100_POST}',"
+        "   lang FROM base0, tsel WHERE doc_id % 10 = 6 AND doc_id > t),"
+    )
+
+
+# The CONTRACT: the oracle is a FROM-SCRATCH ll94 chain over the union
+# corpus (no-cutoff stage 3 — ll63's pure-per-document-artifact grain),
+# filtered to the delta docs. The Spark side never recomputes the base:
+# it probes persisted state. Hash-equality of the two IS the
+# incremental-equals-from-scratch proof, driver-attested.
+_LL100_ORACLE = _ll94_ctes(_ll100_aug_ctes(), minhash_cutoff=False) + (
+    " SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,"
+    " CAST(log_weight AS DOUBLE) AS log_weight,"
+    f" CAST(cum // {_LL94_PACK} AS BIGINT) AS pack_id,"
+    f" CAST(cum % {_LL94_PACK} AS BIGINT) AS pack_offset"
+    " FROM pk, tsel WHERE doc_id > t"
+)
+
+
+def _ll100_fixture(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, int]:
+    """(base corpus, delta batch, split threshold t) — the Spark twin
+    of ``_ll100_aug_ctes``. The max-id read is the same documented
+    one-row driver action as ``derive_centroid_mod``."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    t = int(docs.agg(F.max("doc_id")).collect()[0][0] * 0.8)
+    base0 = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                "text",
+                F.lit(" d"),
+                F.col("doc_id").cast("string"),
+                F.lit(" " + _LL94_BOILER),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "lang",
+    )
+    base = base0.where(F.col("doc_id") <= t)
+    dnew = base0.where(F.col("doc_id") > t)
+    post = F.concat("text", F.lit(_LL100_POST)).alias("text")
+    delta = (
+        dnew.unionAll(
+            base.where(F.col("doc_id") % 10 == 0).select(
+                (F.col("doc_id") + 10_000_000).alias("doc_id"), "text", "lang"
+            )
+        )
+        .unionAll(
+            base.where(F.col("doc_id") % 10 == 5).select(
+                (F.col("doc_id") + 20_000_000).alias("doc_id"), post, "lang"
+            )
+        )
+        .unionAll(
+            dnew.where(F.col("doc_id") % 10 == 1).select(
+                (F.col("doc_id") + 30_000_000).alias("doc_id"), "text", "lang"
+            )
+        )
+        .unionAll(
+            dnew.where(F.col("doc_id") % 10 == 6).select(
+                (F.col("doc_id") + 40_000_000).alias("doc_id"), post, "lang"
+            )
+        )
+    )
+    return base, delta, t
+
+
+def _ll100_kept_pred():
+    kept = None
+    for _, ok in _gopher_rules():
+        kept = ok if kept is None else kept & ok
+    return kept
+
+
+def _ll100_build_state(spark: SparkSession, base: DataFrame, sf_dir: str) -> str:
+    """DAY-0: run stages 1-4 on the base corpus ONCE and persist the
+    five state artifacts a production pipeline would keep between
+    daily batches — everything the day-N path needs, so no base TEXT
+    is ever re-read:
+
+      fps      — distinct normalized-md5 fingerprints of base d1
+                 (ss10's snapshot-set device; stage-2 probes it)
+      sh/banded— the MinHash band index over base d2 (ll63's persisted
+                 artifacts, hasher-stamped; stage-3 probes it)
+      grams    — (g, nd) distinct-doc counts over base d3
+                 (gram_doc_counts; additive across disjoint corpora,
+                 stage-4 merges them with the delta's own)
+      docs     — (doc_id, n_kept) of every base d3 survivor (packing
+                 continuation + selection id list)
+      feats    — DSIR per-(doc, bucket) counts of the base CLEANED
+                 text (dsir_doc_features; model counts are additive,
+                 and base docs re-score under the union-updated model
+                 from these numbers alone)
+
+    Index over d2 (not d3): from-scratch CC runs on d2's pair graph,
+    so a delta doc must be able to collide with a base doc that base-
+    side CC later dropped. Returns the state root path."""
+    from ..operators import graph
+    from ..operators.importance import dsir_doc_features
+    from .relational_queries import sink_path
+
+    root = sink_path("ll100_state", sf_dir)
+    d1 = base.join(
+        _gopher_signal_frame(base).where(_ll100_kept_pred()).select("doc_id"),
+        "doc_id",
+    )
+    d1 = d1.withColumn("fp", T.text_fingerprint(F.col("text")))
+    d2 = (
+        d1.withColumn("kp", F.min("doc_id").over(W.partitionBy("fp")))
+        .where(F.col("doc_id") == F.col("kp"))
+        .select("doc_id", "text", "lang")
+        # consumers: band index + pair tier + survivor anti-join
+        .localCheckpoint(eager=True)
+    )
+    sh, banded = dedup.build_minhash_index(d2, "doc_id", "text", k=3)
+    pairs = dedup.minhash_lsh_pairs(
+        d2, "doc_id", "text", k=3, threshold=0.4, max_shingle_df=None
+    )
+    dropped = (
+        graph.connected_components(pairs, src="doc_a", dst="doc_b")
+        .where(F.col("vertex") != F.col("component"))
+        .select(F.col("vertex").alias("doc_id"))
+    )
+    d3 = d2.join(dropped, "doc_id", "left_anti").localCheckpoint(eager=True)
+    ex = dedup.excise_repeated_spans(
+        d3, "doc_id", "text", min_len=8, min_docs=2, emit="text"
+    )
+    cleaned = (
+        d3.select("doc_id", "lang")
+        .join(ex, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce(F.col("n_tokens") - F.col("n_removed"), F.lit(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.coalesce("cleaned_text", F.lit("")).alias("ctext"),
+        )
+    )
+    feats = dsir_doc_features(
+        cleaned.select("doc_id", F.col("ctext").alias("text"), "lang"),
+        target=F.col("lang") == "en",
+    )
+    d1.select("fp").distinct().write.mode("overwrite").parquet(
+        f"{root}/fps.parquet"
+    )
+    sh.write.mode("overwrite").parquet(f"{root}/sh.parquet")
+    banded.write.mode("overwrite").parquet(f"{root}/banded.parquet")
+    dedup.gram_doc_counts(d3, "doc_id", "text", min_len=8).write.mode(
+        "overwrite"
+    ).parquet(f"{root}/grams.parquet")
+    cleaned.select("doc_id", "n_kept").write.mode("overwrite").parquet(
+        f"{root}/docs.parquet"
+    )
+    feats.write.mode("overwrite").parquet(f"{root}/feats.parquet")
+    return root
+
+
+@query("ll100_incremental_curation", oracle=_LL100_ORACLE)
+def ll100_incremental_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL curation — the form a real 100 TB pipeline runs
+    daily (VERDICT r8 item 6; the reference analog is re-running
+    PipeLine.scala:7-42 per new definition file): the day-N delta
+    flows through ll94's six stages against PERSISTED day-0 state, and
+    the verdicts — which delta docs survive, their scores, their
+    (pack_id, pack_offset) slots continuing the base packing — are
+    pinned EQUAL to a from-scratch ll94 over the union corpus (the
+    oracle IS that from-scratch chain filtered to the delta; ll45/ll63
+    pin this equality for dedup alone, this pins it for the whole
+    pipeline). Stage 3 runs at the no-cutoff grain on both sides
+    (ll63's pure-per-document-artifact property).
+
+    Day-N dataflow, stage by stage (state reads are parquet; no base
+    text is touched):
+      1. Gopher gate on the delta (per-doc, trivially incremental).
+      2. Exact dedup: anti-join the fingerprint snapshot, then min-id
+         keeper within the batch.
+      3. Near dedup: probe the persisted band index
+         (minhash_incremental_pairs — snapshot x snapshot candidates
+         never generated), then connected components over the
+         DELTA-DELTA subgraph only: any base neighbor sentences a
+         delta doc (base ids < delta ids, so it can never be its
+         component's min), and that sentence propagates through the
+         delta component — verdict-equivalent to full-graph CC
+         without rebuilding base components.
+      4. ExactSubstr excision with the persisted gram counts merged
+         into the delta's own (disjoint doc sets make distinct-doc
+         counts additive — exactly the union's shared-gram set).
+      5. DSIR: union model = persisted base feature counts + delta
+         feature counts (additive); base docs RE-SCORE under the
+         updated model from their persisted features (a bucket join
+         over numbers — no text), delta docs score fresh; the
+         max-normalizer and ll89's hash coin run over the union
+         scores, exactly as from-scratch.
+      6. Packing continuation: delta offsets = total selected base
+         tokens (from persisted n_kept) + the within-delta exclusive
+         prefix sum.
+
+    Per-day cost: every TEXT stage (tokenize, minhash, grams, hashed
+    bigrams) runs on the delta alone — O(delta). The one non-O(delta)
+    step is stage 5's re-score of persisted base features under the
+    updated model: a numeric bucket-join over the feature snapshot
+    (256-bucket ratio broadcast, doc-keyed partial agg), no
+    tokenization, no pair joins — the price of exact from-scratch
+    equality when the model itself moves with the delta (freeze the
+    model and it disappears). Fixture preconditions (delta ids > base
+    ids; no delta doc bridges two base CC components; no base gram
+    crosses min_docs only via the delta) are what make retroactive
+    base changes impossible — each is a documented production
+    invariant (monotone ids; re-curate on bridge detection).
+
+    Returns (doc_id, n_tokens, log_weight, pack_id, pack_offset) for
+    every SELECTED delta doc."""
+    from ..operators import graph
+    from ..operators.importance import (
+        dsir_doc_features,
+        dsir_logweights_from_features,
+    )
+    from ..operators.relational import exclusive_prefix_sum
+
+    base, delta, t = _ll100_fixture(spark, sf_dir)
+    root = _ll100_build_state(spark, base, sf_dir)
+
+    # ---- day-N: delta text + state parquet only from here on ----
+    fps = spark.read.parquet(f"{root}/fps.parquet")
+    sh_s = spark.read.parquet(f"{root}/sh.parquet")
+    banded_s = spark.read.parquet(f"{root}/banded.parquet")
+    gcounts = spark.read.parquet(f"{root}/grams.parquet")
+    base_docs = spark.read.parquet(f"{root}/docs.parquet")
+    feats_b = spark.read.parquet(f"{root}/feats.parquet")
+
+    # stage 1: rule gate on the batch
+    d1 = delta.join(
+        _gopher_signal_frame(delta).where(_ll100_kept_pred()).select("doc_id"),
+        "doc_id",
+    ).withColumn("fp", T.text_fingerprint(F.col("text")))
+    # stage 2: snapshot anti-join, then min-id keeper within the batch
+    d2 = (
+        d1.join(fps, "fp", "left_anti")
+        .withColumn("kp", F.min("doc_id").over(W.partitionBy("fp")))
+        .where(F.col("doc_id") == F.col("kp"))
+        .select("doc_id", "text", "lang")
+        # consumers: the index probe + the survivor anti-join
+        .localCheckpoint(eager=True)
+    )
+    # stage 3: probe the persisted index; CC over the delta-delta
+    # subgraph; any base neighbor (doc_b <= t — the fixture's monotone
+    # id invariant) contaminates its whole delta component
+    pairs = dedup.minhash_incremental_pairs(
+        None, d2, "doc_id", "text", k=3, threshold=0.4,
+        snapshot_index=(sh_s, banded_s),
+    ).localCheckpoint(eager=True)
+    b_hit = (
+        pairs.where(F.col("doc_b") <= t)
+        .select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+    )
+    dd = pairs.where(F.col("doc_b") > t).select("doc_a", "doc_b")
+    cc = graph.connected_components(dd, src="doc_a", dst="doc_b")
+    contaminated = (
+        cc.join(b_hit.select(F.col("doc_id").alias("vertex")), "vertex")
+        .select("component")
+        .distinct()
+    )
+    dropped = (
+        b_hit.unionAll(
+            cc.join(contaminated, "component", "left_semi").select(
+                F.col("vertex").alias("doc_id")
+            )
+        )
+        .unionAll(
+            cc.where(F.col("vertex") != F.col("component")).select(
+                F.col("vertex").alias("doc_id")
+            )
+        )
+        .distinct()
+    )
+    d3 = d2.join(dropped, "doc_id", "left_anti")
+    # stage 4: excision against merged gram counts
+    ex = dedup.excise_repeated_spans(
+        d3, "doc_id", "text", min_len=8, min_docs=2, emit="text",
+        snapshot_gram_counts=gcounts,
+    )
+    cleaned = (
+        d3.select("doc_id", "lang")
+        .join(ex, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce(F.col("n_tokens") - F.col("n_removed"), F.lit(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.coalesce("cleaned_text", F.lit("")).alias("ctext"),
+        )
+        # consumers: delta features + the packing token counts
+        .localCheckpoint(eager=True)
+    )
+    # stage 5: union model from additive feature counts; score base
+    # (persisted features) and delta (fresh) under it
+    feats_d = dsir_doc_features(
+        cleaned.select("doc_id", F.col("ctext").alias("text"), "lang"),
+        target=F.col("lang") == "en",
+    )
+    db_all = feats_b.unionByName(feats_d).localCheckpoint(eager=True)
+    ids_all = base_docs.select("doc_id").unionAll(cleaned.select("doc_id"))
+    w_all = dsir_logweights_from_features(ids_all, db_all)
+    mx = w_all.agg(F.max("log_weight").alias("m"))
+    sel = w_all.crossJoin(F.broadcast(mx)).select(
+        "doc_id",
+        "log_weight",
+        F.floor(
+            F.least(F.lit(1.0), F.exp(F.col("log_weight") - F.col("m")))
+            * F.lit(1000000.0)
+        ).alias("thr"),
+    )
+    coin = dedup.portable_hash40(
+        F.concat(F.lit("cpl#"), F.col("doc_id").cast("string"))
+    )
+    d5 = sel.where(coin % F.lit(1000000) < F.col("thr").cast("bigint")).select(
+        "doc_id", "log_weight"
+    )
+    # stage 6: offsets continue from the selected-base token total
+    nk_all = base_docs.select(
+        "doc_id", F.col("n_kept").alias("n_tokens")
+    ).unionAll(cleaned.select("doc_id", F.col("n_kept").alias("n_tokens")))
+    toks = d5.join(nk_all, "doc_id").localCheckpoint(eager=True)
+    base_total = toks.where(F.col("doc_id") <= t).agg(
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("bigint").alias("bt")
+    )
+    packed = exclusive_prefix_sum(
+        toks.where(F.col("doc_id") > t), "doc_id", "n_tokens"
+    )
+    return packed.crossJoin(F.broadcast(base_total)).select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("log_weight").cast("double").alias("log_weight"),
+        F.expr(f"(bt + cum) DIV {_LL94_PACK}").cast("bigint").alias("pack_id"),
+        ((F.col("bt") + F.col("cum")) % _LL94_PACK)
+        .cast("bigint")
+        .alias("pack_offset"),
     )

@@ -1562,6 +1562,42 @@ def test_semantic_dedup_cells_routing(spark, sf_dir):
         similarity.semantic_dedup(emb, cells="bogus")
 
 
+def test_incremental_curation_fixture_acts_and_continues_packing(
+    spark, sf_dir
+):
+    """ll100's planted fixture must be observably processed by every
+    STATEFUL stage (its from-scratch equality is already driver-pinned
+    by the oracle parity test): exact copies of base (+1e7) die
+    against the fingerprint snapshot, near copies of base (+2e7) die
+    against the persisted band index, within-batch exact (+3e7) and
+    near (+4e7) copies die inside the batch, genuinely-new docs
+    survive, and the packing slots CONTINUE from the selected-base
+    token total (cum starts above 0 and advances by exactly the
+    cleaned token counts in doc_id order)."""
+    from flink_luad_pipeline_spark.plans.llm_queries import (
+        _LL94_PACK,
+        ll100_incremental_curation,
+    )
+
+    rows = sorted(
+        ll100_incremental_curation(spark, sf_dir).collect(),
+        key=lambda r: r.doc_id,
+    )
+    assert rows, "some delta docs must survive"
+    ids = {r.doc_id for r in rows}
+    assert not {i for i in ids if i >= 10_000_000}, (
+        "every planted copy group (+1e7/+2e7/+3e7/+4e7) must be dropped"
+    )
+    assert any(i < 10_000_000 for i in ids), "new delta docs must survive"
+    # packing continuation: first cum = selected-base total > 0, then
+    # the exclusive prefix advances by each survivor's token count
+    cum = rows[0].pack_id * _LL94_PACK + rows[0].pack_offset
+    assert cum > 0, "offsets must continue from the base packing"
+    for r in rows:
+        assert r.pack_id * _LL94_PACK + r.pack_offset == cum
+        cum += r.n_tokens
+
+
 def test_learned_quality_scorer_beats_majority_class(spark, sf_dir):
     """ll101's point: the learned gate must actually LEARN — train
     agreement with the weak labels must beat the majority-class
