@@ -240,6 +240,11 @@ INTENTIONAL_CARTESIAN = {
     "ll95_residual_ivfpq_topk",  # ll79's k-row trained-centroid broadcast
                               # (cells, residuals, and the exact q·c term)
     "ll99_curation_funnel",   # ll94's frames (same 1-row max broadcast)
+    "ll100_incremental_curation",  # ll94's 1-row max-log-weight attach +
+                              # the 1-row selected-base-total attach that
+                              # continues the packing offsets
+    "ll101_learned_quality_scorer",  # c8's 1-row IRLS beta attach + the
+                              # 1-row (64-double) Rocchio prototype attach
 }
 
 
