@@ -1598,6 +1598,33 @@ def test_incremental_curation_fixture_acts_and_continues_packing(
         cum += r.n_tokens
 
 
+def test_incremental_state_update_equals_from_scratch(spark, sf_dir):
+    """ll100's day-N+1 readiness: folding the delta's artifacts into
+    the persisted day-0 state (union fingerprints, union index
+    artifacts, additive gram counts, union docs, union features) must
+    reproduce the state built FROM SCRATCH over the union corpus —
+    exactly, artifact by artifact — so the incremental state never
+    degrades across days."""
+    from flink_luad_pipeline_spark.plans.llm_queries import (
+        _ll100_fixture,
+        _ll100_state_frames,
+        ll100_updated_state_frames,
+    )
+
+    updated = ll100_updated_state_frames(spark, sf_dir)
+    base, delta, _t = _ll100_fixture(spark, sf_dir)
+    scratch = _ll100_state_frames(base.unionAll(delta))
+
+    def rows(df):
+        def norm(v):
+            return tuple(v) if isinstance(v, list) else v
+
+        return sorted(tuple(norm(c) for c in r) for r in df.collect())
+
+    for key in ("fps", "banded", "grams", "docs", "feats", "sh"):
+        assert rows(updated[key]) == rows(scratch[key]), key
+
+
 def test_learned_quality_scorer_beats_majority_class(spark, sf_dir):
     """ll101's point: the learned gate must actually LEARN — train
     agreement with the weak labels must beat the majority-class
