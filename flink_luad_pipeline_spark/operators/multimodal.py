@@ -643,6 +643,66 @@ def image_ahash(binary_df: DataFrame) -> DataFrame:
     return binary_df.mapInPandas(batches, "doc_id bigint, ahash bigint")
 
 
+def image_resize_pooled(
+    binary_df: DataFrame, out_w: int = 2, out_h: int = 2
+) -> DataFrame:
+    """Exact integer average-pool RESIZE of each decoded image to
+    ``out_w``×``out_h`` RGB — the downsampling step of a multimodal
+    preprocessing pipeline (thumbnailing before feature extraction /
+    perceptual hashing), done float-free so the result is
+    bit-reproducible by a SQL twin: output cell (r, c) channel ch =
+    floor(sum of its source pixels' channel bytes / pixel count),
+    where source pixel (row, col) maps to cell (row·out_h⌊/⌋h,
+    col·out_w⌊/⌋w) — the same exact-integer grid ``image_ahash``'s
+    8×8 pooling uses, generalized to arbitrary output dims and kept
+    per-channel instead of grayscale. Grayscale inputs are expanded
+    to RGB first (r = g = b), so the output contract is uniform.
+
+    Arrow-batched ``mapInPandas`` over the REAL decode path
+    (``decode_image``); heavy bytes cross to Python once, and only
+    3·out_w·out_h small ints per image come back — emitted in LONG
+    form (doc_id, pos, value) with pos = (r·out_w + c)·3 + ch, the
+    registry's scalar-only output contract (ll81's device)."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, poss, vals = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, ch, pix = decode_image(payload)
+                a = np.frombuffer(bytes(pix), dtype=np.uint8).astype(
+                    np.int64
+                )
+                if ch == 3:
+                    img = a[: 3 * w * h].reshape(h, w, 3)
+                else:
+                    img = np.repeat(a[: w * h], 3).reshape(h, w, 3)
+                rows = np.arange(h) * out_h // h
+                cols = np.arange(w) * out_w // w
+                for r in range(out_h):
+                    rsel = img[rows == r]
+                    for c in range(out_w):
+                        block = rsel[:, cols == c, :]
+                        npix = block.shape[0] * block.shape[1]
+                        sums = block.sum(axis=(0, 1))
+                        for chn in range(3):
+                            ids.append(doc_id)
+                            poss.append((r * out_w + c) * 3 + chn)
+                            # empty cells (out dim > source dim) emit
+                            # 0 — the occupancy convention of the
+                            # aHash fix, made explicit here
+                            vals.append(
+                                int(sums[chn]) // npix if npix else 0
+                            )
+            yield pd.DataFrame(
+                {"doc_id": ids, "pos": poss, "value": vals}
+            )
+
+    return binary_df.mapInPandas(
+        batches, "doc_id bigint, pos int, value int"
+    )
+
+
 def byte_class_histogram_arrow(binary_df: DataFrame) -> DataFrame:
     """Per-payload byte-class histogram via ``mapInArrow`` — the Arrow
     RecordBatch boundary (no pandas materialization): batches arrive

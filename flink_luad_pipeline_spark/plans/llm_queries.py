@@ -6077,3 +6077,55 @@ def ll100_updated_state_frames(
             fr["feats_d"]
         ),
     }
+
+
+# ---------------------------------------------------------------------------
+# ll102 — exact integer average-pool image resize (multimodal preprocessing)
+# ---------------------------------------------------------------------------
+
+_LL102_ORACLE = (
+    # the ll90 raster-reconstruction device (48 md5-derived bytes per
+    # 4x4 RGB fixture image), pooled 4x4 -> 2x2 per channel with the
+    # operator's exact integer floor-average: output pos p decomposes
+    # as cell = p//3 (r = cell//2, c = cell%2), ch = p%3; the four
+    # source bytes sit at ((2r+dr)*4 + (2c+dc))*3 + ch
+    "WITH base AS (SELECT doc_id,"
+    " md5(text) || md5(text || 'a') || md5(text || 'b') AS h"
+    " FROM documents),"
+    " bytes0 AS (SELECT doc_id, list_transform(range(0, 48),"
+    "  k -> CAST(('0x' || substr(h, 2 * k + 1, 2)) AS BIGINT)) AS b"
+    "  FROM base)"
+    " SELECT doc_id, CAST(p AS INT) AS pos,"
+    " CAST((b[(p//3)//2*24 + (p//3)%2*6 + p%3 + 1]"
+    "     + b[(p//3)//2*24 + (p//3)%2*6 + p%3 + 4]"
+    "     + b[(p//3)//2*24 + (p//3)%2*6 + p%3 + 13]"
+    "     + b[(p//3)//2*24 + (p//3)%2*6 + p%3 + 16]) // 4 AS INT)"
+    "  AS value"
+    " FROM bytes0, (SELECT unnest(range(0, 12)) AS p) ps"
+)
+
+
+@query("ll102_image_resize_pooled", oracle=_LL102_ORACLE)
+def ll102_image_resize_pooled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal RESIZE — the downsampling step of an image
+    preprocessing pipeline (thumbnail before feature extraction /
+    perceptual hashing), run through the REAL decode path: every
+    corpus image (the md5-derived 4×4 PPM payloads) is decoded in an
+    Arrow-batched mapInPandas and average-pooled to 2×2 RGB with
+    EXACT integer arithmetic (floor of the per-channel block mean),
+    emitted in the scalar long form (doc_id, pos, value). The oracle
+    reconstructs the raster bytes from the same md5 hex (ll90's
+    device) and replays the pooling arithmetic byte for byte, so the
+    decode → pool path is value-checked — the family completion the
+    brief names alongside decode (ll10), feature-extract (ll41/ll44),
+    and frame-sample (ll44): dedup-oriented hashing (ll90) and
+    training-oriented resizing now share one pooling kernel
+    (operators/multimodal.image_resize_pooled, image_ahash's exact
+    8×8 grid generalized to arbitrary dims, per channel).
+
+    Scale: heavy bytes cross the Python boundary once per image;
+    3·out_w·out_h small ints come back — narrow, no shuffle, the
+    mapInPandas batch shape every multimodal op here uses."""
+    docs = load(spark, sf_dir, "documents")
+    payloads = multimodal.attach_image_payload(docs, "doc_id", "text")
+    return multimodal.image_resize_pooled(payloads, out_w=2, out_h=2)

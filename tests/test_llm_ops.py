@@ -1445,6 +1445,43 @@ def test_image_ahash_sub8px_dimension_occupancy(spark):
     )
 
 
+def test_image_resize_pooled_general_dims(spark):
+    """ll102's pooling kernel on non-square, non-divisible dims: a
+    40×2 image pooled to 2×2 must collect each cell's exact 20×1
+    block per channel (left half bright, right half dark — known
+    floor-averages), and a 3×3 → 2×2 pool must handle the uneven
+    2/1-pixel splits the integer grid produces."""
+    from flink_luad_pipeline_spark.operators import multimodal
+
+    w, h = 40, 2
+    row = bytes([200, 100, 50] * (w // 2) + [10, 20, 30] * (w - w // 2))
+    p1 = f"P6\n{w} {h}\n255\n".encode() + row * h
+    # 3x3 grayscale-ish: pixel (r,c) value r*3+c on all channels
+    p2 = b"P6\n3 3\n255\n" + bytes(
+        v for r in range(3) for c in range(3) for v in [r * 3 + c] * 3
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(p1)), (2, bytearray(p2))],
+        "doc_id bigint, payload binary",
+    )
+    out = {
+        (r.doc_id, r.pos): r.value
+        for r in multimodal.image_resize_pooled(df, 2, 2).collect()
+    }
+    # image 1: rows [0,1] -> cells rows 0/1; cols 0..19 -> 0, 20..39 -> 1
+    for cell, rgb in [(0, (200, 100, 50)), (1, (10, 20, 30)),
+                      (2, (200, 100, 50)), (3, (10, 20, 30))]:
+        for ch in range(3):
+            assert out[(1, cell * 3 + ch)] == rgb[ch], (cell, ch)
+    # image 2: rows/cols map 0,0,1 -> cell(0,0) = pixels {0,1,3,4},
+    # cell(0,1) = {2,5}, cell(1,0) = {6,7}, cell(1,1) = {8}
+    expected = {0: (0 + 1 + 3 + 4) // 4, 1: (2 + 5) // 2,
+                2: (6 + 7) // 2, 3: 8}
+    for cell, v in expected.items():
+        for ch in range(3):
+            assert out[(2, cell * 3 + ch)] == v, (cell, ch)
+
+
 def test_curation_pipeline_every_stage_acts(spark, sf_dir):
     """ll94's planted fixture must be observably processed by every
     stage: exact copies (+1e6) gone, near copies (+2e6) gone,
