@@ -259,6 +259,18 @@ def main() -> None:
             out["ss18_components"] = ss18_components(spark, sf_dir)
         except Exception as exc:
             print(f"bench: ss18 decomposition FAILED: {exc}", file=sys.stderr)
+    # ll100's headline row times day-0 state build + day-N probe
+    # together; the recurring 100 TB cost is day-N alone — record the
+    # decomposition next to it (the ss18_components device)
+    if "ll100_incremental_curation" in HEADLINE and not failed:
+        try:
+            from flink_luad_pipeline_spark.plans.llm_queries import (
+                ll100_components,
+            )
+
+            out["ll100_components"] = ll100_components(spark, sf_dir)
+        except Exception as exc:
+            print(f"bench: ll100 decomposition FAILED: {exc}", file=sys.stderr)
     if is_default_sf and not os.environ.get("SPARK_GRAFT_SKIP_SF1"):
         try:
             # _sf1_section stops the aged session and runs on a fresh
