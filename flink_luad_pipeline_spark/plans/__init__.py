@@ -178,6 +178,7 @@ _NEW_THIS_ROUND = (
     "ll100_incremental_curation",
     "ll101_learned_quality_scorer",
     "ll102_image_resize_pooled",
+    "ll103_multimodal_dedup_gate",
     "ll60_ivfpq_ann_topk",
     "ll79_ivfpq_trained_topk",
     "ll95_residual_ivfpq_topk",

@@ -6158,3 +6158,123 @@ def ll100_components(spark: SparkSession, sf_dir: str) -> dict:
         "day_n_s": round(day_n, 4),
         "delta_rows": int(n),
     }
+
+
+# ---------------------------------------------------------------------------
+# ll103 — MULTIMODAL dedup gate (text fingerprint x image perceptual hash)
+# ---------------------------------------------------------------------------
+
+_LL103_ORACLE = (
+    # three variants per doc: A = original; B (+1e6) = EDITED text with
+    # a re-encoded (jittered) image of the ORIGINAL — only the image
+    # tier can catch it; C (+2e6) = exact text copy with a DIFFERENT
+    # image — only the text tier can. Text keeper = ll4's normalized
+    # fingerprint min-id; image keeper = ll90's md5-raster aHash min-id.
+    "WITH docs3 AS ("
+    " SELECT doc_id, text FROM documents"
+    " UNION ALL SELECT doc_id + 1000000, text || ' variant edit'"
+    "  FROM documents"
+    " UNION ALL SELECT doc_id + 2000000, text FROM documents),"
+    " fp AS (SELECT doc_id,"
+    "  md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f"
+    "  FROM docs3),"
+    " tk AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY f) AS tk"
+    "  FROM fp),"
+    " himg AS ("
+    " SELECT doc_id, md5(text) || md5(text || 'a') || md5(text || 'b')"
+    "  AS h, FALSE AS jit FROM documents"
+    " UNION ALL SELECT doc_id + 1000000,"
+    "  md5(text) || md5(text || 'a') || md5(text || 'b'), TRUE"
+    "  FROM documents"
+    " UNION ALL SELECT doc_id + 2000000,"
+    "  md5(text || ' x') || md5(text || ' xa') || md5(text || ' xb'),"
+    "  FALSE FROM documents),"
+    " bytes0 AS (SELECT doc_id, jit, list_transform(range(0, 48),"
+    "  k -> CAST(('0x' || substr(h, 2 * k + 1, 2)) AS BIGINT)) AS b0"
+    "  FROM himg),"
+    " bytes1 AS (SELECT doc_id, CASE WHEN jit THEN"
+    "  list_append(b0[1:47], (b0[48] + 1) % 256) ELSE b0 END AS b"
+    "  FROM bytes0),"
+    " grays AS (SELECT doc_id, list_transform(range(0, 16),"
+    "  i -> b[3 * i + 1] + b[3 * i + 2] + b[3 * i + 3]) AS g"
+    "  FROM bytes1),"
+    " hashed AS (SELECT doc_id, list_sum(list_transform(range(0, 16),"
+    "  i -> CASE WHEN g[i + 1] * 16 >= list_sum(g)"
+    "  THEN (1::BIGINT << i) ELSE 0 END)) AS ahash FROM grays),"
+    " ik AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY ahash) AS ik"
+    "  FROM hashed)"
+    " SELECT t.doc_id,"
+    " CASE WHEN t.doc_id <> t.tk THEN t.tk END AS text_dup_of,"
+    " CASE WHEN i.doc_id <> i.ik THEN i.ik END AS image_dup_of,"
+    " (t.doc_id = t.tk AND i.doc_id = i.ik) AS kept"
+    " FROM tk t JOIN ik i USING (doc_id)"
+)
+
+
+@query("ll103_multimodal_dedup_gate", oracle=_LL103_ORACLE)
+def ll103_multimodal_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTIMODAL dedup gate — the cross-modality composition a real
+    image-text corpus pipeline runs, because each modality's dedup
+    tier is blind to the other's duplicates: a doc is dropped when its
+    TEXT fingerprint (ll4's normalized md5, exact tier) OR its IMAGE
+    perceptual hash (ll90's integer-exact aHash through the real
+    decode path) has a smaller-id keeper. The planted fixture makes
+    both blind spots observable: B copies (+1e6) carry EDITED text
+    with a re-encoded (brightness-jittered) image of the original —
+    text dedup misses every one, the aHash tier catches them; C
+    copies (+2e6) are exact text copies with a DIFFERENT image —
+    the aHash tier misses every one, the fingerprint tier catches
+    them. Both keeper rules are the engine's standard min-id greedy
+    verdict; 'kept' is their conjunction.
+
+    Scale: one narrow fingerprint pass + one Arrow decode→hash pass,
+    then two hash-keyed min windows — the ll4 shape per modality, one
+    equi-shuffle each, no pairs anywhere; aHash's 16-bit natural
+    collisions (both engines agree on them) are the tier's honest
+    false-positive rate, exactly as in ll90.
+
+    Returns (doc_id, text_dup_of, image_dup_of, kept) for all three
+    variants of every doc."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    b_text = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat("text", F.lit(" variant edit")).alias("text"),
+    )
+    c_text = docs.select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+    )
+    texts = docs.unionAll(b_text).unionAll(c_text)
+    a_img = multimodal.attach_image_payload(docs, "doc_id", "text")
+    b_img = multimodal.attach_image_payload_jittered(docs, "doc_id", "text")
+    c_img = multimodal.attach_image_payload(
+        docs.select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            F.concat("text", F.lit(" x")).alias("text"),
+        ),
+        "doc_id",
+        "text",
+    )
+    images = (
+        a_img.unionByName(b_img)
+        .unionByName(c_img)
+        .select("doc_id", "payload")
+    )
+    tk = texts.select(
+        "doc_id", T.text_fingerprint(F.col("text")).alias("f")
+    ).withColumn("tk", F.min("doc_id").over(W.partitionBy("f")))
+    ik = multimodal.image_ahash(images).withColumn(
+        "ik", F.min("doc_id").over(W.partitionBy("ahash"))
+    )
+    return tk.join(ik, "doc_id").select(
+        "doc_id",
+        F.when(F.col("doc_id") != F.col("tk"), F.col("tk")).alias(
+            "text_dup_of"
+        ),
+        F.when(F.col("doc_id") != F.col("ik"), F.col("ik")).alias(
+            "image_dup_of"
+        ),
+        (
+            (F.col("doc_id") == F.col("tk"))
+            & (F.col("doc_id") == F.col("ik"))
+        ).alias("kept"),
+    )

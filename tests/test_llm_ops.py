@@ -1482,6 +1482,38 @@ def test_image_resize_pooled_general_dims(spark):
             assert out[(2, cell * 3 + ch)] == v, (cell, ch)
 
 
+def test_multimodal_gate_catches_each_tiers_blind_spot(spark, sf_dir):
+    """ll103's point: every C copy (+2e6, exact text / different
+    image) is caught by the TEXT tier and essentially never by the
+    image tier; B copies (+1e6, edited text / re-encoded image) are
+    caught by the IMAGE tier for the vast majority (near-threshold
+    jitter flips are the known exception, as in ll90) and never by
+    the text tier against their originals."""
+    from flink_luad_pipeline_spark.plans.llm_queries import (
+        ll103_multimodal_dedup_gate,
+    )
+
+    rows = ll103_multimodal_dedup_gate(spark, sf_dir).collect()
+    n = len(rows) // 3
+    b = [r for r in rows if 1000000 <= r.doc_id < 2000000]
+    c = [r for r in rows if r.doc_id >= 2000000]
+    assert len(b) == len(c) == n
+    # C: text tier catches every one (its keeper is the original)
+    assert all(r.text_dup_of == r.doc_id - 2000000 for r in c)
+    # B: the text tier must NOT see the original as a dup (the text
+    # was edited); the image tier catches >= 80% (jitter flips allowed)
+    assert all(r.text_dup_of != r.doc_id - 1000000 for r in b)
+    img_caught = sum(
+        1 for r in b if r.image_dup_of == r.doc_id - 1000000
+    )
+    assert img_caught >= 0.8 * n, (img_caught, n)
+    # the gate conjunction: kept <=> neither tier fired
+    for r in rows:
+        assert r.kept == (
+            r.text_dup_of is None and r.image_dup_of is None
+        )
+
+
 def test_curation_pipeline_every_stage_acts(spark, sf_dir):
     """ll94's planted fixture must be observably processed by every
     stage: exact copies (+1e6) gone, near copies (+2e6) gone,
