@@ -132,6 +132,10 @@ HEADLINE = [
     "ll99_curation_funnel",
     "ll100_incremental_curation",
     "ll101_learned_quality_scorer",
+    # round 9b: the multimodal resize kernel (Arrow decode boundary)
+    # and the cross-modality dedup gate
+    "ll102_image_resize_pooled",
+    "ll103_multimodal_dedup_gate",
 ]
 
 
