@@ -81,9 +81,24 @@ def _fit(
     id_col: str,
     vec_col: str,
     round_digits: int,
+    max_points_per_centroid: int = 1024,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared Lloyd loop: returns (normalized vectors, final centroid
-    DataFrame[cid, cv])."""
+    DataFrame[cid, cv]).
+
+    The TRAINING input is bounded (VERDICT r9 item 5, FAISS's
+    max_points_per_centroid): when N exceeds
+    ``k·max_points_per_centroid`` the ~iters driver-synchronized Lloyd
+    stages run over the ``vec_id % train_mod == 0`` stride of the
+    corpus (train_mod = ⌈N / (k·mppc)⌉), so training cost is CONSTANT
+    in the corpus size instead of linear — FAISS subsamples k-means
+    training exactly this way. Inactive (train_mod == 1, byte-for-byte
+    today's loop) whenever N fits the budget — true at every
+    oracle-checked scale, so the unrolled _kmeans_ctes oracles stay
+    exact; at sf1+ only the training sample shrinks, the final
+    ASSIGNMENT (kmeans_assign) remains a full-corpus single pass. The
+    one-row count is the same documented driver action as
+    derive_centroid_mod."""
     spark = emb.sparkSession
     # _spread: every Lloyd round scores N x k distances over this
     # frame; a single-row-group scan would pin that to 1-2 cores.
@@ -99,6 +114,17 @@ def _fit(
             F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
         )
     ).localCheckpoint(eager=True)
+    n = e.count()
+    train_mod = max(1, -(-n // (k * max_points_per_centroid)))
+    # strided sample, not LIMIT: deterministic rows, no global sort,
+    # and the filter is a narrow pass over the checkpointed frame
+    train = (
+        e
+        if train_mod == 1
+        else e.where(F.col("vec_id") % train_mod == 0).localCheckpoint(
+            eager=True
+        )
+    )
     cent = {
         int(r["cid"]): list(r["cv"])
         for r in e.where(F.col("vec_id") < k)
@@ -112,7 +138,7 @@ def _fit(
         )
 
     for _ in range(iters):
-        assigned = _assign(e, cent_df(), round_digits)
+        assigned = _assign(train, cent_df(), round_digits)
         upd = (
             assigned.select("cid", F.posexplode("v").alias("i", "val"))
             .groupBy("cid", "i")
@@ -144,12 +170,17 @@ def kmeans_fit(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    max_points_per_centroid: int = 1024,
 ) -> DataFrame:
     """Deterministic Lloyd k-means, centroids only: returns
     ``DataFrame[cid, cv]`` after ``iters`` update steps — the trained
     centroid table ``similarity.ivf_topk(centroids=...)`` accepts
-    (rename cid/cv to centroid_id/centv at the call site)."""
-    _, cents = _fit(emb, k, iters, id_col, vec_col, round_digits)
+    (rename cid/cv to centroid_id/centv at the call site). Training
+    input bounded at ``k·max_points_per_centroid`` rows (see _fit)."""
+    _, cents = _fit(
+        emb, k, iters, id_col, vec_col, round_digits,
+        max_points_per_centroid,
+    )
     return cents
 
 
@@ -160,10 +191,16 @@ def kmeans_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    max_points_per_centroid: int = 1024,
 ) -> DataFrame:
     """Deterministic Lloyd k-means; returns (vec_id, cluster, sqdist)
-    — the final assignment after ``iters`` update steps."""
-    e, cents = _fit(emb, k, iters, id_col, vec_col, round_digits)
+    — the final assignment after ``iters`` update steps. Training is
+    sample-bounded (see _fit); the returned assignment is always the
+    FULL corpus in one pass against the final centroids."""
+    e, cents = _fit(
+        emb, k, iters, id_col, vec_col, round_digits,
+        max_points_per_centroid,
+    )
     final = _assign(e, cents, round_digits)
     return final.select(
         "vec_id", F.col("cid").cast("bigint").alias("cluster"), "sqdist"

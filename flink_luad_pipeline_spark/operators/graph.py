@@ -946,3 +946,56 @@ def harmonic_centrality(
         ),
         F.coalesce("harmonic", F.lit(0.0)).alias("harmonic"),
     )
+
+
+def component_bridges(
+    cross_pairs: DataFrame,
+    base_labels: DataFrame,
+    delta_col: str = "doc_id",
+    base_col: str = "base_id",
+) -> DataFrame:
+    """BRIDGE DETECTOR for incremental curation (VERDICT r9 item 3):
+    per delta document, how many DISTINCT base components its base-side
+    near-dup neighbors span. ``>= 2`` is the production trigger ll100's
+    incremental contract documents but until now nothing emitted — a
+    delta doc adjacent to two base components means absorbing it would
+    MERGE components the frozen base dedup decided independently, so
+    the frozen verdicts are no longer what a from-scratch run would
+    produce and the affected slice must be re-curated (the
+    incremental path never retro-edits state; it detects and escalates).
+
+    Inputs: ``cross_pairs`` — the delta→base rows of the incremental
+    pair list (``minhash_incremental_pairs`` output filtered to base
+    neighbors), columns (delta_col, base_col); ``base_labels`` — the
+    day-0 component labels (vertex, component) over the base near-dup
+    graph (``connected_components`` output, a persistable day-0
+    artifact like ll63's band index). Base docs in no base-side pair
+    are singleton components — the left join + coalesce(component,
+    base_id) gives them their own id, so they count correctly without
+    materializing singleton labels.
+
+    Plan shape at 100 TB: one shuffle equi-join of the (already
+    candidate-bounded) pair list against the doc-keyed label table,
+    then a partial-aggregated count-distinct keyed by delta doc —
+    no corpus-sized pass, no pair×pair work.
+
+    Returns (doc_id, n_base_components, is_bridge) for every delta doc
+    with at least one base neighbor.
+    """
+    lab = base_labels.select(
+        F.col(base_labels.columns[0]).alias("_v"),
+        F.col(base_labels.columns[1]).alias("_comp"),
+    )
+    joined = cross_pairs.select(
+        F.col(delta_col).alias("doc_id"), F.col(base_col).alias("_b")
+    ).join(lab, F.col("_b") == F.col("_v"), "left")
+    agg = joined.groupBy("doc_id").agg(
+        F.countDistinct(F.coalesce("_comp", "_b"))
+        .cast("bigint")
+        .alias("n_base_components")
+    )
+    return agg.select(
+        "doc_id",
+        "n_base_components",
+        (F.col("n_base_components") >= 2).alias("is_bridge"),
+    )

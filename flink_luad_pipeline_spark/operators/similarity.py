@@ -39,6 +39,53 @@ def derive_centroid_mod(vectors: DataFrame) -> int:
     return max(1, round(math.sqrt(n)))
 
 
+def _coarse_cells(
+    candidates: DataFrame,
+    centroid_mod: int | str | None,
+    centroids: DataFrame | None,
+    id_col: str,
+    vec_col: str,
+    op: str,
+) -> DataFrame:
+    """Resolve the IVF family's coarse-quantizer grain — which is
+    REQUIRED (VERDICT r9 item 1): a silent default put 100 TB callers
+    on a superlinear path, so a bare call fails loudly with the menu
+    instead. Accepted grains, in production-preference order:
+
+    - ``centroids=`` a ``(centroid_id, centv)`` DataFrame — trained
+      FIXED-k cells (e.g. ``clustering.kmeans_fit``), the 100 TB path:
+      assignment is O(N·k) with constant k, FAISS's nlist discipline.
+    - ``centroid_mod=<int>`` — id-modulo sampling, M = N/mod cells.
+      Deterministic/closed-form (the oracle grain), but M grows
+      linearly with the corpus, so assignment is O(N²/mod): test-scale
+      and oracle use only.
+    - ``centroid_mod="sqrt"`` — corpus-derived mod ≈ √N
+      (``derive_centroid_mod``): the literature grain balancing
+      assignment and per-cell work at O(N^1.5).
+    """
+    if centroids is not None:
+        if not (centroid_mod is None or centroid_mod == "sqrt"):
+            raise ValueError(
+                f"{op}: pass either centroids= or centroid_mod=, not both"
+            )
+        return centroids.select("centroid_id", "centv")
+    if centroid_mod == "sqrt":
+        centroid_mod = derive_centroid_mod(candidates)
+    elif centroid_mod is None:
+        raise ValueError(
+            f"{op} requires an explicit coarse-quantizer grain: pass "
+            "centroids=<(centroid_id, centv) DataFrame> (trained fixed-k "
+            "cells, e.g. clustering.kmeans_fit — the production path at "
+            "scale), centroid_mod=<int> (id-modulo sampling, M = N/mod "
+            "cells — closed-form, test/oracle scale), or "
+            "centroid_mod='sqrt' (corpus-derived M ≈ √N — the "
+            "literature grain, O(N^1.5) assignment)"
+        )
+    return candidates.where(F.col(id_col) % centroid_mod == 0).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centv")
+    )
+
+
 def _ranked(scored: DataFrame, k: int) -> DataFrame:
     """Deterministic top-k: order by rounded sim desc, then cand_id —
     rounding first so engine-specific low bits can't flip ranks."""
@@ -318,11 +365,11 @@ def lsh_neardup_pairs_compact(
 def semantic_dedup(
     vectors: DataFrame,
     threshold: float = 0.35,
-    centroid_mod: int | None = 25,
+    centroid_mod: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
-    cells: str = "centroid",
+    cells: str = "sized",
     cell_target: int = 64,
 ) -> DataFrame:
     """SemDeDup-style cluster-scoped semantic dedup: coarse-cluster the
@@ -332,16 +379,21 @@ def semantic_dedup(
     smallest id — a single-pass greedy rule, not a transitive closure,
     so no iteration is needed and SQL can reproduce it exactly).
 
-    ``cells`` picks the cell grain — the PRODUCTION path at 100 TB is
-    ``cells="sized"`` (VERDICT r8 item 2), which delegates to
+    ``cells`` picks the cell grain and DEFAULTS to the scale-safe one
+    (VERDICT r9 item 1): ``cells="sized"`` delegates to
     ``semantic_dedup_sized``'s constant-population hyperplane sign
-    cells: O(N log N) assignment + LINEAR pair work vs this
-    literature-faithful centroid tier's O(N^1.5) (measured 9.0× on
-    10× data at sf10). Same verdict rule, same output schema
+    cells — O(N log N) assignment + LINEAR pair work — so a bare call
+    is the 100 TB production path. ``cells="centroid"`` opts into this
+    literature-faithful SemDeDup centroid tier, whose √N-cells shape
+    is O(N^1.5) (measured 9.0× on 10× data at sf10) — useful when
+    matching the paper's recall profile matters more than the scale
+    shape. Same verdict rule, same output schema
     (id, cell, dropped, dup_of) — only the cell definition (hence
     recall at cell boundaries) differs; equivalence of the verdict
     semantics is pinned in tests/test_llm_ops.py. ``cell_target`` is
-    the sized tier's expected cell population.
+    the sized tier's expected cell population. ``centroid_mod`` tunes
+    only the centroid tier; passing it together with ``cells="sized"``
+    raises (the knob would be silently dropped otherwise — ADVICE r9).
 
     Clustering reuses the training-free IVF quantizer (every
     ``centroid_mod``-th vector is a centroid, broadcast; rounded cosine
@@ -365,6 +417,12 @@ def semantic_dedup(
     duplicate's id, NULL for kept vectors.
     """
     if cells == "sized":
+        if centroid_mod is not None:
+            raise ValueError(
+                "centroid_mod tunes the 'centroid' grain and is ignored "
+                "by cells='sized' — pass cells='centroid' to use it, or "
+                "cell_target to size the sized tier's cells"
+            )
         return semantic_dedup_sized(
             vectors,
             threshold=threshold,
@@ -546,7 +604,7 @@ def ivf_topk(
     queries: DataFrame,
     candidates: DataFrame,
     k: int = 10,
-    centroid_mod: int | None = 25,
+    centroid_mod: int | str | None = None,
     nprobe: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -569,21 +627,15 @@ def ivf_topk(
     join at 100 TB, no broadcast of the big side, and each query scores
     only ~nprobe/M of the corpus.
 
-    ``centroid_mod=None`` derives the modulus from the candidate count
-    (mod ≈ √N → M ≈ √N cells, ``derive_centroid_mod``); the fixed
-    default keeps the oracle closed-form at test scale. ``centroids``
-    (a ``(centroid_id, centv)`` DataFrame, e.g. the output of
-    ``clustering.kmeans_fit``) overrides the modulo sampling entirely —
-    trained cells change recall, not the dataflow.
+    The coarse grain is REQUIRED — ``centroids=`` (trained fixed-k
+    cells, the scale path), ``centroid_mod=<int>`` (closed-form
+    modulo sampling for the oracle), or ``centroid_mod="sqrt"`` (the
+    √N literature grain); see ``_coarse_cells`` for the trade-offs.
+    Trained cells change recall, not the dataflow.
     """
-    if centroids is not None:
-        cents = centroids.select("centroid_id", "centv")
-    else:
-        if centroid_mod is None:
-            centroid_mod = derive_centroid_mod(candidates)
-        cents = candidates.where(F.col(id_col) % centroid_mod == 0).select(
-            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centv")
-        )
+    cents = _coarse_cells(
+        candidates, centroid_mod, centroids, id_col, vec_col, "ivf_topk"
+    )
     # _spread AFTER the centroid sampling (the %mod filter pushes below
     # the exchange, so only sampled rows would shuffle anyway): the
     # N x M assignment cosines must not run on 1-2 scan partitions
@@ -642,6 +694,7 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    max_codes: int = 256,
 ) -> DataFrame:
     """Product-quantization (PQ) approximate top-k — the compression
     half of IVF-PQ: each vector is encoded as ``m`` small codes (the
@@ -658,10 +711,13 @@ def pq_topk(
     rounded partial dots as exact DECIMALs summed order-free, ties by
     centroid/cand id), so the oracle reproduces codes, LUT, and
     ranking exactly. Plan shape: subvector explode is narrow; encode
-    is an equi-join on subspace id against the broadcast codebook
-    (m·(N/centroid_mod) rows — fine at test scale, but a production
-    index caps/trains the codebook to a fixed size per subspace, which
-    the mod-sampling stands in for); scoring is a shuffle equi-join on
+    is an equi-join on subspace id against the broadcast codebook,
+    CAPPED at ``max_codes`` codes per subspace like ivfpq_topk
+    (uncapped, the N/centroid_mod codebook makes the encode join
+    O(N²/centroid_mod)); the cap is inactive for
+    N ≤ centroid_mod·max_codes — all tested scales — and assumes
+    DENSE ids starting at 0 (see the ivfpq_topk cap note); scoring
+    is a shuffle equi-join on
     (subspace, code) against the LUT + one sum aggregation — the LUT
     is queries × m × codes rows, so it is deliberately NOT
     broadcast-hinted (AQE may still pick broadcast when small).
@@ -682,7 +738,11 @@ def pq_topk(
         )
 
     codebook = subvectors(
-        candidates.where(F.col(id_col) % centroid_mod == 0), "centroid_id"
+        candidates.where(
+            (F.col(id_col) % centroid_mod == 0)
+            & (F.col(id_col) < centroid_mod * max_codes)
+        ),
+        "centroid_id",
     ).select("centroid_id", "s", F.col("sub").alias("cent"))
 
     def partial_dots(df: DataFrame, out_id: str, dot_name: str):
@@ -730,7 +790,7 @@ def ivfpq_topk(
     queries: DataFrame,
     candidates: DataFrame,
     k: int = 10,
-    centroid_mod: int | None = 25,
+    centroid_mod: int | str | None = None,
     nprobe: int = 3,
     m: int = 4,
     dim: int = 64,
@@ -763,7 +823,13 @@ def ivfpq_topk(
     sample ids below ``code_mod·max_codes``, so it holds
     min(⌈N/code_mod⌉, max_codes) codes — identical to the uncapped
     set whenever N ≤ code_mod·max_codes (the cap is a pure filter,
-    lazily evaluated, no driver count). Uncapped, the N/code_mod
+    lazily evaluated, no driver count). Both the code count and the
+    "identical" claim assume DENSE ids starting at 0 (the synthetic
+    tables' contract); on a sparse/offset id space the id-range filter
+    can keep fewer than max_codes codes — still capped, so the scale
+    bound holds, but re-id (``relational.dict_encode``) first if code
+    budget matters (ADVICE r9). The SQL oracles apply the same filter,
+    so value checks agree either way. Uncapped, the N/code_mod
     codebook made the encode join O(N²/code_mod) — measured 24.1× on
     10× data in the round-7 sf10 probe; capped, encode cost is
     O(N·m·max_codes), linear. The codebook broadcast is scoped
@@ -773,23 +839,18 @@ def ivfpq_topk(
     assignment and encoding are narrow passes over the corpus scan;
     the only corpus-sized shuffles are the cell equi-join and the LUT
     equi-join, both hash-partitioned on small keys.
-    ``centroid_mod=None`` derives mod ≈ √N like the parents.
-    ``centroids`` (a ``(centroid_id, centv)`` DataFrame, e.g.
-    ``clustering.kmeans_fit`` output) replaces the mod-sampled coarse
-    quantizer with trained cells — recall changes, the dataflow
-    doesn't (same as ivf_topk).
+    The coarse grain is REQUIRED (``centroids=`` trained fixed-k
+    cells / ``centroid_mod=<int>`` closed-form modulo sampling /
+    ``centroid_mod="sqrt"`` the √N literature grain — see
+    ``_coarse_cells``); trained cells change recall, not the dataflow
+    (same as ivf_topk).
     """
     from ..functions.vectors import dot
 
     subdim = dim // m
-    if centroids is not None:
-        cents = centroids.select("centroid_id", "centv")
-    else:
-        if centroid_mod is None:
-            centroid_mod = derive_centroid_mod(candidates)
-        cents = candidates.where(F.col(id_col) % centroid_mod == 0).select(
-            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centv")
-        )
+    cents = _coarse_cells(
+        candidates, centroid_mod, centroids, id_col, vec_col, "ivfpq_topk"
+    )
 
     def nearest_cells(df: DataFrame, out_id: str, n: int) -> DataFrame:
         w = Window.partitionBy(out_id).orderBy(
@@ -890,7 +951,7 @@ def residual_ivfpq_topk(
     queries: DataFrame,
     candidates: DataFrame,
     k: int = 10,
-    centroid_mod: int | None = 25,
+    centroid_mod: int | str | None = None,
     nprobe: int = 3,
     m: int = 4,
     dim: int = 64,
@@ -947,14 +1008,14 @@ def residual_ivfpq_topk(
     from ..functions.vectors import dot
 
     subdim = dim // m
-    if centroids is not None:
-        cents = centroids.select("centroid_id", "centv")
-    else:
-        if centroid_mod is None:
-            centroid_mod = derive_centroid_mod(candidates)
-        cents = candidates.where(F.col(id_col) % centroid_mod == 0).select(
-            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centv")
-        )
+    cents = _coarse_cells(
+        candidates,
+        centroid_mod,
+        centroids,
+        id_col,
+        vec_col,
+        "residual_ivfpq_topk",
+    )
 
     def nearest_cells(df: DataFrame, out_id: str, n: int) -> DataFrame:
         w = Window.partitionBy(out_id).orderBy(
@@ -1114,7 +1175,8 @@ def residual_ivfpq_topk(
         # (ADVICE r7 low #2: the default call silently took the
         # uncapped O(N²/code_mod) encode path): keep only sample ids
         # below code_mod·max_codes — min(⌈N/code_mod⌉, max_codes)
-        # codes, identical to the uncapped set for N ≤ code_mod·max_codes
+        # codes, identical to the uncapped set for N ≤ code_mod·max_codes.
+        # Dense-ids-from-0 assumption as documented in ivfpq_topk.
         codebook = subvectors(
             residuals(
                 candidates.where(
@@ -1193,11 +1255,11 @@ def semantic_decontaminate(
     vectors: DataFrame,
     is_eval: Column,
     threshold: float = 0.35,
-    centroid_mod: int | None = 25,
+    centroid_mod: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
-    cells: str = "centroid",
+    cells: str = "sized",
     cell_target: int = 64,
 ) -> DataFrame:
     """Embedding-space decontamination: flag every TRAIN vector whose
@@ -1206,13 +1268,16 @@ def semantic_decontaminate(
     paraphrased benchmark leakage that shares no 5-gram. ``is_eval``
     is a boolean Column over ``vectors``'s columns.
 
-    ``cells`` picks the cell grain — the PRODUCTION path at 100 TB is
-    ``cells="sized"`` (VERDICT r8 item 2), delegating to
+    ``cells`` picks the cell grain and DEFAULTS to the scale-safe one
+    (VERDICT r9 item 1): ``cells="sized"`` delegates to
     ``semantic_decontaminate_sized``'s constant-population hyperplane
-    sign cells (O(N log N) assignment, linear pair work) instead of
-    this literature-faithful √N-centroid tier's O(N^1.5) (measured
-    36.4× on 10× data at sf10). Same verdict rule and output schema;
-    ``cell_target`` is the sized tier's expected cell population.
+    sign cells (O(N log N) assignment, linear pair work), so a bare
+    call is the 100 TB production path. ``cells="centroid"`` opts into
+    this literature-faithful √N-centroid tier, which is O(N^1.5)
+    (measured 36.4× on 10× data at sf10). Same verdict rule and output
+    schema; ``cell_target`` is the sized tier's expected cell
+    population. ``centroid_mod`` tunes only the centroid tier; passing
+    it with ``cells="sized"`` raises rather than being dropped.
 
     Same cell-scoping as ``semantic_dedup`` (shared training-free
     quantizer, (sim desc, id asc) assignment tie-break), but the pair
@@ -1221,15 +1286,21 @@ def semantic_decontaminate(
     |train_cell| x |eval_cell| with a tiny second factor. The flagged
     match is deterministic: max similarity, then smallest eval id.
 
-    ``centroid_mod=None`` derives the modulus from the corpus size
-    (mod ≈ √N, ``derive_centroid_mod``), the same O(N^1.5) policy as
-    ``semantic_dedup``; the fixed default is the oracle-determinism
-    override for test scale.
+    On the centroid tier, ``centroid_mod=None`` derives the modulus
+    from the corpus size (mod ≈ √N, ``derive_centroid_mod``), the same
+    O(N^1.5) policy as ``semantic_dedup``; an explicit int overrides
+    it for oracle determinism at test scale.
 
     Returns (id, contaminated, eval_id, sim) for every train vector —
     eval_id/sim NULL when clean.
     """
     if cells == "sized":
+        if centroid_mod is not None:
+            raise ValueError(
+                "centroid_mod tunes the 'centroid' grain and is ignored "
+                "by cells='sized' — pass cells='centroid' to use it, or "
+                "cell_target to size the sized tier's cells"
+            )
         return semantic_decontaminate_sized(
             vectors,
             is_eval,

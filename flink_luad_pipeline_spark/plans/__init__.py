@@ -146,9 +146,7 @@ _GREEN_R07 = (
     "ll99_curation_funnel",
 )
 
-_BANKED_GREEN = frozenset(
-    _GREEN_R04_AND_EARLIER + _GREEN_R05 + _GREEN_R06 + _GREEN_R07
-)
+# (_BANKED_GREEN is assembled below, after _GREEN_R09.)
 
 
 # Queries whose LAST driver check was red. Empty since r04
@@ -167,44 +165,23 @@ _RED_LAST_CHECK = ()
 _NEVER_CHECKED = ()
 
 
-# Queries NEW or re-shaped this round (round 9) — the r07 tier greened
-# twice (CORRECTNESS_r07 + r08) and moved into _GREEN_R07. This tier
-# fronts the two new compositions (ll100/ll101) plus every query whose
-# code or oracle was touched this round: ll60/ll79 (PQ codebook cap,
-# oracle term changed), ll95 (bounded Lloyd sample), ll94/ll99
-# (integer DIV pack-id), ll98 (md5 shuffle key), ll90 (aHash occupancy
-# bit), ll42/ll55 (cells= routing added; default path unchanged).
-_NEW_THIS_ROUND = (
-    "ll100_incremental_curation",
-    "ll101_learned_quality_scorer",
-    "ll102_image_resize_pooled",
-    "ll103_multimodal_dedup_gate",
-    "ll60_ivfpq_ann_topk",
-    "ll79_ivfpq_trained_topk",
-    "ll95_residual_ivfpq_topk",
-    "ll94_curation_pipeline",
-    "ll99_curation_funnel",
-    "ll98_paragraph_dedup",
-    "ll90_image_ahash_dedup",
-    "ll42_semantic_dedup",
-    "ll55_semantic_decontaminate",
-)
-
-
-# Regression insurance (VERDICT r6 item 3, rebanked per VERDICT r8
-# item 3): the r07/r08 windows both re-attested the same 50 rows, so
-# this tier fronts the 40 STALEST greens — rows whose last driver
-# check was CORRECTNESS_r05 or earlier (the r06 window went to the
-# r06-new queries + s/p/a/j1-j3 families; r07/r08 to the r07-new +
-# b/g/ll tier). With the 11-row new/re-shaped tier above, the ~50-slot
-# window spends no slot on a query attested in the last two windows.
-_RECHECK_OLDEST = (
-    "ss7_stream_static_enrich", "ss8_foreach_batch_sink",
-    "ss9_stateful_ewma", "ss13_streaming_ohlc",
-    "ss14_dedup_within_watermark", "ss15_stream_stream_left_outer",
-    "ss16_chained_stateful_ops", "b10_exact_percentiles",
-    "b13_grouping_sets", "b14_lateral_posexplode", "b19_unpivot",
-    "b1_topk", "b21_scd2_dimension", "b22_recursive_cte", "b2_rollup",
+# The 50 rows the r09 window attested hash-green (CORRECTNESS_r09 —
+# the 13 r9-new/re-shaped + the 37 stalest rechecks). Freshest bank:
+# the banked spillover visits these LAST (VERDICT r9 item 6).
+_GREEN_R09 = (
+    "ll100_incremental_curation", "ll101_learned_quality_scorer",
+    "ll102_image_resize_pooled", "ll103_multimodal_dedup_gate",
+    "ll60_ivfpq_ann_topk", "ll79_ivfpq_trained_topk",
+    "ll95_residual_ivfpq_topk", "ll94_curation_pipeline",
+    "ll99_curation_funnel", "ll98_paragraph_dedup",
+    "ll90_image_ahash_dedup", "ll42_semantic_dedup",
+    "ll55_semantic_decontaminate", "ss7_stream_static_enrich",
+    "ss8_foreach_batch_sink", "ss9_stateful_ewma",
+    "ss13_streaming_ohlc", "ss14_dedup_within_watermark",
+    "ss15_stream_stream_left_outer", "ss16_chained_stateful_ops",
+    "b10_exact_percentiles", "b13_grouping_sets",
+    "b14_lateral_posexplode", "b19_unpivot", "b1_topk",
+    "b21_scd2_dimension", "b22_recursive_cte", "b2_rollup",
     "b3_window_running_sum", "b5_intersect_except",
     "b6_full_outer_join", "b8_pivot_counts", "c2_pearson_corr_edges",
     "flagship_revenue_by_nation", "g1_pagerank", "g2_triangle_count",
@@ -213,8 +190,89 @@ _RECHECK_OLDEST = (
     "j10_interval_overlap_join", "j11_asof_tolerance_join",
     "j4_cross_join", "j5_broadcast_nested_loop", "j6_semi_join",
     "j7_anti_join", "j8_asof_join", "j9_range_count_join",
-    "ll13_chunk_documents", "ll14_redact_pii", "ll15_train_test_split",
-    "ll16_ngram_vocab", "ll17_window_byte_stats",
+    "ll13_chunk_documents", "ll14_redact_pii",
+)
+
+
+_BANKED_GREEN = frozenset(
+    _GREEN_R04_AND_EARLIER + _GREEN_R05 + _GREEN_R06 + _GREEN_R07
+    + _GREEN_R09
+)
+
+
+# Queries NEW or touched this round (round 10): the three new
+# operators (ll104 bridge detector, ll105 persisted ANN index, ss21
+# streaming day-N curation), the similarity tier whose DEFAULTS
+# flipped to the scale-safe grain (ll42/ll55 now pin cells="centroid"
+# explicitly, ll60 pins centroid_mod="sqrt", ll12/ll52/ll54 pin
+# centroid_mod=25, ll49 gained the max_codes codebook cap + oracle
+# term, ll96/ll97 are the tier the bare default now routes to,
+# ll79/ll95 run through the new _coarse_cells resolver), the kmeans
+# training-sample bound (ll50/ll79/ll95), and the minhash-oracle
+# cutoff re-threading (ll94/ll99/ll100).
+_NEW_THIS_ROUND = (
+    "ll104_component_bridges",
+    "ll105_ann_index_persisted",
+    "ss21_streaming_incremental_curation",
+    "ll42_semantic_dedup",
+    "ll55_semantic_decontaminate",
+    "ll60_ivfpq_ann_topk",
+    "ll96_semantic_dedup_sized",
+    "ll97_decontaminate_sized",
+    "ll12_ivf_ann_topk",
+    "ll49_pq_ann_topk",
+    "ll52_ann_recall",
+    "ll54_contrastive_pairs",
+    "ll50_kmeans_clusters",
+    "ll79_ivfpq_trained_topk",
+    "ll95_residual_ivfpq_topk",
+    "ll94_curation_pipeline",
+    "ll99_curation_funnel",
+    "ll100_incremental_curation",
+)
+
+
+# Regression insurance, rebuilt for r10 from the ACTUAL cumulative
+# record (max green round per query across CORRECTNESS_r01..r09):
+# 13 rows were last attested in the r01 window, 15 in r02, 42 in r03
+# — older than the VERDICT's r06 estimate. Oldest-first; the window
+# takes what fits after the new tier and r11 continues from the cut.
+_RECHECK_OLDEST = (
+    # last attested r01
+    "ll15_train_test_split", "ll16_ngram_vocab",
+    "ll17_window_byte_stats", "ll18_stratified_sample",
+    "ll19_sequence_packing", "ll20_decontaminate",
+    "ll22_user_sequences", "ll23_dedup_clusters", "ll2_lang_id",
+    "ll3_fingerprint", "ll4_dedup_exact", "ll7_simhash_pairs",
+    "p8_null_safe_join",
+    # last attested r02
+    "o1_sort_in_group", "o2_grouped_ewma", "p7_json_extract",
+    "p9_try_cast", "s10_schema_merge_scan", "s11_sorted_clustered_write",
+    "s13_dynamic_partition_overwrite", "s7_scan_json_roundtrip",
+    "s8_sink_parquet_partitioned", "s9_bucketed_colocated_join",
+    "u1_union_all", "u2_rebalance", "x1_salted_agg",
+    "x3_salted_skew_join", "x4_zorder_clustered_scan",
+    # last attested r03
+    "ll41_audio_features", "ll43_gopher_quality_rules",
+    "ll44_video_frame_stats", "ll45_incremental_dedup",
+    "ll46_winnowing_overlap", "ll47_unicode_normalize",
+    "ll48_token_runs_udtf", "ll51_ngram_span_coverage",
+    "o3_gap_fill_interpolate", "o4_range_interval_window",
+    "o5_rolling_zscore", "o6_ohlc_bars", "o7_bar_momentum",
+    "p10_variant_json", "p12_collated_aggregation",
+    "p13_parameterized_sql", "s12_orc_roundtrip",
+    "s14_binaryfile_ingest", "s15_xml_roundtrip",
+    "s16_python_datasource_fixedwidth", "s17_file_provenance",
+    "s18_aggregate_pushdown_scan", "sql10_tpch_q22_shared_text",
+    "sql11_tpch_q4_shared_text", "sql12_tpch_q7_shared_text",
+    "sql13_tpch_q8_shared_text", "sql14_tpch_q13_shared_text",
+    "sql15_tpch_q15_shared_text", "sql16_tpch_q21_shared_text",
+    "sql2_tpch_q3_shared_text", "sql3_tpch_q5_shared_text",
+    "sql4_tpch_q10_shared_text", "sql5_tpch_q6_shared_text",
+    "sql6_tpch_q14_shared_text", "sql7_tpch_q17_shared_text",
+    "sql8_tpch_q18_shared_text", "sql9_tpch_q19_shared_text",
+    "ss10_snapshot_dedup_ingest", "ss11_transform_with_state",
+    "ss12_late_data_drop",
 )
 
 
@@ -243,7 +301,11 @@ def _rotated() -> list[str]:
         if k not in seen and k not in _BANKED_GREEN and k in ORACLES
     ]
     # oldest-greened first: the window spillover after the front tiers
-    # re-attests the rows whose last driver check is most stale
+    # re-attests the rows whose last driver check is most stale. Rows
+    # re-attested in the r09 window (_GREEN_R09) are skipped in the
+    # first-green tiers and appended LAST — last-attested order, not
+    # first-green order, is what makes the spillover insurance work.
+    r09 = frozenset(_GREEN_R09)
     banked = [
         k
         for k in (
@@ -252,8 +314,9 @@ def _rotated() -> list[str]:
             *_GREEN_R06,
             *_GREEN_R07,
         )
-        if k in QUERIES and k not in seen
+        if k in QUERIES and k not in seen and k not in r09
     ]
+    banked += [k for k in _GREEN_R09 if k in QUERIES and k not in seen]
     # The no-oracle tail (c1_als_completion, c4_c5_svm_train_predict,
     # c2b_dimsum_corr_edges, x2_sketch_aggs) can never be hash-green —
     # their values are optimizer-/sampling-dependent by design (SURVEY

