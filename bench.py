@@ -136,6 +136,13 @@ HEADLINE = [
     # and the cross-modality dedup gate
     "ll102_image_resize_pooled",
     "ll103_multimodal_dedup_gate",
+    # round 10: the bridge detector (incremental curation's re-curate
+    # trigger), the persisted ANN index (build + parquet round-trip +
+    # probe), and the streaming form of day-N curation (foreachBatch
+    # state fold)
+    "ll104_component_bridges",
+    "ll105_ann_index_persisted",
+    "ss21_streaming_incremental_curation",
 ]
 
 
@@ -275,6 +282,18 @@ def main() -> None:
             out["ll100_components"] = ll100_components(spark, sf_dir)
         except Exception as exc:
             print(f"bench: ll100 decomposition FAILED: {exc}", file=sys.stderr)
+    # ll101's sf10 growth was attributed to the hashed-feature pass
+    # without a measurement (VERDICT r9 item 8) — record the
+    # feature/train/score split next to the headline row
+    if "ll101_learned_quality_scorer" in HEADLINE and not failed:
+        try:
+            from flink_luad_pipeline_spark.plans.llm_queries import (
+                ll101_components,
+            )
+
+            out["ll101_components"] = ll101_components(spark, sf_dir)
+        except Exception as exc:
+            print(f"bench: ll101 decomposition FAILED: {exc}", file=sys.stderr)
     if is_default_sf and not os.environ.get("SPARK_GRAFT_SKIP_SF1"):
         try:
             # _sf1_section stops the aged session and runs on a fresh
@@ -338,7 +357,10 @@ def _sf1_section(spark, queries, sf01_per_query) -> tuple[dict, object]:
     # (~156 s at sf1 — constant-dominated, growth 5.4x), which would
     # double this section's wall time for a number SCALE.md already
     # carries.
-    sf1_skip = {"ll95_residual_ivfpq_topk"}
+    # ll105 shares ll95's constant-dominated trained-residual path and
+    # adds the full-corpus encode + parquet round-trip — its scale
+    # shape is carried by the SCALE.md sf10 probe instead.
+    sf1_skip = {"ll95_residual_ivfpq_topk", "ll105_ann_index_persisted"}
     # s9's bucketed tables are created on first touch per (session,
     # sf_dir); the sf0.1 iterations reuse warm tables but this fresh
     # sf1 dir would pay the one-time write INSIDE the timed run —

@@ -1251,6 +1251,338 @@ def residual_ivfpq_topk(
     return _ranked(scored, k)
 
 
+def residual_ann_index_frames(
+    candidates: DataFrame,
+    centroids: DataFrame | None = None,
+    centroid_mod: int | str | None = None,
+    m: int = 4,
+    dim: int = 64,
+    code_mod: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    train_iters: int = 0,
+    train_mod: int = 4,
+    max_codes: int = 256,
+) -> dict[str, DataFrame]:
+    """INDEX-BUILD half of residual IVF-PQ (VERDICT r9 item 4 — the
+    ll63 persisted-index device applied to the ANN tier): everything
+    ``residual_ivfpq_topk`` trains or derives from the CANDIDATE side
+    alone, as four plain parquet-writable frames, so a production
+    pipeline builds once per snapshot and answers every query batch
+    via ``residual_ann_index_topk`` without re-reading candidate
+    vectors or re-running Lloyd (the reference stashes its trained
+    model the same way — Trainer.scala:119 — but re-trains per run;
+    this is that idea done right):
+
+      cents    — (centroid_id, centv) coarse cells (trained or
+                 mod-sampled via the required-grain rules of
+                 ``_coarse_cells``)
+      codebook — (s, code, cent) per-subspace residual codebook, same
+                 trained/capped devices as residual_ivfpq_topk
+      codes    — (cand_id, centroid_id, s, code): EVERY candidate's
+                 cell + PQ codes (index build encodes everything once;
+                 the in-session query path encodes only shortlisted
+                 candidates — same codes either way, the documented
+                 equivalence, pinned by test)
+      meta     — 1 row of the build parameters; the probe refuses an
+                 index whose stamp disagrees with its own arguments
+                 (the dedup hasher-mismatch guard, ADVICE r6 class)
+
+    Same determinism devices as the query-path operator (rounded
+    cosine cells, rounded-L2 code argmin with code-id tie-breaks,
+    bounded Lloyd sample), so a persisted+probed answer is value-equal
+    to the in-session one. Scale: assignment and encode are the same
+    narrow passes as the query path, run over the full corpus once;
+    codes is the only corpus-sized artifact (m+1 small ints per
+    vector — the PQ compression is the point)."""
+    from ..functions.vectors import dot  # noqa: F401  (parity of deps)
+
+    spark = candidates.sparkSession
+    subdim = dim // m
+    cents = _coarse_cells(
+        candidates,
+        centroid_mod,
+        centroids,
+        id_col,
+        vec_col,
+        "residual_ann_index_frames",
+    )
+    candidates = _spread(candidates)
+
+    w1 = Window.partitionBy("cand_id").orderBy(
+        F.col("csim").desc(), F.col("centroid_id")
+    )
+    # same boundary as residual_ivfpq_topk: assignment feeds residuals
+    # for codebook init, training sample, and the full encode
+    assigned = (
+        candidates.select(
+            F.col(id_col).alias("cand_id"), F.col(vec_col).alias("v")
+        )
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "cand_id",
+            "centroid_id",
+            F.round(
+                cosine_similarity(F.col("v"), F.col("centv")), round_digits
+            ).alias("csim"),
+        )
+        .where(F.col("csim").isNotNull())
+        .withColumn("crank", F.row_number().over(w1))
+        .where(F.col("crank") == 1)
+        .select("cand_id", "centroid_id")
+        .localCheckpoint(eager=True)
+    )
+
+    def residuals(src: DataFrame) -> DataFrame:
+        return (
+            src.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("v"))
+            .join(assigned, "cand_id")
+            .join(F.broadcast(cents), "centroid_id")
+            .select(
+                "cand_id",
+                F.zip_with(
+                    "v",
+                    "centv",
+                    lambda x, c: x.cast("double") - c.cast("double"),
+                ).alias("rv"),
+            )
+        )
+
+    def subvectors(df: DataFrame, in_id: str, out_id: str, vec: str):
+        subs = F.array(
+            *[F.slice(F.col(vec), s * subdim + 1, subdim) for s in range(m)]
+        )
+        return df.select(
+            F.col(in_id).alias(out_id), F.posexplode(subs).alias("s", "sub")
+        )
+
+    l2sq = F.round(
+        F.aggregate(
+            F.zip_with("sub", "cent", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        round_digits,
+    ).cast("decimal(18,6)")
+
+    if train_iters > 0:
+        # verbatim the residual_ivfpq_topk training discipline: k
+        # smallest-id residual seeds, bounded Lloyd sample
+        # (max_codes·64 budget), rounded means, empty codes carry over
+        n_cands = candidates.count()
+        k_codes = min(max(1, n_cands // code_mod), max_codes)
+        init = subvectors(
+            residuals(candidates.where(F.col(id_col) < k_codes)),
+            "cand_id",
+            "code",
+            "rv",
+        ).select("code", "s", F.col("sub").alias("cent"))
+        eff_train_mod = max(train_mod, -(-n_cands // (max_codes * 64)))
+        train = subvectors(
+            residuals(candidates.where(F.col(id_col) % eff_train_mod == 0)),
+            "cand_id",
+            "cand_id",
+            "rv",
+        ).localCheckpoint(eager=True)
+        cb = {
+            (int(r["s"]), int(r["code"])): list(r["cent"])
+            for r in init.collect()
+        }
+
+        def cb_df() -> DataFrame:
+            rows = [(s_, c_, v_) for (s_, c_), v_ in sorted(cb.items())]
+            return spark.createDataFrame(
+                rows, "s int, code bigint, cent array<double>"
+            )
+
+        train_w = Window.partitionBy("cand_id", "s").orderBy(
+            F.col("d").asc(), F.col("code")
+        )
+        for _ in range(train_iters):
+            asg = (
+                train.join(F.broadcast(cb_df()), "s")
+                .select("cand_id", "s", "code", "sub", l2sq.alias("d"))
+                .where(F.col("d").isNotNull())
+                .withColumn("rk", F.row_number().over(train_w))
+                .where(F.col("rk") == 1)
+            )
+            upd = (
+                asg.select("s", "code", F.posexplode("sub").alias("i", "val"))
+                .groupBy("s", "code", "i")
+                .agg(F.round(F.avg("val"), round_digits).alias("av"))
+                .groupBy("s", "code")
+                .agg(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("i"), F.col("av")))
+                    ).alias("pairs")
+                )
+                .select(
+                    "s",
+                    "code",
+                    F.transform(F.col("pairs"), lambda p: p["av"]).alias(
+                        "cent"
+                    ),
+                )
+            )
+            for r in upd.collect():
+                cb[(int(r["s"]), int(r["code"]))] = list(r["cent"])
+        codebook = cb_df()
+    else:
+        codebook = subvectors(
+            residuals(
+                candidates.where(
+                    (F.col(id_col) % code_mod == 0)
+                    & (F.col(id_col) < code_mod * max_codes)
+                )
+            ),
+            "cand_id",
+            "code",
+            "rv",
+        ).select("code", "s", F.col("sub").alias("cent"))
+
+    enc_w = Window.partitionBy("cand_id", "s").orderBy(
+        F.col("d").asc(), F.col("code")
+    )
+    codes = (
+        subvectors(residuals(candidates), "cand_id", "cand_id", "rv")
+        .join(F.broadcast(codebook), "s")
+        .select("cand_id", "s", "code", l2sq.alias("d"))
+        .where(F.col("d").isNotNull())
+        .withColumn("rk", F.row_number().over(enc_w))
+        .where(F.col("rk") == 1)
+        .select("cand_id", "s", "code")
+        .join(assigned, "cand_id")
+        .select("cand_id", "centroid_id", "s", "code")
+    )
+    meta = spark.createDataFrame(
+        [(m, dim, code_mod, train_iters, train_mod, max_codes, round_digits)],
+        "m int, dim int, code_mod int, train_iters int, train_mod int,"
+        " max_codes int, round_digits int",
+    )
+    return {"cents": cents, "codebook": codebook, "codes": codes,
+            "meta": meta}
+
+
+def residual_ann_index_topk(
+    queries: DataFrame,
+    index: dict[str, DataFrame],
+    k: int = 10,
+    nprobe: int = 3,
+    m: int = 4,
+    dim: int = 64,
+    code_mod: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    train_iters: int = 0,
+    train_mod: int = 4,
+    max_codes: int = 256,
+) -> DataFrame:
+    """PROBE half of the persisted residual IVF-PQ index: answer top-k
+    from the four index frames alone — the candidate corpus is NEVER
+    read and nothing retrains. Refuses an index whose meta stamp
+    disagrees with the probe's own parameters (the dedup
+    hasher-mismatch guard: a silent mismatch would return plausible
+    wrong neighbors; the 1-row meta read is the same documented driver
+    action class as derive_centroid_mod).
+
+    Dataflow: query × broadcast(cents) picks nprobe cells; the
+    persisted ``codes`` table joined on centroid_id IS the shortlist
+    (cell assignment was done at build time); LUT = query subvectors ×
+    broadcast(codebook); ADC sum + the exact q·c(v) coarse term —
+    byte-identical arithmetic to ``residual_ivfpq_topk``, so persisted
+    + probed equals in-session (pinned by test and by the driver
+    oracle). Per batch the only corpus-sized input is ``codes``
+    (m+1 small ints per candidate), joined once on its cell key."""
+    from ..functions.vectors import dot
+
+    expected = {
+        "m": m, "dim": dim, "code_mod": code_mod,
+        "train_iters": train_iters, "train_mod": train_mod,
+        "max_codes": max_codes, "round_digits": round_digits,
+    }
+    got = index["meta"].collect()[0].asDict()
+    bad = {kk: (vv, got.get(kk)) for kk, vv in expected.items()
+           if got.get(kk) != vv}
+    if bad:
+        raise ValueError(
+            "residual_ann_index_topk: index meta stamp disagrees with "
+            f"probe parameters: {bad} — rebuild the index or probe "
+            "with the parameters it was built with"
+        )
+    cents = index["cents"]
+    codebook = index["codebook"]
+    codes = index["codes"]
+    subdim = dim // m
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("csim").desc(), F.col("centroid_id")
+    )
+    probes = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("v"))
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "query_id",
+            "centroid_id",
+            F.round(
+                cosine_similarity(F.col("v"), F.col("centv")), round_digits
+            ).alias("csim"),
+        )
+        .where(F.col("csim").isNotNull())
+        .withColumn("crank", F.row_number().over(w))
+        .where(F.col("crank") <= nprobe)
+        .select("query_id", "centroid_id")
+    )
+    subs = F.array(
+        *[F.slice(F.col(vec_col), s * subdim + 1, subdim) for s in range(m)]
+    )
+    lut = (
+        queries.select(
+            F.col(id_col).alias("query_id"), F.posexplode(subs).alias("s", "sub")
+        )
+        .join(F.broadcast(codebook), "s")
+        .select(
+            "query_id",
+            "s",
+            "code",
+            F.round(dot(F.col("sub"), F.col("cent")), round_digits)
+            .cast("decimal(18,6)")
+            .alias("qd"),
+        )
+        .where(F.col("qd").isNotNull())
+    )
+    # the persisted codes table joined on the probed cells IS the
+    # shortlist; LUT equi-join stays hash-partitioned, never broadcast
+    adc = (
+        codes.join(probes, "centroid_id")
+        .join(lut, ["query_id", "s", "code"])
+        .where(F.col("query_id") != F.col("cand_id"))
+        .groupBy("query_id", "cand_id", "centroid_id")
+        .agg(F.sum("qd").cast("decimal(18,6)").alias("rsim"))
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    scored = (
+        adc.join(qv, "query_id")
+        .join(F.broadcast(cents), "centroid_id")
+        .select(
+            "query_id",
+            "cand_id",
+            (
+                F.round(dot(F.col("qvec"), F.col("centv")), round_digits)
+                .cast("decimal(18,6)")
+                + F.col("rsim")
+            )
+            .cast("decimal(18,6)")
+            .alias("sim"),
+        )
+        .where(F.col("sim").isNotNull())
+    )
+    return _ranked(scored, k)
+
+
 def semantic_decontaminate(
     vectors: DataFrame,
     is_eval: Column,

@@ -3005,6 +3005,54 @@ def ll95_residual_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ll105_ann_index_persisted", oracle=_RESIDUAL_IVFPQ_ORACLE)
+def ll105_ann_index_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTED ANN INDEX — ll95's configuration through the ll63
+    device (VERDICT r9 item 4): the trained residual IVF-PQ index
+    (coarse centroids, residual codebook, every candidate's cell +
+    codes, a params-stamp meta row) is WRITTEN TO PARQUET and read
+    back before the queries probe it — how a 100 TB corpus serves ANN
+    queries daily without re-reading candidate vectors or re-running
+    Lloyd (ll95 retrains per session; the reference analog stashes its
+    trained model at Trainer.scala:119 but re-trains per run). The
+    probe path (residual_ann_index_topk) touches ONLY the artifacts:
+    cell choice from the broadcast centroid table, shortlist = the
+    persisted codes joined on the probed cells, ADC against the
+    persisted codebook, exact q·c(v) re-added. The oracle is ll95's
+    verbatim — hash-equality of the persisted-probe answer with the
+    from-scratch chain IS the index-roundtrip-changes-nothing proof,
+    and the parquet round-trip pins the artifact schemas as stable
+    on-disk contracts (ll63's discipline). A probe with mismatched
+    parameters refuses loudly (meta-stamp guard, tested)."""
+    from ..operators import clustering
+    from .relational_queries import sink_path
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = clustering.kmeans_fit(emb, k=8, iters=3).select(
+        F.col("cid").alias("centroid_id"), F.col("cv").alias("centv")
+    )
+    frames = similarity.residual_ann_index_frames(
+        emb, centroids=cents, train_iters=2, train_mod=4
+    )
+    root = sink_path("ll105_index", sf_dir)
+    for name_, df_ in frames.items():
+        df_.write.mode("overwrite").parquet(f"{root}/{name_}.parquet")
+    index = {
+        name_: spark.read.parquet(f"{root}/{name_}.parquet")
+        for name_ in frames
+    }
+    out = similarity.residual_ann_index_topk(
+        emb.where(F.col("vec_id") < 5), index, k=10,
+        train_iters=2, train_mod=4,
+    )
+    return out.select(
+        "query_id",
+        "cand_id",
+        F.col("sim").cast("double").alias("sim"),
+        "rank",
+    )
+
+
 # ---------------------------------------------------------------------------
 # ll61 — asymmetric shingle containment (quote / superset detection)
 # ---------------------------------------------------------------------------
@@ -3143,15 +3191,11 @@ def ll62_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ll63 — incremental dedup against a PERSISTED snapshot index
 # ---------------------------------------------------------------------------
 
-# no-cutoff pair list: the fraction cutoff relaxed to 1.0 keeps every
-# shingle, making each index artifact a pure per-document function —
-# the property that lets a frozen parquet snapshot index union with
-# fresh delta artifacts and still equal a from-scratch indexing.
-_MINHASH_ORACLE_NOCUT = _MINHASH_ORACLE.replace(
-    "HAVING count(*) <= 0.5 * (SELECT count(*) FROM mh_src)",
-    "HAVING count(*) <= 1.0 * (SELECT count(*) FROM mh_src)",
-)
-assert _MINHASH_ORACLE_NOCUT != _MINHASH_ORACLE
+# no-cutoff pair list: with the cutoff removed every shingle is kept,
+# making each index artifact a pure per-document function — the
+# property that lets a frozen parquet snapshot index union with fresh
+# delta artifacts and still equal a from-scratch indexing.
+_MINHASH_ORACLE_NOCUT = _minhash_oracle_over(_AUG_SQL, max_shingle_df=None)
 
 _INCR_PERSIST_ORACLE = (
     f"WITH p AS ({_MINHASH_ORACLE_NOCUT}),"
@@ -5614,6 +5658,87 @@ def ll101_learned_quality_scorer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ll101_components(spark: SparkSession, sf_dir: str) -> dict:
+    """Bench decomposition of ll101 (VERDICT r9 item 8): the headline
+    row's sf10 growth (6.8×, SCALE.md) was ATTRIBUTED to the
+    hashed-feature pass without being measured — this times the three
+    plan sections separately (the ss18/ll100 decomposition device):
+    ``feature_s`` = hashed embeddings + weak labels materialized to
+    the checkpoint boundary (the corpus-sized, disk-bound pass);
+    ``train_s`` = Rocchio prototype + the 3 IRLS aggregations down to
+    the 1-row beta frame (small shuffles over numbers); ``score_s`` =
+    the broadcast-beta scoring projection drained to the driver. Not a
+    registered query (it reports timings); bench.py records it in
+    bench_full.json next to ll101's headline row."""
+    import time as _time
+
+    from .. import ml
+    from ..functions.vectors import cosine_similarity
+
+    docs = load(spark, sf_dir, "documents")
+    t0 = _time.perf_counter()
+    emb = similarity.hashed_embeddings(docs, "doc_id", "text", dim=64)
+    sig = _gopher_signal_frame(docs)
+    kept = None
+    for _, ok in _gopher_rules():
+        kept = ok if kept is None else kept & ok
+    labeled = emb.join(
+        sig.select("doc_id", kept.alias("kept")), "doc_id"
+    ).localCheckpoint(eager=True)
+    feature_s = _time.perf_counter() - t0
+
+    t0 = _time.perf_counter()
+    proto = (
+        labeled.where(F.col("kept"))
+        .select(F.posexplode("embedding").alias("i", "v"))
+        .groupBy("i")
+        .agg(F.round(F.avg("v"), 6).alias("av"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "av"))),
+                lambda p: p["av"],
+            ).alias("pv")
+        )
+    )
+    x = F.round(
+        cosine_similarity(F.col("embedding"), F.col("pv")), 6
+    ) + F.lit(0.0)
+    td = (
+        labeled.crossJoin(F.broadcast(proto))
+        .select(
+            "doc_id",
+            x.alias("x"),
+            F.when(F.col("kept"), 1.0).otherwise(0.0).alias("y"),
+        )
+        .where(F.col("x").isNotNull())
+        .localCheckpoint(eager=True)
+    )
+    w = ml.logistic_irls_1d(td.select("y", "x"), steps=3)
+    w = w.localCheckpoint(eager=True)
+    train_s = _time.perf_counter() - t0
+
+    t0 = _time.perf_counter()
+    margin = (
+        F.round(
+            F.round(F.col("b0"), 6) + F.round(F.col("b1"), 6) * F.col("x"), 6
+        )
+        + F.lit(0.0)
+    )
+    td.crossJoin(F.broadcast(w)).select(
+        "doc_id",
+        F.col("x").alias("hash_proj"),
+        (F.col("y") == 1.0).alias("weak_label"),
+        margin.alias("margin"),
+        (margin > 0.0).alias("keep"),
+    ).toPandas()
+    score_s = _time.perf_counter() - t0
+    return {
+        "feature_s": round(feature_s, 4),
+        "train_s": round(train_s, 4),
+        "score_s": round(score_s, 4),
+    }
+
+
 # ---------------------------------------------------------------------------
 # ll100 — INCREMENTAL curation: the day-N delta through ll94's six
 # stages against persisted state (VERDICT r8 item 6)
@@ -5739,7 +5864,10 @@ def _ll100_kept_pred():
     return kept
 
 
-def _ll100_build_state(spark: SparkSession, base: DataFrame, sf_dir: str) -> str:
+def _ll100_build_state(
+    spark: SparkSession, base: DataFrame, sf_dir: str,
+    root: str | None = None,
+) -> str:
     """DAY-0: run stages 1-4 on the base corpus ONCE and persist the
     five state artifacts a production pipeline would keep between
     daily batches — everything the day-N path needs, so no base TEXT
@@ -5761,10 +5889,12 @@ def _ll100_build_state(spark: SparkSession, base: DataFrame, sf_dir: str) -> str
 
     Index over d2 (not d3): from-scratch CC runs on d2's pair graph,
     so a delta doc must be able to collide with a base doc that base-
-    side CC later dropped. Returns the state root path."""
+    side CC later dropped. Returns the state root path (``root``
+    overrides the default location — ss21's stream-owned copy)."""
     from .relational_queries import sink_path
 
-    root = sink_path("ll100_state", sf_dir)
+    if root is None:
+        root = sink_path("ll100_state", sf_dir)
     s = _ll100_state_frames(base)
     s["fps"].write.mode("overwrite").parquet(f"{root}/fps.parquet")
     s["sh"].write.mode("overwrite").parquet(f"{root}/sh.parquet")
@@ -5848,6 +5978,26 @@ def _ll100_day_n(
     folds into the persisted state for day N+1. See
     ``ll100_incremental_curation`` for the full stage-by-stage
     narration."""
+    base, delta, t = _ll100_fixture(spark, sf_dir)
+    if root is None:
+        root = _ll100_build_state(spark, base, sf_dir)
+    fr = _ll100_day_n_over(spark, delta, root, t)
+    fr["t"] = t
+    fr["root"] = root
+    return fr
+
+
+def _ll100_day_n_over(
+    spark: SparkSession, delta: DataFrame, root: str, state_max_id: int
+) -> dict:
+    """The day-N incremental pass over an ARBITRARY delta batch against
+    the state at ``root`` — factored out of ``_ll100_day_n`` so the
+    streaming twin (ss21) can run one micro-batch at a time through
+    the identical code path. ``state_max_id`` is the largest doc id
+    the state has absorbed (the fixture's ``t`` on day N=1; the
+    previous batch's max thereafter) — the monotone-ids invariant
+    makes ``doc_b <= state_max_id`` the state-vs-batch split for the
+    CC sentencing and the packing continuation."""
     from ..operators import graph
     from ..operators.importance import (
         dsir_doc_features,
@@ -5855,9 +6005,7 @@ def _ll100_day_n(
     )
     from ..operators.relational import exclusive_prefix_sum
 
-    base, delta, t = _ll100_fixture(spark, sf_dir)
-    if root is None:
-        root = _ll100_build_state(spark, base, sf_dir)
+    t = state_max_id
 
     # ---- day-N: delta text + state parquet only from here on ----
     fps = spark.read.parquet(f"{root}/fps.parquet")
@@ -6072,7 +6220,16 @@ def ll100_updated_state_frames(
     the union corpus — so the state never degrades across days; day
     N+1 probes state indistinguishable from a full rebuild."""
     fr = _ll100_day_n(spark, sf_dir)
-    root = fr["root"]
+    return _ll100_fold_state(spark, fr["root"], fr)
+
+
+def _ll100_fold_state(
+    spark: SparkSession, root: str, fr: dict
+) -> dict[str, DataFrame]:
+    """The O(delta) merge itself, over the day-N boundary frames ``fr``
+    and the state at ``root`` — factored out of
+    ``ll100_updated_state_frames`` so ss21's foreachBatch can fold each
+    micro-batch through the identical code path."""
     sh_d, banded_d = dedup.build_minhash_index(
         fr["d2"], "doc_id", "text", k=3
     )

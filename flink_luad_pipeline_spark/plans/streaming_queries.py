@@ -743,3 +743,93 @@ def ss20_streaming_curation_gate(
         threshold=0.0,
     )
     return _drain(gated, "ss20_curationgate", "append")
+
+
+def _ss21_oracle() -> str:
+    from .llm_queries import _LL100_ORACLE
+
+    return _LL100_ORACLE
+
+
+@query("ss21_streaming_incremental_curation", oracle=_ss21_oracle())
+def ss21_streaming_incremental_curation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING day-N curation — ll100's incremental pipeline driven
+    by the streaming runtime (VERDICT r9 item 7), completing the
+    batch↔streaming symmetry the engine holds everywhere else
+    (ss10/ss18/ss20 probe state; this one also FOLDS it): the day-N
+    delta arrives as a file-source stream and each micro-batch runs
+    the identical day-N code path (``_ll100_day_n_over``) against the
+    current persisted state, emits its curated batch, then folds its
+    artifacts into a NEW state version (``_ll100_fold_state`` — the
+    versioned-root write means a batch never overwrites parquet it is
+    lazily reading). This is the production daily shape: the "day" is
+    just a Trigger.AvailableNow run of a standing stream, and the
+    state the next day probes is already folded when the trigger
+    drains.
+
+    Determinism contract: under AvailableNow with no file cap the
+    delta is ONE micro-batch, so the emitted rows equal ll100's day-N
+    output exactly — the oracle IS ll100's from-scratch chain. Under
+    finer batching the INDEX/COUNT artifacts (fps, band index, gram
+    counts) remain exactly batching-invariant (set unions / additive
+    counts over disjoint doc sets, given the monotone-id arrival order
+    — pinned in tests), while verdict-bearing artifacts (n_kept,
+    features) follow the arrival-order contract of the ss4/ss10
+    family: from-scratch-equal at the daily-batch grain, the grain
+    ll100 documents."""
+    from .llm_queries import (
+        _ll100_build_state,
+        _ll100_day_n_over,
+        _ll100_fixture,
+        _ll100_fold_state,
+    )
+    from .relational_queries import sink_path
+
+    base, delta, t = _ll100_fixture(spark, sf_dir)
+    n = next(_COUNTER)
+    state_root = _ll100_build_state(
+        spark, base, sf_dir, root=sink_path(f"ss21_state_{n}", sf_dir)
+    )
+    feed = sink_path(f"ss21_feed_{n}", sf_dir)
+    out_path = sink_path(f"ss21_out_{n}", sf_dir)
+    # the per-session counter restarts in every process, so a previous
+    # RUN's sink/checkpoint can collide with this one: a stale
+    # checkpoint makes AvailableNow treat the feed as already
+    # committed, and the append-mode output would accumulate across
+    # runs — both observed; start from a clean slate instead
+    import shutil
+
+    for stale in (out_path, f"{feed}_chk"):
+        shutil.rmtree(stale, ignore_errors=True)
+    delta.write.mode("overwrite").parquet(feed)
+    schema = spark.read.parquet(feed).schema
+    stream = spark.readStream.schema(schema).parquet(feed)
+
+    state = {"root": state_root, "max_id": t}
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        fr = _ll100_day_n_over(
+            spark, batch_df, state["root"], state["max_id"]
+        )
+        fr["out"].write.mode("append").parquet(out_path)
+        merged = _ll100_fold_state(spark, state["root"], fr)
+        next_root = f"{state_root}_v{batch_id + 1}"
+        for name_, df_ in merged.items():
+            df_.write.mode("overwrite").parquet(
+                f"{next_root}/{name_}.parquet"
+            )
+        mx = batch_df.agg(F.max("doc_id")).collect()[0][0]
+        state["root"] = next_root
+        if mx is not None:
+            state["max_id"] = max(state["max_id"], int(mx))
+
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", f"{feed}_chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_path)

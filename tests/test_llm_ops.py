@@ -1720,6 +1720,97 @@ def test_ivf_family_requires_explicit_grain(spark, sf_dir):
     assert sorted(map(tuple, via_sqrt)) == sorted(map(tuple, via_mod))
 
 
+def test_ss21_stream_fold_equals_batch_and_multibatch_invariants(
+    spark, sf_dir
+):
+    """ss21's two contracts (VERDICT r9 item 7). (1) Driven as one
+    AvailableNow batch, the streaming day-N run emits EXACTLY ll100's
+    batch output. (2) Split into id-ordered micro-batches and folded
+    sequentially through the same code path, the INDEX/COUNT state
+    artifacts — fps set, band index, gram counts — are batching-
+    invariant: equal to the single-fold state artifact for artifact
+    (set unions and additive counts over disjoint doc sets; the
+    verdict-bearing artifacts follow the ss4/ss10 arrival-order
+    contract and are only pinned at the daily grain by the oracle)."""
+    from flink_luad_pipeline_spark.plans.llm_queries import (
+        _ll100_build_state,
+        _ll100_day_n_over,
+        _ll100_fixture,
+        _ll100_fold_state,
+    )
+    from flink_luad_pipeline_spark.plans.registry import QUERIES
+
+    streamed = QUERIES["ss21_streaming_incremental_curation"](
+        spark, sf_dir
+    ).collect()
+    batch = QUERIES["ll100_incremental_curation"](spark, sf_dir).collect()
+    assert sorted(map(tuple, streamed)) == sorted(map(tuple, batch))
+    assert len(streamed) > 0
+
+    # multi-batch fold: split the delta at its median id (id-ordered
+    # batches — the monotone-arrival production invariant)
+    base, delta, t = _ll100_fixture(spark, sf_dir)
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="ss21_multibatch_")
+    root1 = _ll100_build_state(spark, base, sf_dir, root=f"{tmp}/single")
+    fr_all = _ll100_day_n_over(spark, delta, root1, t)
+    single = _ll100_fold_state(spark, root1, fr_all)
+
+    mid = delta.approxQuantile("doc_id", [0.5], 0.0)[0]
+    lo = delta.where(F.col("doc_id") <= mid)
+    hi = delta.where(F.col("doc_id") > mid)
+    root2 = _ll100_build_state(spark, base, sf_dir, root=f"{tmp}/multi")
+    fr_lo = _ll100_day_n_over(spark, lo, root2, t)
+    m1 = _ll100_fold_state(spark, root2, fr_lo)
+    root2b = f"{tmp}/multi_v1"
+    for name_, df_ in m1.items():
+        df_.write.mode("overwrite").parquet(f"{root2b}/{name_}.parquet")
+    lo_max = int(lo.agg(F.max("doc_id")).collect()[0][0])
+    fr_hi = _ll100_day_n_over(spark, hi, root2b, lo_max)
+    m2 = _ll100_fold_state(spark, root2b, fr_hi)
+
+    for art in ("fps", "sh", "banded", "grams"):
+        a = sorted(map(tuple, single[art].collect()))
+        b = sorted(map(tuple, m2[art].collect()))
+        assert a == b, f"{art} diverged under micro-batching"
+
+
+def test_persisted_ann_index_equals_in_session_and_guards(spark, sf_dir):
+    """ll105's contract (VERDICT r9 item 4): answering top-k from the
+    index FRAMES alone must equal the in-session residual_ivfpq_topk
+    (index build encodes every candidate; the query path encodes only
+    shortlisted ones — same codes, so same answers), and a probe whose
+    parameters disagree with the index's meta stamp must refuse loudly
+    instead of returning plausible wrong neighbors."""
+    import pytest as _pytest
+
+    from flink_luad_pipeline_spark.operators import clustering
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    cents = clustering.kmeans_fit(emb, k=8, iters=3).select(
+        F.col("cid").alias("centroid_id"), F.col("cv").alias("centv")
+    )
+    in_session = similarity.residual_ivfpq_topk(
+        queries, emb, k=10, centroids=cents, train_iters=2, train_mod=4
+    ).collect()
+    frames = similarity.residual_ann_index_frames(
+        emb, centroids=cents, train_iters=2, train_mod=4
+    )
+    probed = similarity.residual_ann_index_topk(
+        queries, frames, k=10, train_iters=2, train_mod=4
+    ).collect()
+    assert sorted(map(tuple, probed)) == sorted(map(tuple, in_session))
+    assert len(probed) > 0
+    with _pytest.raises(ValueError, match="meta stamp"):
+        similarity.residual_ann_index_topk(
+            queries, frames, k=10, m=8, train_iters=2, train_mod=4
+        )
+    with _pytest.raises(ValueError, match="meta stamp"):
+        similarity.residual_ann_index_topk(queries, frames, k=10)  # iters=0
+
+
 def test_component_bridge_detector_fires_on_planted_bridge(spark):
     """ll104's reason to exist (VERDICT r9 item 3): a delta doc whose
     base neighbors span TWO distinct base components must be flagged

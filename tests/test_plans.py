@@ -245,6 +245,9 @@ INTENTIONAL_CARTESIAN = {
                               # continues the packing offsets
     "ll101_learned_quality_scorer",  # c8's 1-row IRLS beta attach + the
                               # 1-row (64-double) Rocchio prototype attach
+    "ll105_ann_index_persisted",  # ll95's k-row trained-centroid broadcast
+                              # (build assignment + probe cell choice +
+                              # the exact q·c term)
 }
 
 
