@@ -142,6 +142,7 @@ HEADLINE = [
     # state fold)
     "ll104_component_bridges",
     "ll105_ann_index_persisted",
+    "ll106_ann_index_delta_update",
     "ss21_streaming_incremental_curation",
 ]
 
@@ -360,7 +361,10 @@ def _sf1_section(spark, queries, sf01_per_query) -> tuple[dict, object]:
     # ll105 shares ll95's constant-dominated trained-residual path and
     # adds the full-corpus encode + parquet round-trip — its scale
     # shape is carried by the SCALE.md sf10 probe instead.
-    sf1_skip = {"ll95_residual_ivfpq_topk", "ll105_ann_index_persisted"}
+    sf1_skip = {
+        "ll95_residual_ivfpq_topk",
+        "ll105_ann_index_persisted",
+    }
     # s9's bucketed tables are created on first touch per (session,
     # sf_dir); the sf0.1 iterations reuse warm tables but this fresh
     # sf1 dir would pay the one-time write INSIDE the timed run —

@@ -1464,6 +1464,115 @@ def residual_ann_index_frames(
             "meta": meta}
 
 
+def residual_ann_index_update(
+    index: dict[str, DataFrame],
+    delta: DataFrame,
+    m: int = 4,
+    dim: int = 64,
+    code_mod: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    train_iters: int = 0,
+    train_mod: int = 4,
+    max_codes: int = 256,
+) -> dict[str, DataFrame]:
+    """INCREMENTAL UPDATE of the persisted residual IVF-PQ index: fold
+    a delta batch of vectors into an existing index WITHOUT touching
+    the base corpus or retraining — assign each delta vector to its
+    cell with the FROZEN coarse centroids, encode its residual with
+    the FROZEN codebook, and union the (cand_id, centroid_id, s, code)
+    rows into the codes table. Because cell assignment and encoding
+    are pure per-vector functions of the frozen quantizers (the ll63
+    per-document-artifact property, here per-vector), the folded codes
+    table is IDENTICAL to encoding base ∪ delta from scratch against
+    the same quantizers — so the fold is exact, associative
+    (update(update(I, d1), d2) == update(I, d1 ∪ d2), pinned by test),
+    and O(delta) per day. Quantizer drift is the re-train trigger, not
+    a fold (the ll104 re-curate discipline): recall decay on a probe
+    set, not silent in-place patching.
+
+    Refuses an index whose meta stamp disagrees with the fold's
+    parameters (same guard as the probe). Returns the updated frames
+    dict (cents/codebook/meta unchanged, codes unioned)."""
+    expected = {
+        "m": m, "dim": dim, "code_mod": code_mod,
+        "train_iters": train_iters, "train_mod": train_mod,
+        "max_codes": max_codes, "round_digits": round_digits,
+    }
+    got = index["meta"].collect()[0].asDict()
+    bad = {kk: (vv, got.get(kk)) for kk, vv in expected.items()
+           if got.get(kk) != vv}
+    if bad:
+        raise ValueError(
+            "residual_ann_index_update: index meta stamp disagrees with "
+            f"update parameters: {bad} — rebuild the index or fold with "
+            "the parameters it was built with"
+        )
+    cents = index["cents"]
+    codebook = index["codebook"]
+    subdim = dim // m
+
+    delta = _spread(delta)
+    w1 = Window.partitionBy("cand_id").orderBy(
+        F.col("csim").desc(), F.col("centroid_id")
+    )
+    assigned = (
+        delta.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("v"))
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "cand_id",
+            "v",
+            "centroid_id",
+            F.round(
+                cosine_similarity(F.col("v"), F.col("centv")), round_digits
+            ).alias("csim"),
+        )
+        .where(F.col("csim").isNotNull())
+        .withColumn("crank", F.row_number().over(w1))
+        .where(F.col("crank") == 1)
+        .select("cand_id", "v", "centroid_id")
+    )
+    resid = assigned.join(F.broadcast(cents), "centroid_id").select(
+        "cand_id",
+        "centroid_id",
+        F.zip_with(
+            "v", "centv", lambda x, c: x.cast("double") - c.cast("double")
+        ).alias("rv"),
+    )
+    subs = F.array(
+        *[F.slice(F.col("rv"), s * subdim + 1, subdim) for s in range(m)]
+    )
+    l2sq = F.round(
+        F.aggregate(
+            F.zip_with("sub", "cent", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        round_digits,
+    ).cast("decimal(18,6)")
+    enc_w = Window.partitionBy("cand_id", "s").orderBy(
+        F.col("d").asc(), F.col("code")
+    )
+    delta_codes = (
+        resid.select(
+            "cand_id", "centroid_id", F.posexplode(subs).alias("s", "sub")
+        )
+        .join(F.broadcast(codebook), "s")
+        .select("cand_id", "centroid_id", "s", "code", l2sq.alias("d"))
+        .where(F.col("d").isNotNull())
+        .withColumn("rk", F.row_number().over(enc_w))
+        .where(F.col("rk") == 1)
+        .select("cand_id", "centroid_id", "s", "code")
+    )
+    return {
+        "cents": cents,
+        "codebook": codebook,
+        "codes": index["codes"].unionByName(delta_codes),
+        "meta": index["meta"],
+    }
+
+
 def residual_ann_index_topk(
     queries: DataFrame,
     index: dict[str, DataFrame],

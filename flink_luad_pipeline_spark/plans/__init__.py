@@ -213,6 +213,7 @@ _BANKED_GREEN = frozenset(
 _NEW_THIS_ROUND = (
     "ll104_component_bridges",
     "ll105_ann_index_persisted",
+    "ll106_ann_index_delta_update",
     "ss21_streaming_incremental_curation",
     "ll42_semantic_dedup",
     "ll55_semantic_decontaminate",

@@ -3053,6 +3053,146 @@ def ll105_ann_index_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LL106_ORACLE = (
+    # The incremental-index contract in SQL: the quantizers are sampled
+    # from the BASE slice only (vec_id % 5 <> 0 — ll45's split) and
+    # FROZEN; every candidate (base ∪ delta = the whole table) is then
+    # encoded against them — which is exactly what the base build +
+    # O(delta) fold produces, because assignment and encoding are pure
+    # per-vector functions of the frozen quantizers.
+    # mod 23, not 25: every multiple of 25 is a multiple of 5, so a
+    # %25 sample of the %5<>0 base slice would be EMPTY — 23 is
+    # coprime with the split
+    "WITH cents AS (SELECT vec_id AS centroid_id, embedding AS centv"
+    " FROM embeddings WHERE vec_id % 23 = 0 AND vec_id % 5 <> 0),"
+    " cand_sc AS (SELECT c.vec_id AS cand_id, centroid_id,"
+    f" {_cos_sql('c.embedding', 'centv')} AS csim FROM embeddings c, cents),"
+    " assigned AS (SELECT cand_id, centroid_id FROM ("
+    " SELECT cand_id, centroid_id, row_number() OVER ("
+    " PARTITION BY cand_id ORDER BY csim DESC, centroid_id) AS r"
+    " FROM cand_sc WHERE csim IS NOT NULL) WHERE r = 1),"
+    " q_sc AS (SELECT q.vec_id AS query_id, centroid_id,"
+    f" {_cos_sql('q.embedding', 'centv')} AS csim"
+    " FROM embeddings q, cents WHERE q.vec_id < 5),"
+    " probes AS (SELECT query_id, centroid_id FROM ("
+    " SELECT query_id, centroid_id, row_number() OVER ("
+    " PARTITION BY query_id ORDER BY csim DESC, centroid_id) AS r"
+    " FROM q_sc WHERE csim IS NOT NULL) WHERE r <= 3),"
+    " short AS (SELECT query_id, cand_id, centroid_id"
+    "  FROM assigned JOIN probes USING (centroid_id)),"
+    " resid AS (SELECT a.cand_id, list_transform("
+    "  range(1, len(e.embedding) + 1),"
+    "  i -> CAST(e.embedding[i] AS DOUBLE) - CAST(ct.centv[i] AS DOUBLE))"
+    "  AS rv FROM assigned a JOIN embeddings e ON e.vec_id = a.cand_id"
+    "  JOIN cents ct USING (centroid_id)),"
+    " sp AS (SELECT unnest([0, 1, 2, 3]) AS s),"
+    # base-only mod-sampled residual codebook, capped (the frozen
+    # artifact; the % 5 <> 0 term is what makes it base-only)
+    " cb AS (SELECT r.cand_id AS code, sp.s,"
+    "  list_slice(r.rv, sp.s * 16 + 1, sp.s * 16 + 16) AS cent"
+    "  FROM resid r, sp WHERE r.cand_id % 64 = 0"
+    "   AND r.cand_id < 16384 AND r.cand_id % 5 <> 0),"
+    " csub AS (SELECT r.cand_id, sp.s,"
+    "  list_slice(r.rv, sp.s * 16 + 1, sp.s * 16 + 16) AS sub"
+    "  FROM resid r, sp"
+    "  WHERE r.cand_id IN (SELECT cand_id FROM short)),"
+    " enc AS (SELECT cand_id, c.s, c.code,"
+    f" {_l2sq6_sql('sub', 'cent')} AS d"
+    "  FROM csub JOIN cb c ON c.s = csub.s),"
+    " codes AS (SELECT cand_id, s, code FROM ("
+    "  SELECT cand_id, s, code, row_number() OVER ("
+    "   PARTITION BY cand_id, s ORDER BY d ASC, code) AS rk"
+    "  FROM enc WHERE d IS NOT NULL) WHERE rk = 1),"
+    " qsub AS (SELECT e.vec_id AS query_id, sp.s,"
+    "  list_slice(e.embedding, sp.s * 16 + 1, sp.s * 16 + 16) AS sub"
+    "  FROM embeddings e, sp WHERE e.vec_id < 5),"
+    " lut AS (SELECT query_id, c.s, c.code,"
+    f" {_dot6_sql('sub', 'cent')} AS qd"
+    "  FROM qsub JOIN cb c ON c.s = qsub.s),"
+    " adc AS (SELECT sh.query_id, sh.cand_id, sh.centroid_id,"
+    "  CAST(sum(qd) AS DECIMAL(18,6)) AS rsim"
+    "  FROM short sh JOIN codes ON codes.cand_id = sh.cand_id"
+    "  JOIN lut ON lut.query_id = sh.query_id AND lut.s = codes.s"
+    "   AND lut.code = codes.code"
+    "  WHERE sh.query_id <> sh.cand_id AND qd IS NOT NULL"
+    "  GROUP BY 1, 2, 3),"
+    " scored AS (SELECT a.query_id, a.cand_id,"
+    f"  CAST({_dot6_sql('q.embedding', 'ct.centv')} + a.rsim"
+    "   AS DECIMAL(18,6)) AS sim"
+    "  FROM adc a JOIN embeddings q ON q.vec_id = a.query_id"
+    "  JOIN cents ct ON ct.centroid_id = a.centroid_id)"
+    " SELECT query_id, cand_id, CAST(sim AS DOUBLE) AS sim, rank FROM ("
+    "  SELECT query_id, cand_id, sim, CAST(row_number() OVER ("
+    "   PARTITION BY query_id ORDER BY sim DESC, cand_id) AS BIGINT)"
+    "   AS rank FROM scored WHERE sim IS NOT NULL) WHERE rank <= 10"
+)
+
+
+@query("ll106_ann_index_delta_update", oracle=_LL106_ORACLE)
+def ll106_ann_index_delta_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL ANN-index update — the day-N story for the vector
+    side, completing the ll63/ll100/ll105 persisted-state arc: the
+    base slice (vec_id % 5 != 0, ll45's split) is indexed once and
+    persisted (ll105's artifacts); the daily delta batch (vec_id % 5
+    == 0) is FOLDED in by `residual_ann_index_update` — cell
+    assignment with the frozen coarse centroids, residual encoding
+    with the frozen codebook, a pure codes-table union; the base
+    corpus is never re-read and nothing retrains, so absorbing the
+    batch is O(delta). Because assignment and encoding are pure
+    per-vector functions of the frozen quantizers (ll63's
+    per-document-artifact property, per-vector here), the folded
+    index is IDENTICAL to encoding base ∪ delta from scratch against
+    the same quantizers — the oracle expresses precisely that
+    (base-sampled frozen quantizers, all candidates encoded), so the
+    fold's exactness is driver-value-checked, and the fold is
+    associative (update(update(I,d1),d2) == update(I, d1 ∪ d2),
+    pinned in tests). Quantizer drift (recall decay on a probe set)
+    triggers a re-train — the ll104 re-curate discipline — never a
+    silent in-place patch. The updated index round-trips through
+    parquet before the probe, pinning the artifact schemas.
+
+    Grain note: this registered row uses the CLOSED-FORM mod-sampled
+    coarse grain (M = N/23 cells) so the oracle can reproduce the
+    quantizers — the ll60/ll12 convention, whose N×M assignment is
+    superlinear by design. The production configuration is ll105's
+    trained fixed-k coarse quantizer: build with ``centroids=`` and
+    every fold is O(delta·k). The FOLD CONTRACT being value-checked
+    here is grain-independent."""
+    from .relational_queries import sink_path
+
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.where(F.col("vec_id") % 5 != 0)
+    delta = emb.where(F.col("vec_id") % 5 == 0)
+    # mod 23 (coprime with the %5 split — %25 of the base slice is
+    # empty, mirrored in the oracle comment)
+    frames = similarity.residual_ann_index_frames(
+        base, centroid_mod=23, train_iters=0
+    )
+    root = sink_path("ll106_index", sf_dir)
+    for name_, df_ in frames.items():
+        df_.write.mode("overwrite").parquet(f"{root}/{name_}.parquet")
+    index = {
+        name_: spark.read.parquet(f"{root}/{name_}.parquet")
+        for name_ in frames
+    }
+    updated = similarity.residual_ann_index_update(index, delta)
+    updated["codes"].write.mode("overwrite").parquet(
+        f"{root}/codes_v1.parquet"
+    )
+    updated = dict(
+        updated, codes=spark.read.parquet(f"{root}/codes_v1.parquet")
+    )
+    out = similarity.residual_ann_index_topk(
+        emb.where(F.col("vec_id") < 5), updated, k=10
+    )
+    return out.select(
+        "query_id",
+        "cand_id",
+        F.col("sim").cast("double").alias("sim"),
+        "rank",
+    )
+
+
 # ---------------------------------------------------------------------------
 # ll61 — asymmetric shingle containment (quote / superset detection)
 # ---------------------------------------------------------------------------

@@ -1811,6 +1811,53 @@ def test_persisted_ann_index_equals_in_session_and_guards(spark, sf_dir):
         similarity.residual_ann_index_topk(queries, frames, k=10)  # iters=0
 
 
+def test_ann_index_delta_fold_is_exact_and_associative(spark, sf_dir):
+    """ll106's contract: folding a delta into the persisted ANN index
+    must (a) leave the base codes byte-identical (frozen artifacts are
+    never retro-edited), (b) cover exactly base ∪ delta afterwards,
+    (c) be ASSOCIATIVE — two sequential folds equal one combined fold
+    (the pure-per-vector property that makes daily absorption exact at
+    any batching), and (d) refuse a params-mismatched fold loudly."""
+    import pytest as _pytest
+
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.where(F.col("vec_id") % 5 != 0)
+    d1 = emb.where(F.col("vec_id") % 10 == 0)
+    d2 = emb.where((F.col("vec_id") % 5 == 0) & (F.col("vec_id") % 10 != 0))
+    # mod 23: coprime with the %5 split (a %25 sample of the base
+    # slice is empty — every multiple of 25 is a multiple of 5)
+    index = similarity.residual_ann_index_frames(
+        base, centroid_mod=23, train_iters=0
+    )
+    base_codes = sorted(map(tuple, index["codes"].collect()))
+    assert base_codes, "base index must be non-empty"
+
+    two_step = similarity.residual_ann_index_update(
+        similarity.residual_ann_index_update(index, d1), d2
+    )
+    one_step = similarity.residual_ann_index_update(index, d1.unionAll(d2))
+    a = sorted(map(tuple, two_step["codes"].collect()))
+    b = sorted(map(tuple, one_step["codes"].collect()))
+    assert a == b, "delta fold is not associative"
+    # base codes unchanged inside the folded table
+    folded_base = [
+        r for r in a if r[0] % 5 != 0
+    ]
+    assert folded_base == base_codes
+    # coverage: every non-degenerate vector has m=4 code rows exactly
+    ids = {r[0] for r in a}
+    n = emb.count()
+    assert len(ids) <= n
+    from collections import Counter
+
+    per_id = Counter(r[0] for r in a)
+    assert set(per_id.values()) == {4}
+    # delta side present
+    assert any(i % 5 == 0 for i in ids)
+    with _pytest.raises(ValueError, match="meta stamp"):
+        similarity.residual_ann_index_update(index, d1, m=8)
+
+
 def test_component_bridge_detector_fires_on_planted_bridge(spark):
     """ll104's reason to exist (VERDICT r9 item 3): a delta doc whose
     base neighbors span TWO distinct base components must be flagged

@@ -248,6 +248,10 @@ INTENTIONAL_CARTESIAN = {
     "ll105_ann_index_persisted",  # ll95's k-row trained-centroid broadcast
                               # (build assignment + probe cell choice +
                               # the exact q·c term)
+    "ll106_ann_index_delta_update",  # same frozen-centroid broadcast in
+                              # the base build, the delta fold, and the
+                              # probe (the ll105 shape plus one O(delta)
+                              # assignment pass)
 }
 
 
