@@ -144,6 +144,7 @@ HEADLINE = [
     "ll105_ann_index_persisted",
     "ll106_ann_index_delta_update",
     "ss21_streaming_incremental_curation",
+    "ss22_streaming_ann_ingest",
 ]
 
 
@@ -295,6 +296,27 @@ def main() -> None:
             out["ll101_components"] = ll101_components(spark, sf_dir)
         except Exception as exc:
             print(f"bench: ll101 decomposition FAILED: {exc}", file=sys.stderr)
+    # ll104's headline row conflates the day-0 artifact build with the
+    # recurring detector probe; ss21's conflates the day-0 state build
+    # with the stream drain+fold — decompose both (the ss18 device)
+    if "ll104_component_bridges" in HEADLINE and not failed:
+        try:
+            from flink_luad_pipeline_spark.plans.llm_queries import (
+                ll104_components,
+            )
+
+            out["ll104_components"] = ll104_components(spark, sf_dir)
+        except Exception as exc:
+            print(f"bench: ll104 decomposition FAILED: {exc}", file=sys.stderr)
+    if "ss21_streaming_incremental_curation" in HEADLINE and not failed:
+        try:
+            from flink_luad_pipeline_spark.plans.streaming_queries import (
+                ss21_components,
+            )
+
+            out["ss21_components"] = ss21_components(spark, sf_dir)
+        except Exception as exc:
+            print(f"bench: ss21 decomposition FAILED: {exc}", file=sys.stderr)
     if is_default_sf and not os.environ.get("SPARK_GRAFT_SKIP_SF1"):
         try:
             # _sf1_section stops the aged session and runs on a fresh

@@ -215,6 +215,7 @@ _NEW_THIS_ROUND = (
     "ll105_ann_index_persisted",
     "ll106_ann_index_delta_update",
     "ss21_streaming_incremental_curation",
+    "ss22_streaming_ann_ingest",
     "ll42_semantic_dedup",
     "ll55_semantic_decontaminate",
     "ll60_ivfpq_ann_topk",

@@ -6510,6 +6510,71 @@ def ll104_component_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.component_bridges(cross, blab)
 
 
+def ll104_components(spark: SparkSession, sf_dir: str) -> dict:
+    """Bench decomposition of ll104 (the ss18/ll100/ll101 device): the
+    headline row conflates the DAY-0 artifact build — base stages 1-2,
+    the band index, the base pair graph + component labels, which a
+    production pipeline persists once alongside ll100's state — with
+    the recurring DAY-N detector probe (delta stages 1-2, the index
+    probe, one label equi-join + grouped count-distinct). Times them
+    separately; the recurring cost is the second number. Not a
+    registered query (reports timings); bench.py records it next to
+    ll104's headline row."""
+    import time as _time
+
+    from ..operators import graph
+
+    base, delta, t = _ll100_fixture(spark, sf_dir)
+    t0 = _time.perf_counter()
+    b1 = base.join(
+        _gopher_signal_frame(base).where(_ll100_kept_pred()).select("doc_id"),
+        "doc_id",
+    ).withColumn("fp", T.text_fingerprint(F.col("text")))
+    b2 = (
+        b1.withColumn("kp", F.min("doc_id").over(W.partitionBy("fp")))
+        .where(F.col("doc_id") == F.col("kp"))
+        .select("doc_id", "text", "lang")
+        .localCheckpoint(eager=True)
+    )
+    sh_s, banded_s = dedup.build_minhash_index(b2, "doc_id", "text", k=3)
+    sh_s = sh_s.localCheckpoint(eager=True)
+    banded_s = banded_s.localCheckpoint(eager=True)
+    bpairs = dedup.minhash_lsh_pairs(
+        b2, "doc_id", "text", k=3, threshold=0.4, max_shingle_df=None
+    )
+    blab = graph.connected_components(
+        bpairs, src="doc_a", dst="doc_b"
+    ).localCheckpoint(eager=True)
+    fps = b1.select("fp").distinct().localCheckpoint(eager=True)
+    day0_build_s = _time.perf_counter() - t0
+
+    t0 = _time.perf_counter()
+    d1 = delta.join(
+        _gopher_signal_frame(delta).where(_ll100_kept_pred()).select("doc_id"),
+        "doc_id",
+    ).withColumn("fp", T.text_fingerprint(F.col("text")))
+    d2 = (
+        d1.join(fps, "fp", "left_anti")
+        .withColumn("kp", F.min("doc_id").over(W.partitionBy("fp")))
+        .where(F.col("doc_id") == F.col("kp"))
+        .select("doc_id", "text", "lang")
+    )
+    pairs = dedup.minhash_incremental_pairs(
+        None, d2, "doc_id", "text", k=3, threshold=0.4,
+        snapshot_index=(sh_s, banded_s),
+    )
+    cross = pairs.where(F.col("doc_b") <= t).select(
+        F.col("doc_a").alias("doc_id"), F.col("doc_b").alias("base_id")
+    )
+    n_checked = graph.component_bridges(cross, blab).count()
+    day_n_s = _time.perf_counter() - t0
+    return {
+        "day0_build_s": round(day0_build_s, 4),
+        "day_n_s": round(day_n_s, 4),
+        "delta_docs_with_base_neighbors": int(n_checked),
+    }
+
+
 # ---------------------------------------------------------------------------
 # ll102 — exact integer average-pool image resize (multimodal preprocessing)
 # ---------------------------------------------------------------------------

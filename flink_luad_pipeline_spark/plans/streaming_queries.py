@@ -833,3 +833,149 @@ def ss21_streaming_incremental_curation(
     )
     q.awaitTermination()
     return spark.read.parquet(out_path)
+
+
+def _ss22_oracle() -> str:
+    from .llm_queries import _LL106_ORACLE
+
+    return _LL106_ORACLE
+
+
+@query("ss22_streaming_ann_ingest", oracle=_ss22_oracle())
+def ss22_streaming_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ANN ingest — ll106's incremental index fold driven by
+    the streaming runtime (the ss21 device for the vector side,
+    completing batch↔streaming symmetry for the ANN tier): the daily
+    vector batch arrives as a file-source stream, and each foreachBatch
+    micro-batch folds into the persisted residual IVF-PQ index via the
+    identical `residual_ann_index_update` code path (frozen
+    quantizers, versioned codes-table writes so a batch never
+    overwrites parquet it lazily reads). After the AvailableNow drain
+    the index is probed for the registered top-k.
+
+    Stronger determinism than ss21: because the fold is a pure
+    per-vector function of the frozen quantizers and ASSOCIATIVE
+    (ll106's pinned property), the folded index — hence the probe
+    answer — is identical under ANY micro-batching, not just the
+    single-batch daily grain. The oracle is ll106's verbatim."""
+    import shutil
+
+    from ..catalog import load
+    from ..operators import similarity
+    from .relational_queries import sink_path
+
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.where(F.col("vec_id") % 5 != 0)
+    delta = emb.where(F.col("vec_id") % 5 == 0)
+    n = next(_COUNTER)
+    # mod 23: coprime with the %5 split (see ll106)
+    frames = similarity.residual_ann_index_frames(
+        base, centroid_mod=23, train_iters=0
+    )
+    root = sink_path(f"ss22_index_{n}", sf_dir)
+    for name_, df_ in frames.items():
+        df_.write.mode("overwrite").parquet(f"{root}/{name_}.parquet")
+    index = {
+        name_: spark.read.parquet(f"{root}/{name_}.parquet")
+        for name_ in frames
+    }
+    feed = sink_path(f"ss22_feed_{n}", sf_dir)
+    shutil.rmtree(f"{feed}_chk", ignore_errors=True)  # ss21's stale guard
+    delta.write.mode("overwrite").parquet(feed)
+    schema = spark.read.parquet(feed).schema
+    stream = spark.readStream.schema(schema).parquet(feed)
+
+    state = {"index": index}
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        updated = similarity.residual_ann_index_update(
+            state["index"], batch_df
+        )
+        next_codes = f"{root}/codes_v{batch_id + 1}.parquet"
+        updated["codes"].write.mode("overwrite").parquet(next_codes)
+        state["index"] = dict(
+            updated, codes=spark.read.parquet(next_codes)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", f"{feed}_chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = similarity.residual_ann_index_topk(
+        emb.where(F.col("vec_id") < 5), state["index"], k=10
+    )
+    return out.select(
+        "query_id",
+        "cand_id",
+        F.col("sim").cast("double").alias("sim"),
+        "rank",
+    )
+
+
+def ss21_components(spark: SparkSession, sf_dir: str) -> dict:
+    """Bench decomposition of ss21 (the ss18/ll100 device): the
+    headline row conflates the one-time DAY-0 state build with the
+    recurring STREAM drain (day-N stages + the state fold inside
+    foreachBatch). Times them separately and derives the per-delta-doc
+    ingest throughput. Not a registered query (reports timings);
+    bench.py records it next to ss21's headline row."""
+    import shutil
+    import time as _time
+
+    from .llm_queries import (
+        _ll100_build_state,
+        _ll100_day_n_over,
+        _ll100_fixture,
+        _ll100_fold_state,
+    )
+    from .relational_queries import sink_path
+
+    base, delta, t = _ll100_fixture(spark, sf_dir)
+    n = next(_COUNTER)
+    t0 = _time.perf_counter()
+    state_root = _ll100_build_state(
+        spark, base, sf_dir, root=sink_path(f"ss21c_state_{n}", sf_dir)
+    )
+    day0_build_s = _time.perf_counter() - t0
+
+    feed = sink_path(f"ss21c_feed_{n}", sf_dir)
+    out_path = sink_path(f"ss21c_out_{n}", sf_dir)
+    for stale in (out_path, f"{feed}_chk"):
+        shutil.rmtree(stale, ignore_errors=True)
+    delta.write.mode("overwrite").parquet(feed)
+    n_delta = spark.read.parquet(feed).count()
+    schema = spark.read.parquet(feed).schema
+
+    state = {"root": state_root, "max_id": t}
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        fr = _ll100_day_n_over(spark, batch_df, state["root"], state["max_id"])
+        fr["out"].write.mode("append").parquet(out_path)
+        merged = _ll100_fold_state(spark, state["root"], fr)
+        next_root = f"{state_root}_v{batch_id + 1}"
+        for name_, df_ in merged.items():
+            df_.write.mode("overwrite").parquet(f"{next_root}/{name_}.parquet")
+        mx = batch_df.agg(F.max("doc_id")).collect()[0][0]
+        state["root"] = next_root
+        if mx is not None:
+            state["max_id"] = max(state["max_id"], int(mx))
+
+    t0 = _time.perf_counter()
+    q = (
+        spark.readStream.schema(schema)
+        .parquet(feed)
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", f"{feed}_chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    drain_fold_s = _time.perf_counter() - t0
+    return {
+        "day0_build_s": round(day0_build_s, 4),
+        "drain_fold_s": round(drain_fold_s, 4),
+        "delta_docs_per_s": round(n_delta / drain_fold_s, 1),
+    }
