@@ -142,9 +142,20 @@ HEADLINE = [
     # state fold)
     "ll104_component_bridges",
     "ll105_ann_index_persisted",
-    "ll106_ann_index_delta_update",
     "ss21_streaming_incremental_curation",
-    "ss22_streaming_ann_ingest",
+    # round 11 (VERDICT r10 item 1): the incremental-ANN bench rows
+    # now measure the PRODUCTION grain — ll107/ss23 are the trained
+    # fixed-k fold (O(delta·k) compute, O(delta) write) that replaced
+    # ll106/ss22's closed-form mod-23 rows here (those stay registered
+    # and correctness-checked; their N×M assignment grain is
+    # superlinear by design and was dragging the sf1 growth factor —
+    # 10.8×/8.6× per-row — while measuring a shape the docstrings
+    # themselves route production away from). Plus the drift detector
+    # and the bridge-triggered re-curation closing the detect→act
+    # loops.
+    "ll107_ann_index_delta_trained",
+    "ss23_streaming_ann_ingest_trained",
+    "ll108_ann_recall_drift",
 ]
 
 
@@ -242,6 +253,20 @@ def main() -> None:
     if not any(per_query.get(n) is None for n in r02_subset):
         out["r02_subset_total"] = round(
             sum(per_query[n] for n in r02_subset), 4
+        )
+        # Mechanized host-load normalization (VERDICT r10 item 8): the
+        # r8/r9/r10 cross-round adjudications all used the same rule —
+        # when the fixed-plan calibration canary and the r02 subset
+        # move together, the common factor is host/session load, not a
+        # code regression. Emit the normalized comparator as a recorded
+        # number instead of SCALE.md prose: subset scaled by
+        # (reference canary / this run's canary). Reference = 0.293 s,
+        # the r9 DRIVER run's calibration_first (the earliest
+        # driver-recorded canary on this host class; idle runs read
+        # 0.216-0.344). Unclamped on purpose: an idle-fast host scales
+        # the subset UP the same way a loaded host scales it down.
+        out["r02_subset_normalized"] = round(
+            out["r02_subset_total"] * (0.293 / calibration_first), 4
         )
     if failed:
         out["failed"] = failed

@@ -408,10 +408,11 @@ def semantic_dedup(
     handling. Zero-norm vectors have no defined cosine and are excluded
     (same convention as the ANN tiers).
 
-    ``centroid_mod=None`` derives the modulus from the corpus size
-    (``derive_centroid_mod``: mod ≈ √N, so M ≈ √N and total work is
-    O(N^1.5) by construction); the fixed default exists for oracle
-    determinism at test scale.
+    On the centroid tier, ``centroid_mod=None`` (the default) derives
+    the modulus from the corpus size (``derive_centroid_mod``: mod ≈
+    √N, so M ≈ √N and total work is O(N^1.5) by construction); an
+    explicit integer pins a closed-form grain the SQL oracles can
+    reproduce without the derivation's count.
 
     Returns (id, cell, dropped, dup_of) — dup_of is the surviving
     duplicate's id, NULL for kept vectors.
@@ -1464,7 +1465,7 @@ def residual_ann_index_frames(
             "meta": meta}
 
 
-def residual_ann_index_update(
+def residual_ann_index_encode_delta(
     index: dict[str, DataFrame],
     delta: DataFrame,
     m: int = 4,
@@ -1476,25 +1477,33 @@ def residual_ann_index_update(
     train_iters: int = 0,
     train_mod: int = 4,
     max_codes: int = 256,
-) -> dict[str, DataFrame]:
-    """INCREMENTAL UPDATE of the persisted residual IVF-PQ index: fold
-    a delta batch of vectors into an existing index WITHOUT touching
-    the base corpus or retraining — assign each delta vector to its
-    cell with the FROZEN coarse centroids, encode its residual with
-    the FROZEN codebook, and union the (cand_id, centroid_id, s, code)
-    rows into the codes table. Because cell assignment and encoding
-    are pure per-vector functions of the frozen quantizers (the ll63
-    per-document-artifact property, here per-vector), the folded codes
-    table is IDENTICAL to encoding base ∪ delta from scratch against
-    the same quantizers — so the fold is exact, associative
-    (update(update(I, d1), d2) == update(I, d1 ∪ d2), pinned by test),
-    and O(delta) per day. Quantizer drift is the re-train trigger, not
-    a fold (the ll104 re-curate discipline): recall decay on a probe
-    set, not silent in-place patching.
+    on_overlap: str = "error",
+) -> DataFrame:
+    """Encode ONLY the delta batch against the index's frozen
+    quantizers and return its (cand_id, centroid_id, s, code) rows —
+    the O(delta)-WRITE half of the incremental fold: a daily pipeline
+    appends this frame as a new codes partition (ss23's per-batch
+    files) instead of rewriting the corpus-sized codes table, and the
+    multi-file read of base ∪ delta partitions IS the folded codes
+    table (parquet directories are bag unions).
+
+    The fold's exactness contract assumes delta ids are DISJOINT from
+    the ids already encoded: a duplicate (cand_id, s, code) row would
+    silently double-count that candidate's ADC partial dots in
+    ``residual_ann_index_topk``'s sum — wrong similarities with no
+    loud failure (ADVICE r10 medium). ``on_overlap`` enforces it:
+      "error" (default) — one bounded semi-join count of delta ids
+        against the index's encoded ids; raises on any overlap. The
+        count is an eager job (same documented driver-action class as
+        the 1-row meta read), scanning only the codes table's id
+        column once per fold — per-day cost, pushed-down projection.
+      "skip"  — lazily anti-join the delta against already-encoded
+        ids, so re-folding an already-folded batch contributes ZERO
+        rows: the idempotent mode for at-least-once replay
+        (foreachBatch retry semantics — ss21/ss23's caveat class).
 
     Refuses an index whose meta stamp disagrees with the fold's
-    parameters (same guard as the probe). Returns the updated frames
-    dict (cents/codebook/meta unchanged, codes unioned)."""
+    parameters (same guard as the probe)."""
     expected = {
         "m": m, "dim": dim, "code_mod": code_mod,
         "train_iters": train_iters, "train_mod": train_mod,
@@ -1512,6 +1521,30 @@ def residual_ann_index_update(
     cents = index["cents"]
     codebook = index["codebook"]
     subdim = dim // m
+
+    encoded_ids = index["codes"].select("cand_id").distinct()
+    if on_overlap == "error":
+        n_dup = (
+            delta.select(F.col(id_col).alias("cand_id"))
+            .join(encoded_ids, "cand_id", "left_semi")
+            .count()
+        )
+        if n_dup:
+            raise ValueError(
+                f"residual_ann_index_update: {n_dup} delta ids are already"
+                " encoded in the index — folding them would silently"
+                " double-count their ADC partials in the probe's sum."
+                " Deduplicate the delta, or pass on_overlap='skip' for"
+                " idempotent at-least-once replay"
+            )
+    elif on_overlap == "skip":
+        delta = delta.join(
+            encoded_ids.withColumnRenamed("cand_id", id_col),
+            id_col,
+            "left_anti",
+        )
+    else:
+        raise ValueError(f"on_overlap must be 'error' or 'skip': {on_overlap}")
 
     delta = _spread(delta)
     w1 = Window.partitionBy("cand_id").orderBy(
@@ -1565,9 +1598,55 @@ def residual_ann_index_update(
         .where(F.col("rk") == 1)
         .select("cand_id", "centroid_id", "s", "code")
     )
+    return delta_codes
+
+
+def residual_ann_index_update(
+    index: dict[str, DataFrame],
+    delta: DataFrame,
+    m: int = 4,
+    dim: int = 64,
+    code_mod: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    train_iters: int = 0,
+    train_mod: int = 4,
+    max_codes: int = 256,
+    on_overlap: str = "error",
+) -> dict[str, DataFrame]:
+    """INCREMENTAL UPDATE of the persisted residual IVF-PQ index: fold
+    a delta batch of vectors into an existing index WITHOUT touching
+    the base corpus or retraining — assign each delta vector to its
+    cell with the FROZEN coarse centroids, encode its residual with
+    the FROZEN codebook (``residual_ann_index_encode_delta``), and
+    union the (cand_id, centroid_id, s, code) rows into the codes
+    table. Because cell assignment and encoding are pure per-vector
+    functions of the frozen quantizers (the ll63 per-document-artifact
+    property, here per-vector), the folded codes table is IDENTICAL to
+    encoding base ∪ delta from scratch against the same quantizers —
+    so the fold is exact, associative (update(update(I, d1), d2) ==
+    update(I, d1 ∪ d2), pinned by test), and O(delta) per day.
+    Quantizer drift is the re-train trigger, not a fold (the ll104
+    re-curate discipline): ``ann_index_recall_probe`` emits the
+    recall@k signal per snapshot version.
+
+    Exactness requires delta ids disjoint from the already-encoded
+    set; ``on_overlap`` ("error" raises eagerly / "skip" anti-joins
+    lazily for idempotent replay) enforces it — see
+    ``residual_ann_index_encode_delta``. Refuses an index whose meta
+    stamp disagrees with the fold's parameters (same guard as the
+    probe). Returns the updated frames dict (cents/codebook/meta
+    unchanged, codes unioned)."""
+    delta_codes = residual_ann_index_encode_delta(
+        index, delta, m=m, dim=dim, code_mod=code_mod, id_col=id_col,
+        vec_col=vec_col, round_digits=round_digits,
+        train_iters=train_iters, train_mod=train_mod,
+        max_codes=max_codes, on_overlap=on_overlap,
+    )
     return {
-        "cents": cents,
-        "codebook": codebook,
+        "cents": index["cents"],
+        "codebook": index["codebook"],
         "codes": index["codes"].unionByName(delta_codes),
         "meta": index["meta"],
     }
@@ -1690,6 +1769,62 @@ def residual_ann_index_topk(
         .where(F.col("sim").isNotNull())
     )
     return _ranked(scored, k)
+
+
+def ann_index_recall_probe(
+    queries: DataFrame,
+    candidates: DataFrame,
+    index: dict[str, DataFrame],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    **probe_params,
+) -> DataFrame:
+    """QUANTIZER-DRIFT DETECTOR (VERDICT r10 item 3 — the ll104
+    detector discipline applied to the ANN tier): per probe query,
+    recall@k of the persisted index's ADC answer against exact
+    brute-force cosine over the same candidates. The incremental fold
+    (``residual_ann_index_update``) is exact w.r.t. its FROZEN
+    quantizers, so fold arithmetic never degrades — what degrades is
+    the quantizers' FIT as folded deltas drift away from the base
+    training distribution (coarse cells stop separating the new mass,
+    residual codebooks mis-span it). The documented re-train trigger
+    is precisely "recall decay on a probe set"; this emits that
+    signal per index snapshot, from a BOUNDED probe sample (queries
+    should be tens-to-hundreds of rows — the exact pass is
+    |probe| × |candidates| narrow broadcast work, the same sampled-
+    baseline contract as ll52, run once per snapshot version, not per
+    user query).
+
+    ``probe_params`` forward to ``residual_ann_index_topk`` (must
+    match the index's meta stamp — the guard raises otherwise).
+    Returns (query_id, hits, recall_at_k) per probe query; the caller
+    alerts on the aggregate dropping below its re-train threshold."""
+    exact = brute_force_topk(
+        queries, candidates, k=k, id_col=id_col, vec_col=vec_col,
+        round_digits=round_digits,
+    ).select("query_id", "cand_id")
+    approx = residual_ann_index_topk(
+        queries, index, k=k, id_col=id_col, vec_col=vec_col,
+        round_digits=round_digits, **probe_params,
+    ).select("query_id", "cand_id")
+    hits = (
+        exact.join(approx, ["query_id", "cand_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("h"))
+    )
+    return (
+        queries.select(F.col(id_col).alias("query_id"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("h"), F.lit(0)).cast("bigint").alias("hits"),
+            (F.coalesce(F.col("h"), F.lit(0)) / F.lit(float(k)))
+            .cast("double")
+            .alias("recall_at_k"),
+        )
+    )
 
 
 def semantic_decontaminate(

@@ -194,43 +194,60 @@ _GREEN_R09 = (
 )
 
 
-_BANKED_GREEN = frozenset(
-    _GREEN_R04_AND_EARLIER + _GREEN_R05 + _GREEN_R06 + _GREEN_R07
-    + _GREEN_R09
+# The 50 rows the r10 window attested hash-green (CORRECTNESS_r10 —
+# the 5 r10-new + the similarity tier re-attested after the default
+# flip + the stalest r01/r02 rechecks). Freshest bank: the banked
+# spillover visits these LAST (VERDICT r10 item 6).
+_GREEN_R10 = (
+    "ll100_incremental_curation", "ll104_component_bridges",
+    "ll105_ann_index_persisted", "ll106_ann_index_delta_update",
+    "ll12_ivf_ann_topk", "ll15_train_test_split", "ll16_ngram_vocab",
+    "ll17_window_byte_stats", "ll18_stratified_sample",
+    "ll19_sequence_packing", "ll20_decontaminate", "ll22_user_sequences",
+    "ll23_dedup_clusters", "ll2_lang_id", "ll3_fingerprint",
+    "ll41_audio_features", "ll42_semantic_dedup",
+    "ll43_gopher_quality_rules", "ll49_pq_ann_topk", "ll4_dedup_exact",
+    "ll50_kmeans_clusters", "ll52_ann_recall", "ll54_contrastive_pairs",
+    "ll55_semantic_decontaminate", "ll60_ivfpq_ann_topk",
+    "ll79_ivfpq_trained_topk", "ll7_simhash_pairs",
+    "ll94_curation_pipeline", "ll95_residual_ivfpq_topk",
+    "ll96_semantic_dedup_sized", "ll97_decontaminate_sized",
+    "ll99_curation_funnel", "o1_sort_in_group", "o2_grouped_ewma",
+    "p7_json_extract", "p8_null_safe_join", "p9_try_cast",
+    "s10_schema_merge_scan", "s11_sorted_clustered_write",
+    "s13_dynamic_partition_overwrite", "s7_scan_json_roundtrip",
+    "s8_sink_parquet_partitioned", "s9_bucketed_colocated_join",
+    "ss21_streaming_incremental_curation", "ss22_streaming_ann_ingest",
+    "u1_union_all", "u2_rebalance", "x1_salted_agg",
+    "x3_salted_skew_join", "x4_zorder_clustered_scan",
 )
 
 
-# Queries NEW or touched this round (round 10): the three new
-# operators (ll104 bridge detector, ll105 persisted ANN index, ss21
-# streaming day-N curation), the similarity tier whose DEFAULTS
-# flipped to the scale-safe grain (ll42/ll55 now pin cells="centroid"
-# explicitly, ll60 pins centroid_mod="sqrt", ll12/ll52/ll54 pin
-# centroid_mod=25, ll49 gained the max_codes codebook cap + oracle
-# term, ll96/ll97 are the tier the bare default now routes to,
-# ll79/ll95 run through the new _coarse_cells resolver), the kmeans
-# training-sample bound (ll50/ll79/ll95), and the minhash-oracle
-# cutoff re-threading (ll94/ll99/ll100).
+_BANKED_GREEN = frozenset(
+    _GREEN_R04_AND_EARLIER + _GREEN_R05 + _GREEN_R06 + _GREEN_R07
+    + _GREEN_R09 + _GREEN_R10
+)
+
+
+# Queries NEW or touched this round (round 11): the four new
+# operators (ll107 trained-grain incremental ANN fold, ll108
+# quantizer-drift recall probe, ll109 bridge-triggered re-curation,
+# ss23 streaming trained-grain ANN ingest with O(delta) codes writes),
+# plus the rows whose code paths this round touched: the fold overlap
+# guard (ll106/ss22), the O(delta) state-fold write path and per-batch
+# idempotency (ss21/ll100), and the persisted-index build ll107 reuses
+# (ll105).
 _NEW_THIS_ROUND = (
+    "ll107_ann_index_delta_trained",
+    "ll108_ann_recall_drift",
+    "ll109_bridge_recuration",
+    "ss23_streaming_ann_ingest_trained",
+    "ll106_ann_index_delta_update",
+    "ss22_streaming_ann_ingest",
+    "ss21_streaming_incremental_curation",
+    "ll100_incremental_curation",
     "ll104_component_bridges",
     "ll105_ann_index_persisted",
-    "ll106_ann_index_delta_update",
-    "ss21_streaming_incremental_curation",
-    "ss22_streaming_ann_ingest",
-    "ll42_semantic_dedup",
-    "ll55_semantic_decontaminate",
-    "ll60_ivfpq_ann_topk",
-    "ll96_semantic_dedup_sized",
-    "ll97_decontaminate_sized",
-    "ll12_ivf_ann_topk",
-    "ll49_pq_ann_topk",
-    "ll52_ann_recall",
-    "ll54_contrastive_pairs",
-    "ll50_kmeans_clusters",
-    "ll79_ivfpq_trained_topk",
-    "ll95_residual_ivfpq_topk",
-    "ll94_curation_pipeline",
-    "ll99_curation_funnel",
-    "ll100_incremental_curation",
 )
 
 
@@ -240,22 +257,13 @@ _NEW_THIS_ROUND = (
 # — older than the VERDICT's r06 estimate. Oldest-first; the window
 # takes what fits after the new tier and r11 continues from the cut.
 _RECHECK_OLDEST = (
-    # last attested r01
-    "ll15_train_test_split", "ll16_ngram_vocab",
-    "ll17_window_byte_stats", "ll18_stratified_sample",
-    "ll19_sequence_packing", "ll20_decontaminate",
-    "ll22_user_sequences", "ll23_dedup_clusters", "ll2_lang_id",
-    "ll3_fingerprint", "ll4_dedup_exact", "ll7_simhash_pairs",
-    "p8_null_safe_join",
-    # last attested r02
-    "o1_sort_in_group", "o2_grouped_ewma", "p7_json_extract",
-    "p9_try_cast", "s10_schema_merge_scan", "s11_sorted_clustered_write",
-    "s13_dynamic_partition_overwrite", "s7_scan_json_roundtrip",
-    "s8_sink_parquet_partitioned", "s9_bucketed_colocated_join",
-    "u1_union_all", "u2_rebalance", "x1_salted_agg",
-    "x3_salted_skew_join", "x4_zorder_clustered_scan",
+    # Rebuilt for r11 from the ACTUAL cumulative record (max green
+    # round per query across CORRECTNESS_r01..r10): after r10's sweep
+    # re-attested every r01/r02-stale row, the oldest attestations are
+    # 38 rows last green in the r03 window and 43 in r05. Oldest-first;
+    # the window takes what fits after the new tier and r12 continues
+    # from the cut.
     # last attested r03
-    "ll41_audio_features", "ll43_gopher_quality_rules",
     "ll44_video_frame_stats", "ll45_incremental_dedup",
     "ll46_winnowing_overlap", "ll47_unicode_normalize",
     "ll48_token_runs_udtf", "ll51_ngram_span_coverage",
@@ -275,6 +283,25 @@ _RECHECK_OLDEST = (
     "sql8_tpch_q18_shared_text", "sql9_tpch_q19_shared_text",
     "ss10_snapshot_dedup_ingest", "ss11_transform_with_state",
     "ss12_late_data_drop",
+    # last attested r05
+    "b25_running_distinct", "b26_funnel_stages", "c7_naive_bayes_langid",
+    "c8_logistic_irls", "g10_scc_event_types", "g8_two_hop_reach",
+    "g9_personalized_pagerank", "j12_pit_join", "ll24_fuzzy_match",
+    "ll25_bpe_token_count", "ll26_corpus_datacard", "ll27_source_overlap",
+    "ll28_tfidf_topterms", "ll29_repetition_signals",
+    "ll32_unigram_logprob", "ll35_mixture_sample", "ll36_epoch_shuffle",
+    "ll61_containment_pairs", "ll62_bpe_merges",
+    "ll63_incremental_dedup_persisted", "ll64_quality_calibration",
+    "ll65_cross_doc_substrings", "ll66_bpe_encode",
+    "ll67_cluster_quality_keeper", "ll68_duplication_profile",
+    "ll69_perplexity_buckets", "ll70_leakage_safe_split",
+    "ll71_temperature_sample", "ll72_minhash_calibration",
+    "ll73_bigram_lm_score", "ll74_soft_dedup_weights", "ll75_frame_dedup",
+    "ll77_cell_silhouette", "ll80_kneser_ney_score", "o8_twap",
+    "sql18_tpch_q2_shared_text", "sql19_tpch_q9_shared_text",
+    "sql20_tpch_q11_shared_text", "sql21_tpch_q16_shared_text",
+    "sql22_tpch_q20_shared_text", "ss17_dynamic_session_window",
+    "ss18_streaming_neardup_probe", "x5_skew_profile",
 )
 
 
@@ -304,10 +331,10 @@ def _rotated() -> list[str]:
     ]
     # oldest-greened first: the window spillover after the front tiers
     # re-attests the rows whose last driver check is most stale. Rows
-    # re-attested in the r09 window (_GREEN_R09) are skipped in the
-    # first-green tiers and appended LAST — last-attested order, not
-    # first-green order, is what makes the spillover insurance work.
-    r09 = frozenset(_GREEN_R09)
+    # re-attested in the r09/r10 windows are skipped in the first-green
+    # tiers and appended LAST — last-attested order, not first-green
+    # order, is what makes the spillover insurance work.
+    fresh = frozenset(_GREEN_R09) | frozenset(_GREEN_R10)
     banked = [
         k
         for k in (
@@ -316,9 +343,14 @@ def _rotated() -> list[str]:
             *_GREEN_R06,
             *_GREEN_R07,
         )
-        if k in QUERIES and k not in seen and k not in r09
+        if k in QUERIES and k not in seen and k not in fresh
     ]
-    banked += [k for k in _GREEN_R09 if k in QUERIES and k not in seen]
+    r10 = frozenset(_GREEN_R10)
+    banked += [
+        k for k in _GREEN_R09
+        if k in QUERIES and k not in seen and k not in r10
+    ]
+    banked += [k for k in _GREEN_R10 if k in QUERIES and k not in seen]
     # The no-oracle tail (c1_als_completion, c4_c5_svm_train_predict,
     # c2b_dimsum_corr_edges, x2_sketch_aggs) can never be hash-green —
     # their values are optimizer-/sampling-dependent by design (SURVEY

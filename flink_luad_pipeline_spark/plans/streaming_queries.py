@@ -915,6 +915,105 @@ def ss22_streaming_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ss23_oracle() -> str:
+    from .llm_queries import _LL107_ORACLE
+
+    return _LL107_ORACLE
+
+
+@query("ss23_streaming_ann_ingest_trained", oracle=_ss23_oracle())
+def ss23_streaming_ann_ingest_trained(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING ANN ingest at the PRODUCTION grain (VERDICT r10 items
+    1+2): ss22's foreachBatch fold re-pointed at ll107's trained
+    fixed-k artifacts, with the write path a daily pipeline can
+    actually afford — each micro-batch encodes its vectors against the
+    FROZEN quantizers (``residual_ann_index_encode_delta``) and writes
+    ONLY those rows as a batch-keyed codes partition
+    (codes_b{batch_id}.parquet); the index's codes table is the
+    multi-path read of base + all batch partitions, so nothing
+    corpus-sized is ever rewritten: O(delta·k) fold compute, O(delta)
+    fold WRITE (ss22's versioned wholesale codes_v{n} rewrite is
+    O(state) per batch — the documented contrast).
+
+    Idempotent per batch_id (ADVICE r10 low, the at-least-once
+    caveat): a retried batch overwrites ITS OWN partition file
+    (mode=overwrite on the batch-keyed path — never a file any plan
+    lazily reads, since the partition joins the read list only after
+    its write commits), and ``on_overlap='skip'`` makes the encode
+    anti-join away rows an earlier attempt already folded — replay
+    contributes zero duplicate rows either way.
+
+    Same determinism as ss22: the fold is a pure per-vector function
+    of frozen quantizers and associative, so the folded index — hence
+    the probe answer — is identical under ANY micro-batching. The
+    oracle is ll107's verbatim."""
+    import shutil
+
+    from ..catalog import load
+    from ..operators import clustering, similarity
+    from .relational_queries import sink_path
+
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.where(F.col("vec_id") % 5 != 0)
+    delta = emb.where(F.col("vec_id") % 5 == 0)
+    n = next(_COUNTER)
+    cents = clustering.kmeans_fit(base, k=8, iters=3).select(
+        F.col("cid").alias("centroid_id"), F.col("cv").alias("centv")
+    )
+    frames = similarity.residual_ann_index_frames(
+        base, centroids=cents, train_iters=2, train_mod=4
+    )
+    root = sink_path(f"ss23_index_{n}", sf_dir)
+    # ss21's stale-run guard, extended to the batch partitions: a
+    # previous process's codes_b* files under a colliding root would
+    # otherwise be invisible-but-present on disk
+    shutil.rmtree(root, ignore_errors=True)
+    for name_, df_ in frames.items():
+        df_.write.mode("overwrite").parquet(f"{root}/{name_}.parquet")
+    index = {
+        name_: spark.read.parquet(f"{root}/{name_}.parquet")
+        for name_ in frames
+    }
+    feed = sink_path(f"ss23_feed_{n}", sf_dir)
+    shutil.rmtree(f"{feed}_chk", ignore_errors=True)
+    delta.write.mode("overwrite").parquet(feed)
+    schema = spark.read.parquet(feed).schema
+    stream = spark.readStream.schema(schema).parquet(feed)
+
+    state = {"code_paths": [f"{root}/codes.parquet"]}
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        cur = dict(index, codes=spark.read.parquet(*state["code_paths"]))
+        dc = similarity.residual_ann_index_encode_delta(
+            cur, batch_df, train_iters=2, train_mod=4, on_overlap="skip"
+        )
+        path = f"{root}/codes_b{batch_id}.parquet"
+        dc.write.mode("overwrite").parquet(path)
+        if path not in state["code_paths"]:
+            state["code_paths"].append(path)
+
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", f"{feed}_chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    folded = dict(index, codes=spark.read.parquet(*state["code_paths"]))
+    out = similarity.residual_ann_index_topk(
+        emb.where(F.col("vec_id") < 5), folded, k=10,
+        train_iters=2, train_mod=4,
+    )
+    return out.select(
+        "query_id",
+        "cand_id",
+        F.col("sim").cast("double").alias("sim"),
+        "rank",
+    )
+
+
 def ss21_components(spark: SparkSession, sf_dir: str) -> dict:
     """Bench decomposition of ss21 (the ss18/ll100 device): the
     headline row conflates the one-time DAY-0 state build with the

@@ -252,6 +252,13 @@ INTENTIONAL_CARTESIAN = {
                               # the base build, the delta fold, and the
                               # probe (the ll105 shape plus one O(delta)
                               # assignment pass)
+    "ll107_ann_index_delta_trained",  # ll105's k-row trained-centroid
+                              # broadcast (kmeans assignment, base build,
+                              # delta encode, probe cell choice, exact
+                              # q·c term) — the production fold grain
+    "ll108_ann_recall_drift",  # composes ll8's brute-force probe baseline
+                              # (bounded |probe|×corpus, the thing being
+                              # measured against) with ll107's chain
 }
 
 
