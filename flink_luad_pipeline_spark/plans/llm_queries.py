@@ -6293,17 +6293,67 @@ def _ll100_day_n(
     return fr
 
 
+def _ll100_state_reads(
+    spark: SparkSession, root: str | list[str]
+) -> dict[str, DataFrame]:
+    """Read the six state artifacts from a single state root OR a
+    LIST of roots (day-0 root + one O(delta) fold root per absorbed
+    batch — the VERDICT r10 item 2 write path). Multi-root semantics
+    per frame:
+
+      fps/sh/banded/docs/feats — plain multi-file reads: each fold
+        root holds only that batch's rows, disjoint from every prior
+        root by construction (fps because stage 2 anti-joined the
+        state before the fold kept d2's fingerprints; the doc-keyed
+        frames because doc ids are monotone), so the bag union of the
+        parquet directories IS the set union.
+      grams — an APPEND-LOG of additive (g, nd) partial counts (each
+        fold root carries the delta's own distinct-doc counts);
+        aggregated to one row per gram at read. Single-root states
+        skip the aggregation — the artifact is already one row per
+        gram, and ll100's registered plan stays byte-identical.
+
+    The pre-aggregation shuffles on ``g``, the same key the consumer
+    (excise_repeated_spans' snapshot join) hashes on — Catalyst reuses
+    the exchange, so the log costs one partial-agg pass, not an extra
+    corpus shuffle. Periodic ``_ll100_compact_state`` bounds the log
+    length."""
+    roots = [root] if isinstance(root, str) else list(root)
+
+    def rd(name: str) -> DataFrame:
+        return spark.read.parquet(*[f"{r}/{name}.parquet" for r in roots])
+
+    grams = rd("grams")
+    if len(roots) > 1:
+        grams = grams.groupBy("g").agg(
+            F.sum("nd").cast("bigint").alias("nd")
+        )
+    return {
+        "fps": rd("fps"),
+        "sh": rd("sh"),
+        "banded": rd("banded"),
+        "grams": grams,
+        "docs": rd("docs"),
+        "feats": rd("feats"),
+    }
+
+
 def _ll100_day_n_over(
-    spark: SparkSession, delta: DataFrame, root: str, state_max_id: int
+    spark: SparkSession,
+    delta: DataFrame,
+    root: str | list[str],
+    state_max_id: int,
 ) -> dict:
     """The day-N incremental pass over an ARBITRARY delta batch against
-    the state at ``root`` — factored out of ``_ll100_day_n`` so the
-    streaming twin (ss21) can run one micro-batch at a time through
-    the identical code path. ``state_max_id`` is the largest doc id
-    the state has absorbed (the fixture's ``t`` on day N=1; the
-    previous batch's max thereafter) — the monotone-ids invariant
-    makes ``doc_b <= state_max_id`` the state-vs-batch split for the
-    CC sentencing and the packing continuation."""
+    the state at ``root`` (a single day-0 root or the multi-root list
+    of an O(delta)-folded state — ``_ll100_state_reads``) — factored
+    out of ``_ll100_day_n`` so the streaming twin (ss21) can run one
+    micro-batch at a time through the identical code path.
+    ``state_max_id`` is the largest doc id the state has absorbed (the
+    fixture's ``t`` on day N=1; the previous batch's max thereafter) —
+    the monotone-ids invariant makes ``doc_b <= state_max_id`` the
+    state-vs-batch split for the CC sentencing and the packing
+    continuation."""
     from ..operators import graph
     from ..operators.importance import (
         dsir_doc_features,
@@ -6314,12 +6364,13 @@ def _ll100_day_n_over(
     t = state_max_id
 
     # ---- day-N: delta text + state parquet only from here on ----
-    fps = spark.read.parquet(f"{root}/fps.parquet")
-    sh_s = spark.read.parquet(f"{root}/sh.parquet")
-    banded_s = spark.read.parquet(f"{root}/banded.parquet")
-    gcounts = spark.read.parquet(f"{root}/grams.parquet")
-    base_docs = spark.read.parquet(f"{root}/docs.parquet")
-    feats_b = spark.read.parquet(f"{root}/feats.parquet")
+    st = _ll100_state_reads(spark, root)
+    fps = st["fps"]
+    sh_s = st["sh"]
+    banded_s = st["banded"]
+    gcounts = st["grams"]
+    base_docs = st["docs"]
+    feats_b = st["feats"]
 
     # stage 1: rule gate on the batch
     d1 = delta.join(
@@ -6530,18 +6581,23 @@ def ll100_updated_state_frames(
 
 
 def _ll100_fold_state(
-    spark: SparkSession, root: str, fr: dict
+    spark: SparkSession, root: str | list[str], fr: dict
 ) -> dict[str, DataFrame]:
-    """The O(delta) merge itself, over the day-N boundary frames ``fr``
-    and the state at ``root`` — factored out of
-    ``ll100_updated_state_frames`` so ss21's foreachBatch can fold each
-    micro-batch through the identical code path."""
+    """The O(delta) merge as MERGED FRAMES, over the day-N boundary
+    frames ``fr`` and the state at ``root`` — the fully-materialized
+    view ``ll100_updated_state_frames`` pins equal to a from-scratch
+    rebuild. NOTE the write-amplification caveat (VERDICT r10 item 2):
+    persisting THESE frames rewrites the whole state —
+    ``_ll100_fold_delta_frames`` is the O(delta)-WRITE path a daily
+    pipeline uses; this merged view remains for the equality contract
+    and for ``_ll100_compact_state``."""
+    st = _ll100_state_reads(spark, root)
     sh_d, banded_d = dedup.build_minhash_index(
         fr["d2"], "doc_id", "text", k=3
     )
     grams_d = dedup.gram_doc_counts(fr["d3"], "doc_id", "text", min_len=8)
     merged_grams = (
-        spark.read.parquet(f"{root}/grams.parquet")
+        st["grams"]
         .select("g", F.col("nd").alias("nd_base"))
         .join(
             grams_d.select("g", F.col("nd").alias("nd_delta")),
@@ -6559,21 +6615,71 @@ def _ll100_fold_state(
         )
     )
     return {
-        "fps": spark.read.parquet(f"{root}/fps.parquet")
-        .unionAll(fr["d1_fps"])
-        .distinct(),
-        "sh": spark.read.parquet(f"{root}/sh.parquet").unionByName(sh_d),
-        "banded": spark.read.parquet(f"{root}/banded.parquet").unionByName(
-            banded_d
-        ),
+        "fps": st["fps"].unionAll(fr["d1_fps"]).distinct(),
+        "sh": st["sh"].unionByName(sh_d),
+        "banded": st["banded"].unionByName(banded_d),
         "grams": merged_grams,
-        "docs": spark.read.parquet(f"{root}/docs.parquet").unionAll(
+        "docs": st["docs"].unionAll(
             fr["cleaned"].select("doc_id", "n_kept")
         ),
-        "feats": spark.read.parquet(f"{root}/feats.parquet").unionByName(
-            fr["feats_d"]
-        ),
+        "feats": st["feats"].unionByName(fr["feats_d"]),
     }
+
+
+def _ll100_fold_delta_frames(fr: dict) -> dict[str, DataFrame]:
+    """The O(delta)-WRITE state fold (VERDICT r10 item 2): the six
+    artifacts' DELTA INCREMENTS only, each derived from the day-N
+    boundary frames alone — a daily pipeline writes these as a new
+    fold root next to the existing state (``_ll100_state_reads`` reads
+    the union), so bytes written per day scale with the delta, never
+    with the accumulated corpus (persisting ``_ll100_fold_state``'s
+    merged frames rewrites ~100 TB of state per day at scale; this
+    writes the day's few GB):
+
+      fps    — d2's fingerprints: exactly the NEW set (stage 2 already
+               anti-joined the state and kept one doc per fp, so
+               d1_fps \\ state_fps == fps(d2) — union stays a set with
+               no distinct pass and no extra state probe)
+      sh/banded — the delta d2's index artifacts (pure per-document,
+               disjoint doc ids)
+      grams  — the delta d3's own distinct-doc counts, appended as
+               additive log rows (aggregated at read)
+      docs/feats — the delta survivors' rows (disjoint doc ids)
+
+    Equality with a from-scratch union rebuild is pinned in
+    tests/test_llm_ops.py (the multi-root read vs
+    ``_ll100_state_frames`` over the union), alongside the
+    bytes-scale-with-delta assertion."""
+    sh_d, banded_d = dedup.build_minhash_index(
+        fr["d2"], "doc_id", "text", k=3
+    )
+    return {
+        "fps": fr["d2"].select(
+            T.text_fingerprint(F.col("text")).alias("fp")
+        ),
+        "sh": sh_d,
+        "banded": banded_d,
+        "grams": dedup.gram_doc_counts(fr["d3"], "doc_id", "text", min_len=8),
+        "docs": fr["cleaned"].select("doc_id", "n_kept"),
+        "feats": fr["feats_d"],
+    }
+
+
+def _ll100_compact_state(
+    spark: SparkSession, root: str | list[str], new_root: str
+) -> str:
+    """Periodic COMPACTION of an O(delta)-folded multi-root state:
+    materialize the current state view (gram log aggregated, unions
+    flattened) into a single fresh root and return it. Bounds the
+    fold-root list length and the gram log; after the write commits,
+    the superseded roots are dead and the caller deletes them — the
+    retention/GC rule for fold roots (VERDICT r10 item 2). Writes to a
+    NEW root, never in place, so no plan ever reads a directory being
+    overwritten (the ss21 versioned-write discipline)."""
+    st = _ll100_state_reads(spark, root)
+    for name_, df_ in st.items():
+        df_.write.mode("overwrite").parquet(f"{new_root}/{name_}.parquet")
+    return new_root
 
 
 # ---------------------------------------------------------------------------

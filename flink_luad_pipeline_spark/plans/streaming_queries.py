@@ -761,13 +761,18 @@ def ss21_streaming_incremental_curation(
     (ss10/ss18/ss20 probe state; this one also FOLDS it): the day-N
     delta arrives as a file-source stream and each micro-batch runs
     the identical day-N code path (``_ll100_day_n_over``) against the
-    current persisted state, emits its curated batch, then folds its
-    artifacts into a NEW state version (``_ll100_fold_state`` — the
-    versioned-root write means a batch never overwrites parquet it is
-    lazily reading). This is the production daily shape: the "day" is
-    just a Trigger.AvailableNow run of a standing stream, and the
-    state the next day probes is already folded when the trigger
-    drains.
+    current persisted state, emits its curated batch to a batch-keyed
+    output partition, then appends ONLY its delta artifacts as a new
+    fold root (``_ll100_fold_delta_frames`` — O(delta) writes, VERDICT
+    r10 item 2; a root joins the multi-root read list only after its
+    writes commit, so a batch never overwrites parquet any live plan
+    reads, and a replayed batch_id is skipped or rewrites only its own
+    paths — the ADVICE r10 at-least-once fix). ``_ll100_compact_state``
+    periodically collapses the root list; superseded roots are then
+    dead and deletable (the fold-root retention rule). This is the
+    production daily shape: the "day" is just a Trigger.AvailableNow
+    run of a standing stream, and the state the next day probes is
+    already folded when the trigger drains.
 
     Determinism contract: under AvailableNow with no file cap the
     delta is ONE micro-batch, so the emitted rows equal ll100's day-N
@@ -783,7 +788,7 @@ def ss21_streaming_incremental_curation(
         _ll100_build_state,
         _ll100_day_n_over,
         _ll100_fixture,
-        _ll100_fold_state,
+        _ll100_fold_delta_frames,
     )
     from .relational_queries import sink_path
 
@@ -797,7 +802,7 @@ def ss21_streaming_incremental_curation(
     # the per-session counter restarts in every process, so a previous
     # RUN's sink/checkpoint can collide with this one: a stale
     # checkpoint makes AvailableNow treat the feed as already
-    # committed, and the append-mode output would accumulate across
+    # committed, and stale output/fold roots would accumulate across
     # runs — both observed; start from a clean slate instead
     import shutil
 
@@ -807,21 +812,36 @@ def ss21_streaming_incremental_curation(
     schema = spark.read.parquet(feed).schema
     stream = spark.readStream.schema(schema).parquet(feed)
 
-    state = {"root": state_root, "max_id": t}
+    state = {"roots": [state_root], "max_id": t}
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
+        # O(delta) state fold (VERDICT r10 item 2): the batch's day-N
+        # pass runs against the multi-root state view, emits its
+        # curated rows to a batch-keyed output partition, and appends
+        # ONLY its delta artifacts as a new fold root — bytes written
+        # per batch scale with the batch. Idempotent per batch_id
+        # (ADVICE r10 low): a replayed batch whose fold root already
+        # joined the list is skipped whole; a retry after PARTIAL
+        # writes rewrites its own output partition (overwrite) and its
+        # own fold root (rmtree + rewrite) — never a path any live
+        # plan reads, because the root joins the read list only after
+        # its writes commit.
+        delta_root = f"{state_root}_d{batch_id}"
+        if delta_root in state["roots"]:
+            return
         fr = _ll100_day_n_over(
-            spark, batch_df, state["root"], state["max_id"]
+            spark, batch_df, state["roots"], state["max_id"]
         )
-        fr["out"].write.mode("append").parquet(out_path)
-        merged = _ll100_fold_state(spark, state["root"], fr)
-        next_root = f"{state_root}_v{batch_id + 1}"
-        for name_, df_ in merged.items():
+        fr["out"].write.mode("overwrite").parquet(
+            f"{out_path}/batch={batch_id}"
+        )
+        shutil.rmtree(delta_root, ignore_errors=True)
+        for name_, df_ in _ll100_fold_delta_frames(fr).items():
             df_.write.mode("overwrite").parquet(
-                f"{next_root}/{name_}.parquet"
+                f"{delta_root}/{name_}.parquet"
             )
         mx = batch_df.agg(F.max("doc_id")).collect()[0][0]
-        state["root"] = next_root
+        state["roots"].append(delta_root)
         if mx is not None:
             state["max_id"] = max(state["max_id"], int(mx))
 
@@ -832,7 +852,7 @@ def ss21_streaming_incremental_curation(
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(out_path)
+    return spark.read.parquet(out_path).drop("batch")
 
 
 def _ss22_oracle() -> str:
@@ -1028,7 +1048,7 @@ def ss21_components(spark: SparkSession, sf_dir: str) -> dict:
         _ll100_build_state,
         _ll100_day_n_over,
         _ll100_fixture,
-        _ll100_fold_state,
+        _ll100_fold_delta_frames,
     )
     from .relational_queries import sink_path
 
@@ -1048,17 +1068,27 @@ def ss21_components(spark: SparkSession, sf_dir: str) -> dict:
     n_delta = spark.read.parquet(feed).count()
     schema = spark.read.parquet(feed).schema
 
-    state = {"root": state_root, "max_id": t}
+    state = {"roots": [state_root], "max_id": t}
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
-        fr = _ll100_day_n_over(spark, batch_df, state["root"], state["max_id"])
-        fr["out"].write.mode("append").parquet(out_path)
-        merged = _ll100_fold_state(spark, state["root"], fr)
-        next_root = f"{state_root}_v{batch_id + 1}"
-        for name_, df_ in merged.items():
-            df_.write.mode("overwrite").parquet(f"{next_root}/{name_}.parquet")
+        # ss21's O(delta) fold verbatim (the decomposition must time
+        # the production write path, not a rewrite)
+        delta_root = f"{state_root}_d{batch_id}"
+        if delta_root in state["roots"]:
+            return
+        fr = _ll100_day_n_over(
+            spark, batch_df, state["roots"], state["max_id"]
+        )
+        fr["out"].write.mode("overwrite").parquet(
+            f"{out_path}/batch={batch_id}"
+        )
+        shutil.rmtree(delta_root, ignore_errors=True)
+        for name_, df_ in _ll100_fold_delta_frames(fr).items():
+            df_.write.mode("overwrite").parquet(
+                f"{delta_root}/{name_}.parquet"
+            )
         mx = batch_df.agg(F.max("doc_id")).collect()[0][0]
-        state["root"] = next_root
+        state["roots"].append(delta_root)
         if mx is not None:
             state["max_id"] = max(state["max_id"], int(mx))
 

@@ -2086,6 +2086,67 @@ def test_incremental_state_update_equals_from_scratch(spark, sf_dir):
         assert rows(updated[key]) == rows(scratch[key]), key
 
 
+def test_state_fold_write_is_o_delta_and_exact(spark, sf_dir, tmp_path):
+    """VERDICT r10 item 2: the persisted-state fold's WRITE path must
+    be O(delta) — a fold writes only the batch's delta artifacts as a
+    new fold root (``_ll100_fold_delta_frames``), never a wholesale
+    state rewrite. Pins (a) bytes written per fold scale with the
+    delta (the fold root is a small fraction of the day-0 root, for a
+    ~20% delta), (b) the multi-root state VIEW equals the state built
+    from scratch over the union corpus — artifact by artifact, the
+    same bar as the merged-frames contract — and (c) compaction
+    collapses the root list without changing the view (after which the
+    superseded roots are dead: the retention rule)."""
+    from pathlib import Path
+
+    from flink_luad_pipeline_spark.plans.llm_queries import (
+        _ll100_build_state,
+        _ll100_compact_state,
+        _ll100_day_n_over,
+        _ll100_fixture,
+        _ll100_fold_delta_frames,
+        _ll100_state_frames,
+        _ll100_state_reads,
+    )
+
+    base, delta, t = _ll100_fixture(spark, sf_dir)
+    root = _ll100_build_state(
+        spark, base, sf_dir, root=str(tmp_path / "state")
+    )
+    fr = _ll100_day_n_over(spark, delta, root, t)
+    droot = str(tmp_path / "state_d0")
+    for name, df in _ll100_fold_delta_frames(fr).items():
+        df.write.mode("overwrite").parquet(f"{droot}/{name}.parquet")
+
+    def du(p):
+        return sum(
+            f.stat().st_size for f in Path(p).rglob("*") if f.is_file()
+        )
+
+    d_bytes, s_bytes = du(droot), du(root)
+    assert d_bytes < 0.6 * s_bytes, (
+        f"fold root wrote {d_bytes}B vs day-0 {s_bytes}B — not O(delta)"
+    )
+
+    def rows(df):
+        def norm(v):
+            return tuple(v) if isinstance(v, list) else v
+
+        return sorted(tuple(norm(c) for c in r) for r in df.collect())
+
+    scratch = _ll100_state_frames(base.unionAll(delta))
+    view = _ll100_state_reads(spark, [root, droot])
+    for key in ("fps", "banded", "grams", "docs", "feats", "sh"):
+        assert rows(view[key]) == rows(scratch[key]), key
+
+    croot = _ll100_compact_state(
+        spark, [root, droot], str(tmp_path / "compact")
+    )
+    compacted = _ll100_state_reads(spark, croot)
+    for key in ("fps", "grams", "docs"):
+        assert rows(compacted[key]) == rows(scratch[key]), f"compact:{key}"
+
+
 def test_learned_quality_scorer_beats_majority_class(spark, sf_dir):
     """ll101's point: the learned gate must actually LEARN — train
     agreement with the weak labels must beat the majority-class
