@@ -156,6 +156,7 @@ HEADLINE = [
     "ll107_ann_index_delta_trained",
     "ss23_streaming_ann_ingest_trained",
     "ll108_ann_recall_drift",
+    "ll109_bridge_recuration",
 ]
 
 

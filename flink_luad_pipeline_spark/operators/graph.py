@@ -999,3 +999,120 @@ def component_bridges(
         "n_base_components",
         (F.col("n_base_components") >= 2).alias("is_bridge"),
     )
+
+
+def recurate_bridged_components(
+    base_pairs: DataFrame,
+    base_labels: DataFrame,
+    cross_pairs: DataFrame,
+    delta_pairs: DataFrame,
+) -> DataFrame:
+    """BRIDGE-TRIGGERED RE-CURATION (VERDICT r10 item 7 — the action
+    half of ``component_bridges``' detect→escalate loop): recompute
+    the near-dup verdicts of every base component a day-N delta TOUCHES
+    by running connected components from scratch over the touched
+    slice's full union subgraph, and emit the corrected base verdicts.
+    The incremental day-N path (ll100) never retro-edits base state —
+    correct while no delta doc bridges two base components, but a
+    bridge MERGES components the frozen base dedup sentenced
+    independently: from-scratch over the union keeps only ONE of the
+    two day-0 keepers, while the frozen state keeps both. Re-curation
+    is the documented repair: scoped from-scratch, never an in-place
+    patch.
+
+    The slice is CLOSED under union-graph connectivity, so the scoped
+    labels equal the full from-scratch union labels on every emitted
+    doc (the ll100 equality device, scoped — pinned in tests):
+      - base-base edges leaving a touched component cannot exist (they
+        would have merged the components on day 0);
+      - any union path exits base only through a cross edge, whose
+        delta endpoint is linked — and a linked delta doc's ENTIRE
+        delta-delta component is in the slice, so pure-delta detours
+        re-enter base only through cross edges also in the slice.
+
+    Inputs (all already-computed day-0/day-N artifacts — nothing here
+    re-reads text): ``base_pairs`` (doc_a, doc_b) day-0 base pair
+    list (persistable next to the band index), ``base_labels``
+    (vertex, component) day-0 CC labels, ``cross_pairs``
+    (doc_id=delta, base_id) the day-N probe's delta→base rows,
+    ``delta_pairs`` (doc_a, doc_b) the day-N delta-delta rows.
+
+    Plan shape at 100 TB: everything is keyed equi-joins on the
+    already-bounded pair lists plus one CC loop over the touched
+    slice — O(touched + delta) per day, never O(base). Re-curating
+    every TOUCHED component (not only detected bridges) costs the
+    same order and makes the output a complete audit table: a row per
+    touched base doc with (component_day0, component_recurated,
+    kept_day0, kept_recurated) — bridged components are exactly the
+    rows where the two labels differ.
+
+    Returns (doc_id, component_day0, component_recurated, kept_day0,
+    kept_recurated) for every base doc in a touched component."""
+    lab = base_labels.select(
+        F.col(base_labels.columns[0]).alias("b_v"),
+        F.col(base_labels.columns[1]).alias("b_comp"),
+    )
+    cross = cross_pairs.select(
+        F.col("doc_id").alias("d_id"), F.col("base_id").alias("b_id")
+    )
+    # touched components: day-0 label of every cross edge's base
+    # endpoint (singletons label themselves — the component_bridges
+    # convention)
+    touched = (
+        cross.join(lab, F.col("b_id") == F.col("b_v"), "left")
+        .select(F.coalesce("b_comp", "b_id").alias("comp"))
+        .distinct()
+    )
+    # touched base docs: labeled members of touched components, plus
+    # cross-edge singletons (no day-0 pair, hence no label row)
+    tdocs = (
+        lab.join(touched, F.col("b_comp") == F.col("comp"), "left_semi")
+        .select(F.col("b_v").alias("doc_id"), F.col("b_comp").alias("comp0"))
+        .unionByName(
+            cross.select(F.col("b_id").alias("doc_id"))
+            .distinct()
+            .join(lab, F.col("doc_id") == F.col("b_v"), "left_anti")
+            .select("doc_id", F.col("doc_id").alias("comp0"))
+        )
+    )
+    # slice edges — base-base edges inside touched components ...
+    bedge = (
+        base_pairs.select("doc_a", "doc_b")
+        .join(lab, F.col("doc_a") == F.col("b_v"))
+        .join(touched, F.col("b_comp") == F.col("comp"), "left_semi")
+        .select("doc_a", "doc_b")
+    )
+    # ... every cross edge (its base endpoint is touched by
+    # definition) ...
+    xedge = cross.select(
+        F.col("b_id").alias("doc_a"), F.col("d_id").alias("doc_b")
+    )
+    # ... and the delta-delta edges of every LINKED delta component
+    # (whole components, so pure-delta detours stay inside the slice)
+    dd_cc = connected_components(delta_pairs, src="doc_a", dst="doc_b")
+    linked = cross.select(F.col("d_id").alias("vertex")).distinct()
+    slice_comps = (
+        dd_cc.join(linked, "vertex").select("component").distinct()
+    )
+    slice_v = (
+        dd_cc.join(slice_comps, "component", "left_semi")
+        .select(F.col("vertex").alias("doc_a"))
+    )
+    dedge = delta_pairs.select("doc_a", "doc_b").join(
+        slice_v, "doc_a", "left_semi"
+    )
+    merged = connected_components(
+        bedge.unionByName(xedge).unionByName(dedge),
+        src="doc_a",
+        dst="doc_b",
+    )
+    return (
+        tdocs.join(merged, tdocs["doc_id"] == merged["vertex"])
+        .select(
+            "doc_id",
+            F.col("comp0").cast("bigint").alias("component_day0"),
+            F.col("component").cast("bigint").alias("component_recurated"),
+            (F.col("doc_id") == F.col("comp0")).alias("kept_day0"),
+            (F.col("doc_id") == F.col("component")).alias("kept_recurated"),
+        )
+    )

@@ -6687,7 +6687,10 @@ def _ll100_compact_state(
 # production invariant gets its detector (VERDICT r9 item 3)
 # ---------------------------------------------------------------------------
 
-_LL104_ORACLE = _ll94_ctes(_ll100_aug_ctes(), minhash_cutoff=False) + (
+# Shared by ll104 (detector) and ll109 (re-curation): base-only
+# component labels + the delta->base cross rows, derived from the
+# union chain's `pairs` CTE.
+_LL104_CTES = (
     # base-only component labels: the union chain's `pairs` CTE
     # restricted to base-base rows (doc_a < doc_b <= t; base ids are
     # all <= t < every delta id — the fixture's monotone invariant),
@@ -6705,7 +6708,11 @@ _LL104_ORACLE = _ll94_ctes(_ll100_aug_ctes(), minhash_cutoff=False) + (
     " blab AS (SELECT v, min(lbl) AS component FROM breach GROUP BY v),"
     " cross0 AS (SELECT doc_b AS doc_id, doc_a AS base_id"
     "   FROM pairs, tsel WHERE doc_a <= t AND doc_b > t)"
-    " SELECT doc_id,"
+)
+
+_LL104_ORACLE = _ll94_ctes(_ll100_aug_ctes(), minhash_cutoff=False) + (
+    _LL104_CTES
+    + " SELECT doc_id,"
     " CAST(count(DISTINCT coalesce(l.component, c.base_id)) AS BIGINT)"
     "  AS n_base_components,"
     " count(DISTINCT coalesce(l.component, c.base_id)) >= 2 AS is_bridge"
@@ -6845,6 +6852,137 @@ def ll104_components(spark: SparkSession, sf_dir: str) -> dict:
         "day_n_s": round(day_n_s, 4),
         "delta_docs_with_base_neighbors": int(n_checked),
     }
+
+
+# ---------------------------------------------------------------------------
+# ll109 — bridge-triggered re-curation (the action half of ll104)
+# ---------------------------------------------------------------------------
+
+_LL109_ORACLE = _ll94_ctes(_ll100_aug_ctes(), minhash_cutoff=False) + (
+    _LL104_CTES
+    # delta-delta components (the ll100 day-N subgraph) ...
+    + ", dd AS (SELECT doc_a, doc_b FROM pairs, tsel WHERE doc_a > t),"
+    " ddsym AS (SELECT doc_a AS src, doc_b AS dst FROM dd"
+    "   UNION SELECT doc_b, doc_a FROM dd),"
+    " ddnodes AS (SELECT DISTINCT src AS v FROM ddsym),"
+    " ddreach(v, lbl) AS ("
+    "   SELECT v, v FROM ddnodes"
+    "   UNION"
+    "   SELECT s.dst, r.lbl FROM ddreach r JOIN ddsym s ON s.src = r.v),"
+    " ddlab AS (SELECT v, min(lbl) AS component FROM ddreach GROUP BY v),"
+    # ... the touched base components and the slice's edge set: base
+    # edges inside touched components, every cross edge, and the
+    # delta-delta edges of every linked delta component ...
+    " touched AS (SELECT DISTINCT coalesce(l.component, c.base_id) AS comp"
+    "   FROM cross0 c LEFT JOIN blab l ON l.v = c.base_id),"
+    " linked AS (SELECT DISTINCT doc_id FROM cross0),"
+    " sdd AS (SELECT DISTINCT component FROM ddlab"
+    "   JOIN linked ON ddlab.v = linked.doc_id),"
+    " sddv AS (SELECT v FROM ddlab"
+    "   WHERE component IN (SELECT component FROM sdd)),"
+    " bedge AS (SELECT b.doc_a AS src, b.doc_b AS dst FROM bb b"
+    "   JOIN blab l ON l.v = b.doc_a"
+    "   WHERE l.component IN (SELECT comp FROM touched)),"
+    " xedge AS (SELECT base_id AS src, doc_id AS dst FROM cross0),"
+    " dedge AS (SELECT doc_a AS src, doc_b AS dst FROM dd"
+    "   WHERE doc_a IN (SELECT v FROM sddv)),"
+    # ... the merged (re-curated) components over the closed slice ...
+    " medge AS (SELECT src, dst FROM bedge UNION SELECT src, dst FROM xedge"
+    "   UNION SELECT src, dst FROM dedge),"
+    " msym AS (SELECT src, dst FROM medge UNION SELECT dst, src FROM medge),"
+    " mnodes AS (SELECT DISTINCT src AS v FROM msym),"
+    " mreach(v, lbl) AS ("
+    "   SELECT v, v FROM mnodes"
+    "   UNION"
+    "   SELECT s.dst, r.lbl FROM mreach r JOIN msym s ON s.src = r.v),"
+    " mlab AS (SELECT v, min(lbl) AS mcomp FROM mreach GROUP BY v),"
+    # ... and the audit rows: every touched base doc (labeled members
+    # + cross-edge singletons), day-0 vs re-curated labels/verdicts
+    " tdocs AS (SELECT v AS doc_id, component AS comp0 FROM blab"
+    "   WHERE component IN (SELECT comp FROM touched)"
+    "  UNION SELECT DISTINCT base_id, base_id FROM cross0 c"
+    "   WHERE NOT EXISTS (SELECT 1 FROM blab l WHERE l.v = c.base_id))"
+    " SELECT td.doc_id, CAST(td.comp0 AS BIGINT) AS component_day0,"
+    "  CAST(m.mcomp AS BIGINT) AS component_recurated,"
+    "  td.doc_id = td.comp0 AS kept_day0,"
+    "  td.doc_id = m.mcomp AS kept_recurated"
+    " FROM tdocs td JOIN mlab m ON m.v = td.doc_id"
+)
+
+
+@query("ll109_bridge_recuration", oracle=_LL109_ORACLE)
+def ll109_bridge_recuration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BRIDGE-TRIGGERED RE-CURATION (VERDICT r10 item 7): the action
+    half of ll104's detect→escalate loop. ll100's incremental path
+    freezes base verdicts, which is exact until a delta doc BRIDGES
+    two independently-sentenced base components — from-scratch over
+    the union would then keep only one of the two day-0 keepers. The
+    documented repair is scoped re-curation, never an in-place patch:
+    rerun connected components from scratch over every TOUCHED base
+    component's slice of the union graph (base edges inside touched
+    components + all delta→base cross edges + the delta-delta edges of
+    every linked delta component — closed under union connectivity, so
+    the scoped labels EQUAL full from-scratch union labels on every
+    emitted doc; `operators/graph.recurate_bridged_components`
+    docstring carries the closure argument) and emit the corrected
+    verdicts per touched base doc: (component_day0,
+    component_recurated, kept_day0, kept_recurated).
+
+    On this corpus no delta doc bridges (ll104's all-false is_bridge
+    column — the ll100 fixture invariant), so every row re-curates to
+    itself — real per-doc values, value-checked; the planted-bridge
+    pytest (tests/test_llm_ops.py) shows the divergence case: plain
+    incremental keeps both day-0 keepers while incremental +
+    re-curation equals from-scratch, which demotes one.
+
+    Day-N cost: keyed equi-joins over the already-bounded pair lists
+    + one CC loop over the touched slice — O(touched + delta), never
+    O(base); the day-0 artifacts (band index, base pair list, labels)
+    are the same persistables as ll104's. Oracle: ll104's base-label
+    CTEs extended with the delta-delta closure, the slice edge set,
+    and the merged-label recursion — the whole re-curation is
+    value-checked in composition."""
+    from ..operators import graph
+
+    base, delta, t = _ll100_fixture(spark, sf_dir)
+    # day-0 artifacts (ll104's): stages 1-2, band index, pair list,
+    # component labels
+    b1 = base.join(
+        _gopher_signal_frame(base).where(_ll100_kept_pred()).select("doc_id"),
+        "doc_id",
+    ).withColumn("fp", T.text_fingerprint(F.col("text")))
+    b2 = (
+        b1.withColumn("kp", F.min("doc_id").over(W.partitionBy("fp")))
+        .where(F.col("doc_id") == F.col("kp"))
+        .select("doc_id", "text", "lang")
+        .localCheckpoint(eager=True)
+    )
+    sh_s, banded_s = dedup.build_minhash_index(b2, "doc_id", "text", k=3)
+    bpairs = dedup.minhash_lsh_pairs(
+        b2, "doc_id", "text", k=3, threshold=0.4, max_shingle_df=None
+    )
+    blab = graph.connected_components(bpairs, src="doc_a", dst="doc_b")
+    # day-N: delta stages 1-2, one index probe shared by the cross and
+    # delta-delta splits
+    d1 = delta.join(
+        _gopher_signal_frame(delta).where(_ll100_kept_pred()).select("doc_id"),
+        "doc_id",
+    ).withColumn("fp", T.text_fingerprint(F.col("text")))
+    d2 = (
+        d1.join(b1.select("fp").distinct(), "fp", "left_anti")
+        .withColumn("kp", F.min("doc_id").over(W.partitionBy("fp")))
+        .where(F.col("doc_id") == F.col("kp"))
+        .select("doc_id", "text", "lang")
+    )
+    pairs = dedup.minhash_incremental_pairs(
+        None, d2, "doc_id", "text", k=3, threshold=0.4,
+        snapshot_index=(sh_s, banded_s),
+    ).localCheckpoint(eager=True)
+    cross = pairs.where(F.col("doc_b") <= t).select(
+        F.col("doc_a").alias("doc_id"), F.col("doc_b").alias("base_id")
+    )
+    dd = pairs.where(F.col("doc_b") > t).select("doc_a", "doc_b")
+    return graph.recurate_bridged_components(bpairs, blab, cross, dd)
 
 
 # ---------------------------------------------------------------------------

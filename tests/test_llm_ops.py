@@ -2023,6 +2023,83 @@ def test_component_bridge_detector_fires_on_planted_bridge(spark):
     assert got[102] == (1, False), got
 
 
+def test_bridge_recuration_equals_from_scratch_where_incremental_diverges(
+    spark,
+):
+    """ll109's reason to exist (VERDICT r10 item 7): on a planted
+    bridge, PLAIN incremental curation keeps BOTH day-0 component
+    keepers (it never retro-edits base verdicts), while from-scratch
+    over the union keeps only the smaller one — and incremental +
+    re-curation must equal from-scratch on every touched base doc.
+    Same planted corpus as the detector test: base components {1,2}
+    and {3,4}, singleton 5; delta 100 bridges both components, 101
+    near-dups doc 1, 102 near-dups singleton 5."""
+    from flink_luad_pipeline_spark.operators import dedup, graph
+
+    xa = " ".join(f"alpha{i} token{i} word{i}" for i in range(12))
+    xb = " ".join(f"beta{i} item{i} gram{i}" for i in range(12))
+    xc = " ".join(f"solo{i} only{i} one{i}" for i in range(12))
+    base = spark.createDataFrame(
+        [(1, xa), (2, xa + " tail marker"), (3, xb),
+         (4, xb + " tail marker"), (5, xc)],
+        "doc_id long, text string",
+    )
+    delta = spark.createDataFrame(
+        [(100, xa + " " + xb), (101, xa + " small edit"),
+         (102, xc + " small edit")],
+        "doc_id long, text string",
+    )
+    sh, banded = dedup.build_minhash_index(
+        base, "doc_id", "text", k=3, bands=32
+    )
+    bpairs = dedup.minhash_lsh_pairs(
+        base, "doc_id", "text", k=3, threshold=0.4, max_shingle_df=None,
+        bands=32,
+    )
+    blab = graph.connected_components(bpairs, src="doc_a", dst="doc_b")
+    pairs = dedup.minhash_incremental_pairs(
+        None, delta, "doc_id", "text", k=3, threshold=0.4,
+        snapshot_index=(sh, banded), bands=32,
+    )
+    cross = pairs.where(F.col("doc_b") <= 5).select(
+        F.col("doc_a").alias("doc_id"), F.col("doc_b").alias("base_id")
+    )
+    dd = pairs.where(F.col("doc_b") > 5).select("doc_a", "doc_b")
+    out = {
+        r.doc_id: r
+        for r in graph.recurate_bridged_components(
+            bpairs, blab, cross, dd
+        ).collect()
+    }
+    # every touched base doc is audited: both bridged components
+    # ({1,2} via 100/101, {3,4} via 100) and the singleton 5 (via 102)
+    assert set(out) == {1, 2, 3, 4, 5}, sorted(out)
+    # from-scratch ground truth: CC over the full union pair graph
+    union_pairs = dedup.minhash_lsh_pairs(
+        base.unionAll(delta), "doc_id", "text", k=3, threshold=0.4,
+        max_shingle_df=None, bands=32,
+    )
+    scratch = {
+        r.vertex: r.component
+        for r in graph.connected_components(
+            union_pairs, src="doc_a", dst="doc_b"
+        ).collect()
+    }
+    for doc in (1, 2, 3, 4):
+        assert out[doc].component_recurated == scratch[doc], doc
+        assert out[doc].kept_recurated == (doc == scratch[doc]), doc
+    # the divergence itself: doc 3 was a day-0 keeper (kept_day0) that
+    # from-scratch DEMOTES once the bridge merges {1,2} with {3,4} —
+    # plain incremental would have kept it forever
+    assert out[3].kept_day0 is True and out[3].kept_recurated is False
+    assert out[3].component_day0 == 3 and out[3].component_recurated == 1
+    # the untouched-verdict rows: keeper 1 survives both, follower 2
+    # stays dropped, singleton 5 stays kept (102 can't outrank it)
+    assert out[1].kept_day0 and out[1].kept_recurated
+    assert not out[2].kept_day0 and not out[2].kept_recurated
+    assert out[5].kept_day0 and out[5].kept_recurated
+
+
 def test_incremental_curation_fixture_acts_and_continues_packing(
     spark, sf_dir
 ):
