@@ -3311,6 +3311,65 @@ def _ll107_folded_index(
     return emb, folded
 
 
+def ll107_components(spark: SparkSession, sf_dir: str) -> dict:
+    """Bench decomposition of ll107 (the ll104/ss21 device): the
+    registered row conflates the once-per-snapshot trained-index BUILD
+    (kmeans + residual Lloyd + full-corpus encode + parquet persist —
+    ll105's cost, the cap-knee term between sf0.1 and sf1) with the
+    RECURRING daily fold (delta encode against frozen quantizers + one
+    O(delta) partition write) and the per-batch probe. Times the three
+    separately — the recurring numbers are the production costs. Not a
+    registered query (reports timings); bench.py records it next to
+    ll107's headline row."""
+    import time as _time
+
+    from ..operators import clustering
+    from .relational_queries import sink_path
+
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.where(F.col("vec_id") % 5 != 0)
+    delta = emb.where(F.col("vec_id") % 5 == 0)
+    t0 = _time.perf_counter()
+    cents = clustering.kmeans_fit(base, k=8, iters=3).select(
+        F.col("cid").alias("centroid_id"), F.col("cv").alias("centv")
+    )
+    frames = similarity.residual_ann_index_frames(
+        base, centroids=cents, train_iters=2, train_mod=4
+    )
+    root = sink_path("ll107c_index", sf_dir)
+    for name_, df_ in frames.items():
+        df_.write.mode("overwrite").parquet(f"{root}/{name_}.parquet")
+    index = {
+        name_: spark.read.parquet(f"{root}/{name_}.parquet")
+        for name_ in frames
+    }
+    build_s = _time.perf_counter() - t0
+
+    t0 = _time.perf_counter()
+    similarity.residual_ann_index_encode_delta(
+        index, delta, train_iters=2, train_mod=4
+    ).write.mode("overwrite").parquet(f"{root}/codes_d1.parquet")
+    fold_s = _time.perf_counter() - t0
+
+    folded = dict(
+        index,
+        codes=spark.read.parquet(
+            f"{root}/codes.parquet", f"{root}/codes_d1.parquet"
+        ),
+    )
+    t0 = _time.perf_counter()
+    similarity.residual_ann_index_topk(
+        emb.where(F.col("vec_id") < 5), folded, k=10,
+        train_iters=2, train_mod=4,
+    ).toPandas()
+    probe_s = _time.perf_counter() - t0
+    return {
+        "build_s": round(build_s, 4),
+        "fold_s": round(fold_s, 4),
+        "probe_s": round(probe_s, 4),
+    }
+
+
 _LL108_ORACLE = (
     # the ll52 recall-metric device with the approx tier swapped for
     # ll107's persisted-index chain: both sides' oracle texts embedded

@@ -877,7 +877,16 @@ def ss22_streaming_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-vector function of the frozen quantizers and ASSOCIATIVE
     (ll106's pinned property), the folded index — hence the probe
     answer — is identical under ANY micro-batching, not just the
-    single-batch daily grain. The oracle is ll106's verbatim."""
+    single-batch daily grain. The oracle is ll106's verbatim.
+
+    Write-amplification note (VERDICT r10 items 1-2): each
+    codes_v{n} write here is a WHOLESALE rewrite of the codes table —
+    O(state) per batch — and a superseded codes_v{n-1} is dead the
+    moment the next version commits (the retention rule: delete it).
+    The production path is ss23: trained fixed-k grain, batch-keyed
+    O(delta) codes partitions, nothing superseded, nothing rewritten.
+    This row stays registered for the closed-form mod-grain oracle
+    contract."""
     import shutil
 
     from ..catalog import load
