@@ -1894,6 +1894,64 @@ def test_ann_index_fold_overlap_guard(spark, sf_dir):
     )
 
 
+def test_trained_fold_partition_accumulation_is_batching_invariant(
+    spark, sf_dir, tmp_path
+):
+    """ss23's O(delta) write path at the DataFrame+parquet level:
+    sequential per-batch codes partitions — each encoded against the
+    index VIEW including all prior partitions (exactly the foreachBatch
+    loop) — must accumulate to the one-shot fold's codes table, and
+    the probe over the multi-partition read must equal the probe over
+    the one-shot fold (the partition layout is invisible to the
+    answer). Exercises the encode→write→extend-read-list cycle the
+    streaming row drives, without streaming overhead."""
+    from flink_luad_pipeline_spark.operators import clustering
+
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.where(F.col("vec_id") % 5 != 0)
+    delta = emb.where(F.col("vec_id") % 5 == 0)
+    cents = clustering.kmeans_fit(base, k=8, iters=3).select(
+        F.col("cid").alias("centroid_id"), F.col("cv").alias("centv")
+    )
+    frames = similarity.residual_ann_index_frames(
+        base, centroids=cents, train_iters=2, train_mod=4
+    )
+    root = str(tmp_path / "idx")
+    for nm, df in frames.items():
+        df.write.mode("overwrite").parquet(f"{root}/{nm}.parquet")
+    index = {
+        nm: spark.read.parquet(f"{root}/{nm}.parquet") for nm in frames
+    }
+    # three id-split micro-batches partitioning the delta (multiples
+    # of 5 are ≡ 0, 5, 10 mod 15)
+    paths = [f"{root}/codes.parquet"]
+    for i, rem in enumerate((0, 5, 10)):
+        cur = dict(index, codes=spark.read.parquet(*paths))
+        dc = similarity.residual_ann_index_encode_delta(
+            cur, delta.where(F.col("vec_id") % 15 == rem),
+            train_iters=2, train_mod=4,
+        )
+        p = f"{root}/codes_b{i}.parquet"
+        dc.write.mode("overwrite").parquet(p)
+        paths.append(p)
+    multi = dict(index, codes=spark.read.parquet(*paths))
+    oneshot = similarity.residual_ann_index_update(
+        index, delta, train_iters=2, train_mod=4
+    )
+    assert sorted(map(tuple, multi["codes"].collect())) == sorted(
+        map(tuple, oneshot["codes"].collect())
+    )
+    qv = emb.where(F.col("vec_id") < 5)
+    a = similarity.residual_ann_index_topk(
+        qv, multi, k=10, train_iters=2, train_mod=4
+    ).collect()
+    b = similarity.residual_ann_index_topk(
+        qv, oneshot, k=10, train_iters=2, train_mod=4
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert a, "probe must return rows"
+
+
 def test_ann_recall_drift_detected_on_shifted_delta(spark):
     """ll108's reason to exist (VERDICT r10 item 3): the incremental
     fold is exact w.r.t. its frozen quantizers, so the failure mode is
