@@ -1771,6 +1771,31 @@ def residual_ann_index_topk(
     return _ranked(scored, k)
 
 
+def residual_ann_index_persist(
+    index: dict[str, DataFrame], root: str
+) -> dict[str, DataFrame]:
+    """Persist the four index frames to ``root`` and return the
+    re-read dict — the build-side persist AND the codes-partition
+    COMPACTION in one device: after many daily O(delta) folds (ss23's
+    batch-keyed partitions) the codes view is a long multi-path list
+    whose file-listing/footer overhead grows with the fold count;
+    persisting the CURRENT view to a fresh root rewrites it as one
+    bounded artifact set, after which the superseded partition files
+    are dead and deletable — the same retention rule as
+    ``_ll100_compact_state``. Always writes to a NEW root, never in
+    place, so no live plan ever reads a directory being overwritten
+    (the ss21 versioned-write discipline). Probe answers are
+    layout-invariant (pinned by test): compaction changes file
+    boundaries, never rows."""
+    spark = index["meta"].sparkSession
+    for name_, df_ in index.items():
+        df_.write.mode("overwrite").parquet(f"{root}/{name_}.parquet")
+    return {
+        name_: spark.read.parquet(f"{root}/{name_}.parquet")
+        for name_ in index
+    }
+
+
 def ann_index_recall_probe(
     queries: DataFrame,
     candidates: DataFrame,

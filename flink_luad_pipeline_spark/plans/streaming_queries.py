@@ -977,7 +977,10 @@ def ss23_streaming_ann_ingest_trained(
     Same determinism as ss22: the fold is a pure per-vector function
     of frozen quantizers and associative, so the folded index — hence
     the probe answer — is identical under ANY micro-batching. The
-    oracle is ll107's verbatim."""
+    oracle is ll107's verbatim. Partition-list growth is bounded by
+    periodic ``residual_ann_index_persist`` compaction (probe answers
+    are layout-invariant, pinned by test; superseded partition files
+    are then deletable — the fold-root retention rule)."""
     import shutil
 
     from ..catalog import load

@@ -1950,6 +1950,19 @@ def test_trained_fold_partition_accumulation_is_batching_invariant(
     ).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     assert a, "probe must return rows"
+    # compaction: persisting the accumulated view to a fresh root
+    # collapses the partition list without changing a single answer
+    # row (the _ll100_compact_state retention device for the ANN tier)
+    compact = similarity.residual_ann_index_persist(
+        multi, str(tmp_path / "compact")
+    )
+    c = similarity.residual_ann_index_topk(
+        qv, compact, k=10, train_iters=2, train_mod=4
+    ).collect()
+    assert sorted(map(tuple, c)) == sorted(map(tuple, a))
+    assert sorted(map(tuple, compact["codes"].collect())) == sorted(
+        map(tuple, multi["codes"].collect())
+    )
 
 
 def test_ann_recall_drift_detected_on_shifted_delta(spark):
