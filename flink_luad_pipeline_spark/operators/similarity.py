@@ -1783,11 +1783,29 @@ def residual_ann_index_persist(
     bounded artifact set, after which the superseded partition files
     are dead and deletable — the same retention rule as
     ``_ll100_compact_state``. Always writes to a NEW root, never in
-    place, so no live plan ever reads a directory being overwritten
-    (the ss21 versioned-write discipline). Probe answers are
-    layout-invariant (pinned by test): compaction changes file
-    boundaries, never rows."""
+    place — ENFORCED, not just promised (ADVICE r11): if any of the
+    index's lazy frames read files under ``root``, mode("overwrite")
+    would truncate parquet the write job is concurrently reading and
+    corrupt the index, so that call raises instead (the meta-stamp
+    guard's discipline). Probe answers are layout-invariant (pinned by
+    test): compaction changes file boundaries, never rows."""
+    import os
+
     spark = index["meta"].sparkSession
+    root_abs = os.path.abspath(root)
+    for name_, df_ in index.items():
+        for in_file in df_.inputFiles():
+            p = in_file[5:] if in_file.startswith("file:") else in_file
+            p = os.path.abspath(p)
+            if p == root_abs or p.startswith(root_abs + os.sep):
+                raise ValueError(
+                    "residual_ann_index_persist: frame"
+                    f" {name_!r} reads {in_file} under the target root"
+                    f" {root!r} — in-place compaction would truncate"
+                    " parquet while reading it; persist to a NEW root"
+                    " and delete the superseded one after the write"
+                    " commits"
+                )
     for name_, df_ in index.items():
         df_.write.mode("overwrite").parquet(f"{root}/{name_}.parquet")
     return {
@@ -1825,7 +1843,13 @@ def ann_index_recall_probe(
     ``probe_params`` forward to ``residual_ann_index_topk`` (must
     match the index's meta stamp — the guard raises otherwise).
     Returns (query_id, hits, recall_at_k) per probe query; the caller
-    alerts on the aggregate dropping below its re-train threshold."""
+    alerts on the aggregate dropping below its re-train threshold.
+    The denominator is least(k, that query's exact neighbor count)
+    (ADVICE r11): a probe query with fewer than k exact neighbors
+    (small candidate set, null-sim exclusions) can still reach recall
+    1.0, so the metric floor is not distribution-dependent near that
+    edge; a query with ZERO exact neighbors has no defined recall and
+    reads NULL."""
     exact = brute_force_topk(
         queries, candidates, k=k, id_col=id_col, vec_col=vec_col,
         round_digits=round_digits,
@@ -1834,6 +1858,7 @@ def ann_index_recall_probe(
         queries, index, k=k, id_col=id_col, vec_col=vec_col,
         round_digits=round_digits, **probe_params,
     ).select("query_id", "cand_id")
+    n_exact = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("ne"))
     hits = (
         exact.join(approx, ["query_id", "cand_id"])
         .groupBy("query_id")
@@ -1842,14 +1867,132 @@ def ann_index_recall_probe(
     return (
         queries.select(F.col(id_col).alias("query_id"))
         .join(hits, "query_id", "left")
+        .join(n_exact, "query_id", "left")
         .select(
             "query_id",
             F.coalesce(F.col("h"), F.lit(0)).cast("bigint").alias("hits"),
-            (F.coalesce(F.col("h"), F.lit(0)) / F.lit(float(k)))
+            (
+                F.coalesce(F.col("h"), F.lit(0))
+                # nullif: 0 exact neighbors -> NULL recall, never /0
+                / F.nullif(
+                    F.least(F.lit(k), F.coalesce(F.col("ne"), F.lit(0))),
+                    F.lit(0),
+                )
+            )
             .cast("double")
             .alias("recall_at_k"),
         )
     )
+
+
+def ann_index_retrain_on_drift(
+    queries: DataFrame,
+    candidates: DataFrame,
+    index: dict[str, DataFrame],
+    root: str,
+    threshold: float = 0.9,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    coarse_k: int = 8,
+    coarse_iters: int = 3,
+    m: int = 4,
+    dim: int = 64,
+    code_mod: int = 64,
+    train_iters: int = 0,
+    train_mod: int = 4,
+    max_codes: int = 256,
+    nprobe: int = 3,
+) -> dict:
+    """RE-TRAIN ON DRIFT — the ACTION half of the ANN detect→act loop
+    (VERDICT r11 item 1; ``ann_index_recall_probe`` is the detect
+    half, the ll104→ll109 asymmetry closed for the vector tier):
+
+      1. DETECT — probe recall@k of the live index against exact
+         brute-force over the bounded probe sample; take the mean
+         (one 1-row driver action, the documented once-per-snapshot
+         class).
+      2. DECIDE — if mean recall >= ``threshold`` the quantizers still
+         fit: return the index unchanged, report recall_after ==
+         recall_before, retrained=false. Nothing is written.
+      3. ACT — otherwise RE-TRAIN the quantizers over the CURRENT
+         corpus (base ∪ every folded delta — the distribution the old
+         base-trained quantizers drifted away from): fresh
+         sample-bounded coarse kmeans + residual Lloyd, every
+         candidate re-encoded, persisted to the fresh versioned
+         ``root`` via ``residual_ann_index_persist`` (never in place —
+         the enforced new-root rule; the superseded root is dead and
+         deletable after the write commits, the fold-root retention
+         rule), then re-probe the same sample so the report carries
+         recall RECOVERY as a recorded number.
+
+    Scale: detect/verify are the ll52 bounded-probe contract
+    (|probe| × corpus narrow broadcast work, once per snapshot); the
+    retrain is the ll105 build — O(N·k) assignment + sample-bounded
+    Lloyd + O(N) encode — paid only when the trigger fires, which at
+    100 TB is the rare distribution-shift event, never the daily fold.
+
+    Returns {"index": live index (retrained or original), "report":
+    DataFrame (query_id, recall_before, recall_after, retrained),
+    "retrained": bool, "recall_before_mean": float}."""
+    probe_params = dict(
+        m=m, dim=dim, code_mod=code_mod, train_iters=train_iters,
+        train_mod=train_mod, max_codes=max_codes, nprobe=nprobe,
+    )
+    before = ann_index_recall_probe(
+        queries, candidates, index, k=k, id_col=id_col, vec_col=vec_col,
+        round_digits=round_digits, **probe_params,
+    )
+    mean_before = before.agg(F.avg("recall_at_k")).collect()[0][0]
+    retrained = mean_before is not None and float(mean_before) < threshold
+    if not retrained:
+        report = before.select(
+            "query_id",
+            F.col("recall_at_k").alias("recall_before"),
+            F.col("recall_at_k").alias("recall_after"),
+            F.lit(False).alias("retrained"),
+        )
+        return {
+            "index": index,
+            "report": report,
+            "retrained": False,
+            "recall_before_mean": mean_before,
+        }
+    from . import clustering  # sibling operator module, lazy by convention
+
+    cents = clustering.kmeans_fit(
+        candidates, k=coarse_k, iters=coarse_iters, id_col=id_col,
+        vec_col=vec_col, round_digits=round_digits,
+    ).select(F.col("cid").alias("centroid_id"), F.col("cv").alias("centv"))
+    frames = residual_ann_index_frames(
+        candidates, centroids=cents, m=m, dim=dim, code_mod=code_mod,
+        id_col=id_col, vec_col=vec_col, round_digits=round_digits,
+        train_iters=train_iters, train_mod=train_mod, max_codes=max_codes,
+    )
+    new_index = residual_ann_index_persist(frames, root)
+    after = ann_index_recall_probe(
+        queries, candidates, new_index, k=k, id_col=id_col,
+        vec_col=vec_col, round_digits=round_digits, **probe_params,
+    )
+    report = (
+        before.select(
+            "query_id", F.col("recall_at_k").alias("recall_before")
+        )
+        .join(
+            after.select(
+                "query_id", F.col("recall_at_k").alias("recall_after")
+            ),
+            "query_id",
+        )
+        .withColumn("retrained", F.lit(True))
+    )
+    return {
+        "index": new_index,
+        "report": report,
+        "retrained": True,
+        "recall_before_mean": mean_before,
+    }
 
 
 def semantic_decontaminate(

@@ -259,6 +259,10 @@ INTENTIONAL_CARTESIAN = {
     "ll108_ann_recall_drift",  # composes ll8's brute-force probe baseline
                               # (bounded |probe|×corpus, the thing being
                               # measured against) with ll107's chain
+    "ll110_ann_retrain_on_drift",  # ll108's detect probe (brute-force
+                              # baseline + ll107 chain) plus the ll105
+                              # retrain build (k-row trained-centroid
+                              # broadcast) and its verify probe
 }
 
 
