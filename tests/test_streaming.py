@@ -139,3 +139,213 @@ def test_transform_with_state_totals(spark, sf_dir):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_ss23_gc_compacts_deletes_and_preserves_answer(spark):
+    """VERDICT r11 item 2 for the ANN ingest loop: drive ss23's REAL
+    foreachBatch fold at a multi-batch grain with the compact-then-
+    DELETE policy on, and assert (a) the codes-path list stays
+    bounded, (b) the superseded roots are GONE from disk, (c) the
+    manifest mirrors the live state, and (d) the probe answer equals
+    an uncompacted run over the identical feed/batching (compaction is
+    layout, never rows). Also pins the r11 retry hazard fix: replaying
+    an already-folded batch (its path pre-registered) is skipped whole
+    — paths and answer unchanged."""
+    import json
+    import os
+
+    from flink_luad_pipeline_spark.catalog import load
+    from flink_luad_pipeline_spark.operators import similarity
+    from flink_luad_pipeline_spark.plans.relational_queries import sink_path
+    from flink_luad_pipeline_spark.plans.streaming_queries import _ss23_drain
+
+    sf = "/root/testdata/sf0.001"
+    emb = load(spark, sf, "embeddings")
+    # one shared pre-written feed -> both runs see identical batches
+    feed = sink_path("ss23gc_feed", sf)
+    emb.where(F.col("vec_id") % 5 == 0).repartition(6).write.mode(
+        "overwrite"
+    ).parquet(feed)
+
+    def probe(state):
+        folded = dict(
+            state["index"],
+            codes=spark.read.parquet(*state["code_paths"]),
+        )
+        return similarity.residual_ann_index_topk(
+            emb.where(F.col("vec_id") < 5), folded, k=10,
+            train_iters=2, train_mod=4,
+        ).orderBy("query_id", "rank").collect()
+
+    gc = _ss23_drain(
+        spark, sf, compact_every=3, feed_path=feed, max_files_per_trigger=1
+    )
+    nogc = _ss23_drain(spark, sf, feed_path=feed, max_files_per_trigger=1)
+
+    assert len(nogc["state"]["code_paths"]) > 3  # the grain really is multi-batch
+    assert len(gc["state"]["code_paths"]) <= 3  # bounded by the policy
+    assert gc["state"]["gone"], "GC never fired"
+    for dead in gc["state"]["gone"]:
+        assert not os.path.exists(dead), f"superseded root survives: {dead}"
+    with open(gc["manifest"]) as fh:
+        man = json.load(fh)
+    assert man["root"] == gc["state"]["root"]
+    assert man["code_paths"] == gc["state"]["code_paths"]
+    assert probe(gc["state"]) == probe(nogc["state"])
+
+    # retry replay: re-deliver the last folded batch id — skipped whole
+    last_batch = max(gc["state"]["folded"])
+    paths_before = list(gc["state"]["code_paths"])
+    answer_before = probe(gc["state"])
+    gc["fold"](gc["delta"], last_batch)
+    assert gc["state"]["code_paths"] == paths_before
+    assert probe(gc["state"]) == answer_before
+
+
+def test_ss21_gc_bounds_roots_deletes_superseded_and_preserves_state(spark):
+    """VERDICT r11 item 2 for the curation loop: ss21's fold at a
+    multi-batch grain with compact-then-DELETE on — root list bounded,
+    superseded roots deleted from disk, manifest mirrors state, and
+    BOTH the curated output and the full materialized state view equal
+    an uncompacted run over the identical feed/batching."""
+    import json
+    import os
+
+    from flink_luad_pipeline_spark.plans.llm_queries import (
+        _ll100_fixture,
+        _ll100_state_reads,
+    )
+    from flink_luad_pipeline_spark.plans.relational_queries import sink_path
+    from flink_luad_pipeline_spark.plans.streaming_queries import _ss21_drain
+
+    sf = "/root/testdata/sf0.001"
+    _, delta, _ = _ll100_fixture(spark, sf)
+    feed = sink_path("ss21gc_feed", sf)
+    delta.repartition(5).write.mode("overwrite").parquet(feed)
+
+    gc = _ss21_drain(
+        spark, sf, compact_every=2, feed_path=feed, max_files_per_trigger=1
+    )
+    nogc = _ss21_drain(spark, sf, feed_path=feed, max_files_per_trigger=1)
+
+    assert len(nogc["state"]["roots"]) > 2  # multi-batch grain for real
+    assert len(gc["state"]["roots"]) <= 2  # bounded by the policy
+    assert gc["state"]["gone"], "GC never fired"
+    for dead in gc["state"]["gone"]:
+        assert not os.path.exists(dead), f"superseded root survives: {dead}"
+    with open(gc["manifest"]) as fh:
+        man = json.load(fh)
+    assert man["roots"] == gc["state"]["roots"]
+
+    out_a = sorted(map(tuple, gc["out"].collect()))
+    out_b = sorted(map(tuple, nogc["out"].collect()))
+    assert out_a == out_b
+    st_a = _ll100_state_reads(spark, gc["state"]["roots"])
+    st_b = _ll100_state_reads(spark, nogc["state"]["roots"])
+    assert set(st_a) == set(st_b)
+    for name in st_a:
+        ra = sorted(map(tuple, st_a[name].collect()))
+        rb = sorted(map(tuple, st_b[name].collect()))
+        assert ra == rb, f"state frame {name} diverged after GC"
+
+
+def test_ss23_manifest_resume_after_restart(spark):
+    """The manifest is READ, not just written (ADVICE r11): after a
+    simulated driver restart — checkpoint preserved, in-memory state
+    lost — the resumed drain rebuilds the index/path state from the
+    manifest, folds ONLY the new day's batches, and the final probe
+    equals a one-shot run over the full delta (the fold is associative
+    and pure per-vector, so any batching/restart split is exact)."""
+    from flink_luad_pipeline_spark.catalog import load
+    from flink_luad_pipeline_spark.operators import similarity
+    from flink_luad_pipeline_spark.plans.relational_queries import sink_path
+    from flink_luad_pipeline_spark.plans.streaming_queries import _ss23_drain
+
+    sf = "/root/testdata/sf0.001"
+    emb = load(spark, sf, "embeddings")
+    d1 = emb.where(F.col("vec_id") % 10 == 0)
+    d2 = emb.where((F.col("vec_id") % 5 == 0) & (F.col("vec_id") % 10 != 0))
+    feed = sink_path("ss23res_feed", sf)
+    d1.repartition(2).write.mode("overwrite").parquet(feed)
+
+    run1 = _ss23_drain(spark, sf, feed_path=feed, name="ss23res")
+    n_paths_day1 = len(run1["state"]["code_paths"])
+    assert run1["state"]["folded"]  # day 1 really folded something
+
+    # "restart": day-2 files appended, new process state, SAME
+    # checkpoint — committed day-1 batches must not replay
+    d2.repartition(2).write.mode("append").parquet(feed)
+    run2 = _ss23_drain(spark, sf, feed_path=feed, name="ss23res", resume=True)
+    assert run1["state"]["folded"] <= run2["state"]["folded"]
+    assert len(run2["state"]["folded"]) > len(run1["state"]["folded"])
+    # day-1 partitions came from the manifest, day-2 ones are new
+    assert len(run2["state"]["code_paths"]) > n_paths_day1
+
+    def probe(state):
+        folded = dict(
+            state["index"],
+            codes=spark.read.parquet(*state["code_paths"]),
+        )
+        return similarity.residual_ann_index_topk(
+            emb.where(F.col("vec_id") < 5), folded, k=10,
+            train_iters=2, train_mod=4,
+        ).orderBy("query_id", "rank").collect()
+
+    oneshot = _ss23_drain(spark, sf)  # full delta, one lifetime
+    assert probe(run2["state"]) == probe(oneshot["state"])
+
+
+def test_ss21_manifest_resume_after_restart(spark):
+    """ss21's restart story: day-2 resumes from the manifest (fold
+    roots + folded ids + max_id) with the checkpoint preserved, and
+    the two-lifetime output/state equal a single-process run that saw
+    the identical day-1-then-day-2 batch split."""
+    from flink_luad_pipeline_spark.plans.llm_queries import (
+        _ll100_fixture,
+        _ll100_state_reads,
+    )
+    from flink_luad_pipeline_spark.plans.relational_queries import sink_path
+    from flink_luad_pipeline_spark.plans.streaming_queries import _ss21_drain
+
+    sf = "/root/testdata/sf0.001"
+    _, delta, _ = _ll100_fixture(spark, sf)
+    mid = delta.approxQuantile("doc_id", [0.5], 0.0)[0]
+    d1 = delta.where(F.col("doc_id") <= mid)
+    d2 = delta.where(F.col("doc_id") > mid)
+
+    def write_feed(path):
+        d1.repartition(2).write.mode("overwrite").parquet(path)
+        d2.repartition(2).write.mode("append").parquet(path)
+
+    # two-lifetime run: day 1, "restart", day 2 via manifest resume
+    feed = sink_path("ss21res_feed", sf)
+    d1.repartition(2).write.mode("overwrite").parquet(feed)
+    run1 = _ss21_drain(
+        spark, sf, feed_path=feed, name="ss21res", max_files_per_trigger=2
+    )
+    assert run1["state"]["folded"] == {0}
+    d2.repartition(2).write.mode("append").parquet(feed)
+    run2 = _ss21_drain(
+        spark, sf, feed_path=feed, name="ss21res", resume=True,
+        max_files_per_trigger=2,
+    )
+    assert run2["state"]["folded"] == {0, 1}
+    assert len(run2["state"]["roots"]) == 3  # day-0 + two fold roots
+
+    # single-lifetime reference over the SAME d1-then-d2 batch split
+    # (oldest-files-first: d1's files carry earlier mtimes)
+    ref_feed = sink_path("ss21ref_feed", sf)
+    write_feed(ref_feed)
+    ref = _ss21_drain(
+        spark, sf, feed_path=ref_feed, name="ss21ref",
+        max_files_per_trigger=2,
+    )
+    assert sorted(map(tuple, run2["out"].collect())) == sorted(
+        map(tuple, ref["out"].collect())
+    )
+    st_a = _ll100_state_reads(spark, run2["state"]["roots"])
+    st_b = _ll100_state_reads(spark, ref["state"]["roots"])
+    for name in st_a:
+        ra = sorted(map(tuple, st_a[name].collect()))
+        rb = sorted(map(tuple, st_b[name].collect()))
+        assert ra == rb, f"state frame {name} diverged across restart"
