@@ -157,6 +157,11 @@ HEADLINE = [
     "ss23_streaming_ann_ingest_trained",
     "ll108_ann_recall_drift",
     "ll109_bridge_recuration",
+    # round 12 (VERDICT r11 item 1): the ACTION half of the ANN
+    # detect→act loop — detect recall decay, re-train quantizers over
+    # the union corpus, persist to a fresh versioned root, verify
+    # recovery (decomposed in ll110_components: build/detect/act)
+    "ll110_ann_retrain_on_drift",
 ]
 
 
@@ -203,10 +208,18 @@ def main() -> None:
         catalog.load(spark, sf_dir, t).count()
 
     calibration_first = _time_calibration(spark, sf_dir)
+    calibration_mid = None
+    mid_at = len(HEADLINE) // 2
 
     per_query: dict[str, float | None] = {}
     failed: list[str] = []
-    for name in HEADLINE:
+    for qi, name in enumerate(HEADLINE):
+        if qi == mid_at:
+            # third canary sample (VERDICT r11 item 7): host load is
+            # not constant across the ~20-minute sweep, so the
+            # normalization uses the MEDIAN of first/mid/last instead
+            # of the single first observation
+            calibration_mid = _time_calibration(spark, sf_dir)
         fn = queries[name]
         # full driver materialization via Arrow (toPandas): same
         # end-to-end semantics as collect() but batch-columnar transfer
@@ -245,6 +258,7 @@ def main() -> None:
         # drift across rounds = host/session baseline moved; _last >>
         # _first within a round = the session aged during the sweep
         "calibration_first_s": calibration_first,
+        "calibration_mid_s": calibration_mid,
         "calibration_last_s": calibration_last,
     }
     # Round-over-round comparability (VERDICT r3 item 5): the set grew
@@ -266,8 +280,20 @@ def main() -> None:
         # driver-recorded canary on this host class; idle runs read
         # 0.216-0.344). Unclamped on purpose: an idle-fast host scales
         # the subset UP the same way a loaded host scales it down.
+        # The canary is the MEDIAN of first/mid/last (VERDICT r11 item
+        # 7): a single first-observation sample made two same-code
+        # idle runs normalize ±20% apart — the median of three damps a
+        # transient spike at any one sample point. Still directional,
+        # not proportional (SCALE.md) — a recorded adjudication input,
+        # not a truth value.
+        canary = statistics.median(
+            c
+            for c in (calibration_first, calibration_mid, calibration_last)
+            if c is not None
+        )
+        out["calibration_median_s"] = round(canary, 4)
         out["r02_subset_normalized"] = round(
-            out["r02_subset_total"] * (0.293 / calibration_first), 4
+            out["r02_subset_total"] * (0.293 / canary), 4
         )
     if failed:
         out["failed"] = failed
@@ -356,6 +382,19 @@ def main() -> None:
             out["ll107_components"] = ll107_components(spark, sf_dir)
         except Exception as exc:
             print(f"bench: ll107 decomposition FAILED: {exc}", file=sys.stderr)
+    # ll110's headline row conflates the day-0 build it shares with
+    # ll107/ll108, the recurring DETECT probe, and the rare ACT path
+    # (retrain + persist + verify) — decompose so the per-snapshot
+    # detect cost and the on-trigger act cost are recorded numbers
+    if "ll110_ann_retrain_on_drift" in HEADLINE and not failed:
+        try:
+            from flink_luad_pipeline_spark.plans.llm_queries import (
+                ll110_components,
+            )
+
+            out["ll110_components"] = ll110_components(spark, sf_dir)
+        except Exception as exc:
+            print(f"bench: ll110 decomposition FAILED: {exc}", file=sys.stderr)
     if is_default_sf and not os.environ.get("SPARK_GRAFT_SKIP_SF1"):
         try:
             # _sf1_section stops the aged session and runs on a fresh
@@ -436,6 +475,10 @@ def _sf1_section(spark, queries, sf01_per_query) -> tuple[dict, object]:
         "ll107_ann_index_delta_trained",
         "ss23_streaming_ann_ingest_trained",
         "ll108_ann_recall_drift",
+        # ll110 = ll108's build+detect plus a retrain that REBUILDS
+        # the trained index over the union corpus — two cap-knee
+        # builds in one row; same sf10-probe protocol as the family
+        "ll110_ann_retrain_on_drift",
     }
     # warm the FRESH session the same way the sf0.1 section warms its
     # session (JVM, parquet footers, codegen) — without this the first

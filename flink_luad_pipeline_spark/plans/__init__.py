@@ -223,85 +223,105 @@ _GREEN_R10 = (
 )
 
 
+# The 50 rows the r11 window attested hash-green (CORRECTNESS_r11 —
+# the 4 r11-new + the 6 touched rows + the stalest r03/r05 rechecks).
+# Freshest bank: the banked spillover visits these LAST.
+_GREEN_R11 = (
+    "b25_running_distinct", "b26_funnel_stages",
+    "ll100_incremental_curation", "ll104_component_bridges",
+    "ll105_ann_index_persisted", "ll106_ann_index_delta_update",
+    "ll107_ann_index_delta_trained", "ll108_ann_recall_drift",
+    "ll109_bridge_recuration", "ll44_video_frame_stats",
+    "ll45_incremental_dedup", "ll46_winnowing_overlap",
+    "ll47_unicode_normalize", "ll48_token_runs_udtf",
+    "ll51_ngram_span_coverage", "o3_gap_fill_interpolate",
+    "o4_range_interval_window", "o5_rolling_zscore", "o6_ohlc_bars",
+    "o7_bar_momentum", "p10_variant_json", "p12_collated_aggregation",
+    "p13_parameterized_sql", "s12_orc_roundtrip", "s14_binaryfile_ingest",
+    "s15_xml_roundtrip", "s16_python_datasource_fixedwidth",
+    "s17_file_provenance", "s18_aggregate_pushdown_scan",
+    "sql10_tpch_q22_shared_text", "sql11_tpch_q4_shared_text",
+    "sql12_tpch_q7_shared_text", "sql13_tpch_q8_shared_text",
+    "sql14_tpch_q13_shared_text", "sql15_tpch_q15_shared_text",
+    "sql16_tpch_q21_shared_text", "sql2_tpch_q3_shared_text",
+    "sql3_tpch_q5_shared_text", "sql4_tpch_q10_shared_text",
+    "sql5_tpch_q6_shared_text", "sql6_tpch_q14_shared_text",
+    "sql7_tpch_q17_shared_text", "sql8_tpch_q18_shared_text",
+    "sql9_tpch_q19_shared_text", "ss10_snapshot_dedup_ingest",
+    "ss11_transform_with_state", "ss12_late_data_drop",
+    "ss21_streaming_incremental_curation", "ss22_streaming_ann_ingest",
+    "ss23_streaming_ann_ingest_trained",
+)
+
+
 _BANKED_GREEN = frozenset(
     _GREEN_R04_AND_EARLIER + _GREEN_R05 + _GREEN_R06 + _GREEN_R07
-    + _GREEN_R09 + _GREEN_R10
+    + _GREEN_R09 + _GREEN_R10 + _GREEN_R11
 )
 
 
-# Queries NEW or touched this round (round 11): the four new
-# operators (ll107 trained-grain incremental ANN fold, ll108
-# quantizer-drift recall probe, ll109 bridge-triggered re-curation,
-# ss23 streaming trained-grain ANN ingest with O(delta) codes writes),
-# plus the rows whose code paths this round touched: the fold overlap
-# guard (ll106/ss22), the O(delta) state-fold write path and per-batch
-# idempotency (ss21/ll100), and the persisted-index build ll107 reuses
-# (ll105).
+# Queries NEW or touched this round (round 12): the new ll110
+# re-train-on-drift action (VERDICT r11 item 1), ll108 whose recall
+# denominator became least(k, exact-count) on both sides (ADVICE r11),
+# and the three streaming folds whose code paths changed — ss21/ss23
+# gained compact-then-DELETE GC + manifests + the skip-whole replay
+# guard (VERDICT r11 items 2-3), ss22 switched its fold to the lazy
+# on_overlap='skip' (ADVICE r11).
 _NEW_THIS_ROUND = (
-    "ll107_ann_index_delta_trained",
+    "ll110_ann_retrain_on_drift",
     "ll108_ann_recall_drift",
-    "ll109_bridge_recuration",
     "ss23_streaming_ann_ingest_trained",
-    "ll106_ann_index_delta_update",
-    "ss22_streaming_ann_ingest",
     "ss21_streaming_incremental_curation",
-    "ll100_incremental_curation",
-    "ll104_component_bridges",
-    "ll105_ann_index_persisted",
+    "ss22_streaming_ann_ingest",
 )
 
 
-# Regression insurance, rebuilt for r10 from the ACTUAL cumulative
-# record (max green round per query across CORRECTNESS_r01..r09):
-# 13 rows were last attested in the r01 window, 15 in r02, 42 in r03
-# — older than the VERDICT's r06 estimate. Oldest-first; the window
-# takes what fits after the new tier and r11 continues from the cut.
+# Regression insurance, rebuilt each round from the ACTUAL cumulative
+# record (max green round per query across CORRECTNESS_r*.json), not
+# from the VERDICT's estimate — r10 found rows staler than estimated.
 _RECHECK_OLDEST = (
-    # Rebuilt for r11 from the ACTUAL cumulative record (max green
-    # round per query across CORRECTNESS_r01..r10): after r10's sweep
-    # re-attested every r01/r02-stale row, the oldest attestations are
-    # 38 rows last green in the r03 window and 43 in r05. Oldest-first;
-    # the window takes what fits after the new tier and r12 continues
-    # from the cut.
-    # last attested r03
-    "ll44_video_frame_stats", "ll45_incremental_dedup",
-    "ll46_winnowing_overlap", "ll47_unicode_normalize",
-    "ll48_token_runs_udtf", "ll51_ngram_span_coverage",
-    "o3_gap_fill_interpolate", "o4_range_interval_window",
-    "o5_rolling_zscore", "o6_ohlc_bars", "o7_bar_momentum",
-    "p10_variant_json", "p12_collated_aggregation",
-    "p13_parameterized_sql", "s12_orc_roundtrip",
-    "s14_binaryfile_ingest", "s15_xml_roundtrip",
-    "s16_python_datasource_fixedwidth", "s17_file_provenance",
-    "s18_aggregate_pushdown_scan", "sql10_tpch_q22_shared_text",
-    "sql11_tpch_q4_shared_text", "sql12_tpch_q7_shared_text",
-    "sql13_tpch_q8_shared_text", "sql14_tpch_q13_shared_text",
-    "sql15_tpch_q15_shared_text", "sql16_tpch_q21_shared_text",
-    "sql2_tpch_q3_shared_text", "sql3_tpch_q5_shared_text",
-    "sql4_tpch_q10_shared_text", "sql5_tpch_q6_shared_text",
-    "sql6_tpch_q14_shared_text", "sql7_tpch_q17_shared_text",
-    "sql8_tpch_q18_shared_text", "sql9_tpch_q19_shared_text",
-    "ss10_snapshot_dedup_ingest", "ss11_transform_with_state",
-    "ss12_late_data_drop",
+    # Rebuilt for r12 from CORRECTNESS_r01..r11: after r11's window
+    # re-attested the r03-stale tier, the oldest attestations are
+    # 41 rows last green in the r05 window, then 48 in r06, then 40 in
+    # r08. Oldest-first; the window takes what fits after the new tier
+    # and r13 continues from the cut.
     # last attested r05
-    "b25_running_distinct", "b26_funnel_stages", "c7_naive_bayes_langid",
-    "c8_logistic_irls", "g10_scc_event_types", "g8_two_hop_reach",
-    "g9_personalized_pagerank", "j12_pit_join", "ll24_fuzzy_match",
-    "ll25_bpe_token_count", "ll26_corpus_datacard", "ll27_source_overlap",
-    "ll28_tfidf_topterms", "ll29_repetition_signals",
-    "ll32_unigram_logprob", "ll35_mixture_sample", "ll36_epoch_shuffle",
-    "ll61_containment_pairs", "ll62_bpe_merges",
-    "ll63_incremental_dedup_persisted", "ll64_quality_calibration",
-    "ll65_cross_doc_substrings", "ll66_bpe_encode",
-    "ll67_cluster_quality_keeper", "ll68_duplication_profile",
-    "ll69_perplexity_buckets", "ll70_leakage_safe_split",
-    "ll71_temperature_sample", "ll72_minhash_calibration",
-    "ll73_bigram_lm_score", "ll74_soft_dedup_weights", "ll75_frame_dedup",
-    "ll77_cell_silhouette", "ll80_kneser_ney_score", "o8_twap",
-    "sql18_tpch_q2_shared_text", "sql19_tpch_q9_shared_text",
-    "sql20_tpch_q11_shared_text", "sql21_tpch_q16_shared_text",
-    "sql22_tpch_q20_shared_text", "ss17_dynamic_session_window",
-    "ss18_streaming_neardup_probe", "x5_skew_profile",
+    "c7_naive_bayes_langid", "c8_logistic_irls", "g10_scc_event_types",
+    "g8_two_hop_reach", "g9_personalized_pagerank", "j12_pit_join",
+    "ll24_fuzzy_match", "ll25_bpe_token_count", "ll26_corpus_datacard",
+    "ll27_source_overlap", "ll28_tfidf_topterms",
+    "ll29_repetition_signals", "ll32_unigram_logprob",
+    "ll35_mixture_sample", "ll36_epoch_shuffle", "ll61_containment_pairs",
+    "ll62_bpe_merges", "ll63_incremental_dedup_persisted",
+    "ll64_quality_calibration", "ll65_cross_doc_substrings",
+    "ll66_bpe_encode", "ll67_cluster_quality_keeper",
+    "ll68_duplication_profile", "ll69_perplexity_buckets",
+    "ll70_leakage_safe_split", "ll71_temperature_sample",
+    "ll72_minhash_calibration", "ll73_bigram_lm_score",
+    "ll74_soft_dedup_weights", "ll75_frame_dedup", "ll77_cell_silhouette",
+    "ll80_kneser_ney_score", "o8_twap", "sql18_tpch_q2_shared_text",
+    "sql19_tpch_q9_shared_text", "sql20_tpch_q11_shared_text",
+    "sql21_tpch_q16_shared_text", "sql22_tpch_q20_shared_text",
+    "ss17_dynamic_session_window", "ss18_streaming_neardup_probe",
+    "x5_skew_profile",
+    # last attested r06
+    "a1_defs_last_wins", "a2_dict_encode", "a3_probe_moments",
+    "a4_missing_cells", "a5_grouped_min", "a6_component_representative",
+    "a7_vector_assemble", "a8_distinct", "a9_count", "b27_median_mad",
+    "b28_trimmed_mean", "c9_pca_power_iteration", "g11_harmonic_centrality",
+    "j13_nearest_event_join", "j1_equi_join_flat", "j2_join_filter",
+    "j3_join_on_array", "ll76_jl_projection", "ll78_sq8_quantize",
+    "ll81_hashed_embeddings", "ll82_ngram_novelty", "ll83_char_entropy",
+    "ll84_signal_agreement", "ll85_vocab_coverage", "ll86_bpe_fertility",
+    "ll87_excise_repeated_spans", "ll88_cluster_balanced_sample",
+    "ll89_dsir_select", "ll91_concordance", "ll92_byte_histogram_arrow",
+    "ll93_filter_rule_ablation", "o10_max_drawdown", "o9_vwap",
+    "p1_project_tuple", "p2_filter_semi", "p3_filter_split",
+    "p4_flatmap_symmetrize", "p5_dict_decode", "p6_scalar_funcs",
+    "s19_corrupt_record_audit", "s1_scan_csv_defs", "s2_scan_csv_projected",
+    "s3_from_collection", "s4_sink_print", "s5_sink_csv_roundtrip",
+    "s6_sink_path_template", "ss19_streaming_dsir_gate",
+    "x6_observation_metrics",
 )
 
 
@@ -334,7 +354,9 @@ def _rotated() -> list[str]:
     # re-attested in the r09/r10 windows are skipped in the first-green
     # tiers and appended LAST — last-attested order, not first-green
     # order, is what makes the spillover insurance work.
-    fresh = frozenset(_GREEN_R09) | frozenset(_GREEN_R10)
+    fresh = (
+        frozenset(_GREEN_R09) | frozenset(_GREEN_R10) | frozenset(_GREEN_R11)
+    )
     banked = [
         k
         for k in (
@@ -345,12 +367,17 @@ def _rotated() -> list[str]:
         )
         if k in QUERIES and k not in seen and k not in fresh
     ]
-    r10 = frozenset(_GREEN_R10)
+    later = frozenset(_GREEN_R10) | frozenset(_GREEN_R11)
     banked += [
         k for k in _GREEN_R09
-        if k in QUERIES and k not in seen and k not in r10
+        if k in QUERIES and k not in seen and k not in later
     ]
-    banked += [k for k in _GREEN_R10 if k in QUERIES and k not in seen]
+    r11 = frozenset(_GREEN_R11)
+    banked += [
+        k for k in _GREEN_R10
+        if k in QUERIES and k not in seen and k not in r11
+    ]
+    banked += [k for k in _GREEN_R11 if k in QUERIES and k not in seen]
     # The no-oracle tail (c1_als_completion, c4_c5_svm_train_predict,
     # c2b_dimsum_corr_edges, x2_sketch_aggs) can never be hash-green —
     # their values are optimizer-/sampling-dependent by design (SURVEY
