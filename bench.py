@@ -280,20 +280,33 @@ def main() -> None:
         # driver-recorded canary on this host class; idle runs read
         # 0.216-0.344). Unclamped on purpose: an idle-fast host scales
         # the subset UP the same way a loaded host scales it down.
-        # The canary is the MEDIAN of first/mid/last (VERDICT r11 item
-        # 7): a single first-observation sample made two same-code
-        # idle runs normalize ±20% apart — the median of three damps a
-        # transient spike at any one sample point. Still directional,
-        # not proportional (SCALE.md) — a recorded adjudication input,
-        # not a truth value.
-        canary = statistics.median(
+        # The canary is now sampled FIRST/MID/LAST (VERDICT r11 item
+        # 7) and the triplet is recorded — but the normalization keeps
+        # the FIRST sample, not the median: the three samples are not
+        # exchangeable (mid/last run on a sweep-aged session and read
+        # a structurally faster ~0.13 s vs first's ~0.27 s on the same
+        # idle host — measured in two r12 runs), while the 0.293
+        # reference IS a first-sample, so a median-normalized number
+        # silently overcorrects ~2x (observed: 32.8 "normalized" from
+        # a 14.6 s subset). The median is emitted alongside as a pure
+        # observable, and canary_decoupled mechanizes the discard
+        # rule: when the triplet spreads beyond the aged-session band,
+        # load moved DURING the sweep and no normalization claim
+        # applies to this run.
+        samples = [
             c
             for c in (calibration_first, calibration_mid, calibration_last)
             if c is not None
+        ]
+        out["calibration_median_s"] = round(statistics.median(samples), 4)
+        # first vs the aged samples: >2.6x spread means the subset ran
+        # under load the later canaries no longer see (2.1x is the
+        # measured idle-host aging ratio 0.275/0.130, plus margin)
+        out["canary_decoupled"] = bool(
+            max(samples) / max(min(samples), 1e-9) > 2.6
         )
-        out["calibration_median_s"] = round(canary, 4)
         out["r02_subset_normalized"] = round(
-            out["r02_subset_total"] * (0.293 / canary), 4
+            out["r02_subset_total"] * (0.293 / calibration_first), 4
         )
     if failed:
         out["failed"] = failed
@@ -423,7 +436,9 @@ def main() -> None:
     }
     if isinstance(compact.get("sf1"), dict):
         compact["sf1"] = {
-            k: v for k, v in compact["sf1"].items() if k != "queries"
+            k: v
+            for k, v in compact["sf1"].items()
+            if k not in ("queries", "queries_cold")
         }
     print(json.dumps(compact, separators=(",", ":")))
 
@@ -502,7 +517,18 @@ def _sf1_section(spark, queries, sf01_per_query) -> tuple[dict, object]:
             prep["s9_bucketed_write_s"] = round(time.perf_counter() - t0, 4)
         except Exception as exc:
             print(f"bench: sf1 s9 staging FAILED: {exc}", file=sys.stderr)
+    # Two timed runs per query (VERDICT r11 item 4 — "factor computed
+    # over warmed rows"): the sf0.1 side times a median-of-3 AFTER a
+    # warmup run, but this section's historical one-COLD-run protocol
+    # let per-query first-run effects read as scale growth — p4
+    # materializes 11.8M rows at sf1 and its first Arrow transfer pays
+    # allocator/JIT warmup (measured 11.6 -> 7.0 -> 2.4 -> 2.1 s on an
+    # idle fresh session; the committed r11 artifact carried that 11x
+    # phantom). The WARM (second) run is the headline number and feeds
+    # the factor; the cold (first) run is kept per-query for
+    # cross-round continuity with the pre-r12 protocol.
     per_query: dict[str, float | None] = {}
+    per_query_cold: dict[str, float | None] = {}
     failed = []
     for name in HEADLINE:
         if name in sf1_skip:
@@ -510,17 +536,27 @@ def _sf1_section(spark, queries, sf01_per_query) -> tuple[dict, object]:
         try:
             t0 = time.perf_counter()
             queries[name](spark, sf1_dir).toPandas()
+            per_query_cold[name] = round(time.perf_counter() - t0, 4)
+            t0 = time.perf_counter()
+            queries[name](spark, sf1_dir).toPandas()
             per_query[name] = round(time.perf_counter() - t0, 4)
         except Exception as exc:
             print(f"bench: sf1 {name} FAILED: {exc}", file=sys.stderr)
             per_query[name] = None
+            per_query_cold.setdefault(name, None)
             failed.append(name)
     total = (
         None
         if failed
         else round(sum(v for v in per_query.values() if v is not None), 4)
     )
-    section = {"value": total, "unit": "sec", "queries": per_query, "sf": 1.0}
+    section = {
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "queries_cold": per_query_cold,
+        "sf": 1.0,
+    }
     if prep:
         section["prep"] = prep
     if sf1_skip:
@@ -528,7 +564,8 @@ def _sf1_section(spark, queries, sf01_per_query) -> tuple[dict, object]:
     if failed:
         section["failed"] = failed
     # growth factor over the COMMON query set (skipped queries excluded
-    # from BOTH sides, else the ratio is distorted)
+    # from BOTH sides, else the ratio is distorted); _cold is the
+    # pre-r12 one-cold-run protocol's number for cross-round continuity
     common = [
         n
         for n in per_query
@@ -538,6 +575,9 @@ def _sf1_section(spark, queries, sf01_per_query) -> tuple[dict, object]:
     if total is not None and base:
         section["scale_factor_vs_sf0.1"] = round(
             sum(per_query[n] for n in common) / base, 2
+        )
+        section["scale_factor_cold"] = round(
+            sum(per_query_cold[n] for n in common) / base, 2
         )
     return section, spark
 
