@@ -160,8 +160,11 @@ HEADLINE = [
     # round 12 (VERDICT r11 item 1): the ACTION half of the ANN
     # detect→act loop — detect recall decay, re-train quantizers over
     # the union corpus, persist to a fresh versioned root, verify
-    # recovery (decomposed in ll110_components: build/detect/act)
+    # recovery (decomposed in ll110_components: build/detect/act) —
+    # and the same arc run against the STREAMING-folded index (the
+    # post-drain snapshot-publish step of a standing ingest pipeline)
     "ll110_ann_retrain_on_drift",
+    "ss24_streaming_ann_retrain_gate",
 ]
 
 
@@ -492,8 +495,10 @@ def _sf1_section(spark, queries, sf01_per_query) -> tuple[dict, object]:
         "ll108_ann_recall_drift",
         # ll110 = ll108's build+detect plus a retrain that REBUILDS
         # the trained index over the union corpus — two cap-knee
-        # builds in one row; same sf10-probe protocol as the family
+        # builds in one row; same sf10-probe protocol as the family.
+        # ss24 is the same arc against the streaming-folded index.
         "ll110_ann_retrain_on_drift",
+        "ss24_streaming_ann_retrain_gate",
     }
     # warm the FRESH session the same way the sf0.1 section warms its
     # session (JVM, parquet footers, codegen) — without this the first

@@ -1904,6 +1904,7 @@ def ann_index_retrain_on_drift(
     train_mod: int = 4,
     max_codes: int = 256,
     nprobe: int = 3,
+    from_version: int = 1,
 ) -> dict:
     """RE-TRAIN ON DRIFT — the ACTION half of the ANN detect→act loop
     (VERDICT r11 item 1; ``ann_index_recall_probe`` is the detect
@@ -1934,7 +1935,9 @@ def ann_index_retrain_on_drift(
     100 TB is the rare distribution-shift event, never the daily fold.
 
     Returns {"index": live index (retrained or original), "report":
-    DataFrame (query_id, recall_before, recall_after, retrained),
+    DataFrame (query_id, index_version, recall_before, recall_after,
+    retrained) — index_version increments past ``from_version`` when
+    the act path ran (the versioned-root lineage a catalog records),
     "retrained": bool, "recall_before_mean": float}."""
     probe_params = dict(
         m=m, dim=dim, code_mod=code_mod, train_iters=train_iters,
@@ -1949,6 +1952,7 @@ def ann_index_retrain_on_drift(
     if not retrained:
         report = before.select(
             "query_id",
+            F.lit(from_version).cast("int").alias("index_version"),
             F.col("recall_at_k").alias("recall_before"),
             F.col("recall_at_k").alias("recall_after"),
             F.lit(False).alias("retrained"),
@@ -1985,7 +1989,13 @@ def ann_index_retrain_on_drift(
             ),
             "query_id",
         )
-        .withColumn("retrained", F.lit(True))
+        .select(
+            "query_id",
+            F.lit(from_version + 1).cast("int").alias("index_version"),
+            "recall_before",
+            "recall_after",
+            F.lit(True).alias("retrained"),
+        )
     )
     return {
         "index": new_index,

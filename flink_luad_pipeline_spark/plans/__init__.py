@@ -261,14 +261,17 @@ _BANKED_GREEN = frozenset(
 
 
 # Queries NEW or touched this round (round 12): the new ll110
-# re-train-on-drift action (VERDICT r11 item 1), ll108 whose recall
-# denominator became least(k, exact-count) on both sides (ADVICE r11),
-# and the three streaming folds whose code paths changed — ss21/ss23
-# gained compact-then-DELETE GC + manifests + the skip-whole replay
-# guard (VERDICT r11 items 2-3), ss22 switched its fold to the lazy
-# on_overlap='skip' (ADVICE r11).
+# re-train-on-drift action (VERDICT r11 item 1) and its streaming
+# twin ss24 (stream-fold → detect → retrain → verify, oracle =
+# ll110's verbatim), ll108 whose recall denominator became
+# least(k, exact-count) on both sides (ADVICE r11), and the three
+# streaming folds whose code paths changed — ss21/ss23 gained
+# compact-then-DELETE GC + manifests + restart-resume + the
+# skip-whole replay guard (VERDICT r11 items 2-3), ss22 switched its
+# fold to the lazy on_overlap='skip' (ADVICE r11).
 _NEW_THIS_ROUND = (
     "ll110_ann_retrain_on_drift",
+    "ss24_streaming_ann_retrain_gate",
     "ll108_ann_recall_drift",
     "ss23_streaming_ann_ingest_trained",
     "ss21_streaming_incremental_curation",

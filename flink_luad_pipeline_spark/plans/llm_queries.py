@@ -3449,6 +3449,9 @@ _LL110_ORACLE = (
     "  JOIN approx_a a ON a.query_id = e.query_id AND a.cand_id = e.cand_id"
     "  GROUP BY e.query_id)"
     " SELECT q.query_id,"
+    # index_version 2 = the act branch ran (from_version 1 + 1): the
+    # versioned-root lineage the report carries for the catalog
+    " CAST(2 AS INT) AS index_version,"
     " CAST(coalesce(hb.h, 0) / nullif(least(10, q.ne), 0) AS DOUBLE)"
     "  AS recall_before,"
     " CAST(coalesce(ha.h, 0) / nullif(least(10, q.ne), 0) AS DOUBLE)"
@@ -3472,7 +3475,9 @@ def ll110_ann_retrain_on_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     versioned root via ``residual_ann_index_persist`` (the enforced
     never-in-place rule; the superseded root is then dead and
     deletable), and re-probe — emitting per probe query
-    (recall_before, recall_after, retrained).
+    (index_version, recall_before, recall_after, retrained), the
+    version incremented past the probed snapshot's when the act
+    branch ran.
 
     On the synthetic near-orthogonal corpus PQ recall sits far below
     0.9 at every sf, so this registered row always exercises the FULL
@@ -3498,6 +3503,7 @@ def ll110_ann_retrain_on_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return res["report"].select(
         "query_id",
+        "index_version",
         F.col("recall_before").cast("double").alias("recall_before"),
         F.col("recall_after").cast("double").alias("recall_after"),
         "retrained",

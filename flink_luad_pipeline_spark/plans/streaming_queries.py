@@ -1295,6 +1295,62 @@ def ss23_streaming_ann_ingest_trained(
     )
 
 
+def _ss24_oracle() -> str:
+    from .llm_queries import _LL110_ORACLE
+
+    return _LL110_ORACLE
+
+
+@query("ss24_streaming_ann_retrain_gate", oracle=_ss24_oracle())
+def ss24_streaming_ann_retrain_gate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """THE DETECT→ACT LOOP IN THE STREAMING RUNTIME — the last cell of
+    the matrix: batch detect (ll108) / batch act (ll110) / streaming
+    fold (ss23) / and now streaming detect→act. After the day's
+    AvailableNow drain folds the delta through ss23's per-batch
+    O(delta) writes, the snapshot's recall@10 is probed against exact
+    brute-force (ll108's detector over the STREAMING-folded index),
+    and a breach of the production target triggers ll110's retrain:
+    quantizers re-fit over base ∪ folded corpus, re-encoded into a
+    fresh versioned root, re-probed — the post-drain step a standing
+    ingest pipeline runs before publishing the day's snapshot version.
+
+    The oracle is ll110's VERBATIM: the streaming fold is associative
+    and a pure per-vector function of the frozen quantizers (ss23's
+    pinned property), so the streaming-folded index — hence the
+    detect probe, the retrain trigger, and the retrained index — is
+    identical to the batch chain's at any micro-batching. One
+    registered row value-checks the full stream-fold → detect →
+    retrain → verify arc in composition.
+
+    Scale: the drain is ss23's (O(delta·k) fold compute, O(delta)
+    writes, compact-then-DELETE GC policy); the detect/verify probes
+    are ll52's bounded-sample contract, once per snapshot version;
+    the retrain is paid only on a recall breach — the rare
+    distribution-shift event."""
+    from ..operators import similarity
+    from .relational_queries import sink_path
+
+    r = _ss23_drain(spark, sf_dir, name="ss24")
+    state = r["state"]
+    folded = dict(
+        state["index"], codes=spark.read.parquet(*state["code_paths"])
+    )
+    res = similarity.ann_index_retrain_on_drift(
+        r["emb"].where(F.col("vec_id") < 5), r["emb"], folded,
+        root=sink_path("ss24_index_v2", sf_dir),
+        threshold=0.9, k=10, train_iters=2, train_mod=4,
+    )
+    return res["report"].select(
+        "query_id",
+        "index_version",
+        F.col("recall_before").cast("double").alias("recall_before"),
+        F.col("recall_after").cast("double").alias("recall_after"),
+        "retrained",
+    )
+
+
 def ss21_components(spark: SparkSession, sf_dir: str) -> dict:
     """Bench decomposition of ss21 (the ss18/ll100 device): the
     headline row conflates the one-time DAY-0 state build with the

@@ -2423,6 +2423,7 @@ def test_ann_retrain_on_drift_recovers_recall(spark, tmp_path):
     assert after >= 0.25, f"retrain did not recover recall: {after}"
     assert after >= before + 0.1, f"no material recovery: {before}->{after}"
     assert bool(rep["retrained"].all())
+    assert (rep["index_version"] == 2).all()  # act branch bumped the version
 
     # decision branch: recall above threshold -> NO retrain, no write
     noop_root = str(tmp_path / "should_not_exist")
@@ -2435,6 +2436,7 @@ def test_ann_retrain_on_drift_recovers_recall(spark, tmp_path):
     rep2 = res2["report"].toPandas()
     assert (rep2["recall_before"] == rep2["recall_after"]).all()
     assert not rep2["retrained"].any()
+    assert (rep2["index_version"] == 1).all()  # no-op keeps the version
 
 
 def test_ann_index_persist_refuses_in_place_compaction(spark, sf_dir, tmp_path):

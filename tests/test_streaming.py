@@ -349,3 +349,26 @@ def test_ss21_manifest_resume_after_restart(spark):
         ra = sorted(map(tuple, st_a[name].collect()))
         rb = sorted(map(tuple, st_b[name].collect()))
         assert ra == rb, f"state frame {name} diverged across restart"
+
+
+def test_ss24_streaming_retrain_gate_matches_batch_arc(spark):
+    """ss24 = the detect→act loop run against the STREAMING-folded
+    index. Because ss23's fold is associative and pure per-vector, the
+    whole arc must equal ll110's batch chain row-for-row — the
+    registered oracle asserts it against DuckDB; this pins it engine-
+    internally (and the retrain branch firing on the synthetic
+    corpus's sub-threshold recall)."""
+    from flink_luad_pipeline_spark.plans.llm_queries import (
+        ll110_ann_retrain_on_drift,
+    )
+    from flink_luad_pipeline_spark.plans.streaming_queries import (
+        ss24_streaming_ann_retrain_gate,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = sorted(map(tuple, ss24_streaming_ann_retrain_gate(spark, sf).collect()))
+    b = sorted(map(tuple, ll110_ann_retrain_on_drift(spark, sf).collect()))
+    assert a == b
+    assert a, "empty report"
+    # retrain branch fired (versioned past the probed snapshot)
+    assert all(r[1] == 2 and r[4] is True for r in a)
