@@ -372,3 +372,201 @@ def test_ss24_streaming_retrain_gate_matches_batch_arc(spark):
     assert a, "empty report"
     # retrain branch fired (versioned past the probed snapshot)
     assert all(r[1] == 2 and r[4] is True for r in a)
+
+
+def test_ss25_publish_swaps_manifest_deletes_v1_day2_folds_v2(spark):
+    """THE TWO-DAY SNAPSHOT HANDOFF (VERDICT r12 item 1): day-1's
+    drain breaches recall and retrains; the publish swaps the drain's
+    manifest to the v2 root (index_version 1 → 2, durable BEFORE the
+    GC) and DELETES the superseded v1 root; day-2 resumes from the
+    manifest with the preserved checkpoint — nothing replays, the feed
+    is not rewritten (ADVICE r12), and the fresh delta folds against
+    the RETRAINED v2 quantizers into a batch-keyed partition under the
+    v2 root. The day-2 probe equals the batch chain over the same
+    corpus (v2 index + batch-side encode of delta2)."""
+    import json
+    import os
+
+    from flink_luad_pipeline_spark.operators import similarity
+    from flink_luad_pipeline_spark.plans.relational_queries import sink_path
+    from flink_luad_pipeline_spark.plans.streaming_queries import (
+        _publish_retrained_snapshot,
+        _ss23_drain,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = load(spark, sf, "embeddings")
+
+    day1 = _ss23_drain(
+        spark, sf, name="ss25t", delta_pred=F.col("vec_id") % 10 == 0
+    )
+    state = day1["state"]
+    v1_root = state["root"]
+    feed_files_day1 = sorted(os.listdir(day1["feed"]))
+    folded = dict(
+        state["index"], codes=spark.read.parquet(*state["code_paths"])
+    )
+    corpus1 = emb.where(
+        (F.col("vec_id") % 5 != 0) | (F.col("vec_id") % 10 == 0)
+    )
+    v2_root = sink_path("ss25t_index_v2", sf)
+    res = similarity.ann_index_retrain_on_drift(
+        emb.where(F.col("vec_id") < 5), corpus1, folded,
+        root=v2_root, threshold=0.9, k=10, train_iters=2, train_mod=4,
+    )
+    assert res["retrained"]  # synthetic corpus sits far below 0.9
+    _publish_retrained_snapshot(state, day1["manifest"], res, v2_root)
+
+    # the swap is durable and versioned; the superseded root is GONE
+    with open(day1["manifest"]) as fh:
+        man = json.load(fh)
+    assert man["root"] == v2_root
+    assert man["code_paths"] == [f"{v2_root}/codes.parquet"]
+    assert man["index_version"] == 2
+    assert state["index_version"] == 2
+    assert not os.path.exists(v1_root), "superseded v1 root survives"
+
+    # day 2: fresh delta lands in the same feed; resume reads the
+    # manifest and folds against the PUBLISHED v2 quantizers
+    delta2 = emb.where(
+        (F.col("vec_id") % 5 == 0) & (F.col("vec_id") % 10 != 0)
+    )
+    delta2.repartition(2).write.mode("append").parquet(day1["feed"])
+    day2 = _ss23_drain(spark, sf, name="ss25t", resume=True)
+    st2 = day2["state"]
+    # resume did NOT rewrite the feed: day-1's part files are intact
+    files_after = sorted(os.listdir(day2["feed"]))
+    assert set(feed_files_day1) <= set(files_after)
+    assert st2["index_version"] == 2
+    assert st2["root"] == v2_root
+    new_paths = [
+        p for p in st2["code_paths"] if p != f"{v2_root}/codes.parquet"
+    ]
+    assert new_paths, "day-2 never folded"
+    assert all(p.startswith(f"{v2_root}/codes_b") for p in new_paths)
+    assert len(st2["folded"]) > len(state["folded"])
+
+    # day-2 probe == batch chain: v2 index + batch encode of delta2
+    final = dict(
+        st2["index"], codes=spark.read.parquet(*st2["code_paths"])
+    )
+    got = (
+        similarity.residual_ann_index_topk(
+            emb.where(F.col("vec_id") < 5), final, k=10,
+            train_iters=2, train_mod=4,
+        )
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    v2 = {
+        n: spark.read.parquet(f"{v2_root}/{n}.parquet")
+        for n in ("cents", "codebook", "codes", "meta")
+    }
+    d2_codes = similarity.residual_ann_index_encode_delta(
+        v2, delta2, train_iters=2, train_mod=4
+    )
+    expected = dict(v2, codes=v2["codes"].unionByName(d2_codes))
+    want = (
+        similarity.residual_ann_index_topk(
+            emb.where(F.col("vec_id") < 5), expected, k=10,
+            train_iters=2, train_mod=4,
+        )
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    assert got == want
+
+
+def test_ss25_publish_noop_when_recall_holds(spark):
+    """The no-trigger branch of the publish: when the detect probe
+    does NOT breach, nothing was retrained, and the publish must be a
+    strict no-op — manifest byte-identical, v1 root intact, version
+    unchanged."""
+    import os
+    import shutil
+
+    from flink_luad_pipeline_spark.operators import similarity
+    from flink_luad_pipeline_spark.plans.relational_queries import sink_path
+    from flink_luad_pipeline_spark.plans.streaming_queries import (
+        _publish_retrained_snapshot,
+        _ss23_drain,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = load(spark, sf, "embeddings")
+    day1 = _ss23_drain(
+        spark, sf, name="ss25n", delta_pred=F.col("vec_id") % 10 == 0
+    )
+    state = day1["state"]
+    v1_root = state["root"]
+    with open(day1["manifest"]) as fh:
+        man_before = fh.read()
+    folded = dict(
+        state["index"], codes=spark.read.parquet(*state["code_paths"])
+    )
+    v2_root = sink_path("ss25n_index_v2", sf)
+    shutil.rmtree(v2_root, ignore_errors=True)  # stale prior-run root
+    # threshold 0.0: any recall holds -> the decide step says no
+    res = similarity.ann_index_retrain_on_drift(
+        emb.where(F.col("vec_id") < 5), emb, folded,
+        root=v2_root, threshold=0.0, k=10, train_iters=2, train_mod=4,
+    )
+    assert not res["retrained"]
+    _publish_retrained_snapshot(state, day1["manifest"], res, v2_root)
+    with open(day1["manifest"]) as fh:
+        assert fh.read() == man_before
+    assert os.path.exists(v1_root)
+    assert state["index_version"] == 1
+    assert not os.path.exists(v2_root), "no-op publish wrote a root"
+
+
+def test_ss22_delete_after_swap_single_codes_version(spark):
+    """VERDICT r12 item 4: ss22's wholesale codes_v{n} rewrites now
+    DELETE the superseded version after the state swap — after the
+    drain exactly ONE codes table is on disk (the last codes_v; the
+    base codes.parquet is v0 and superseded by the first swap), and
+    the probe answer still reads fine from it."""
+    import glob
+    import os
+
+    from flink_luad_pipeline_spark.plans.relational_queries import sink_path
+    from flink_luad_pipeline_spark.plans.streaming_queries import (
+        ss22_streaming_ann_ingest,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = ss22_streaming_ann_ingest(spark, sf)
+    rows = out.collect()
+    assert rows, "probe read a deleted path?"
+    parent = os.path.dirname(sink_path("probe", sf))
+    roots = sorted(
+        glob.glob(os.path.join(parent, "ss22_index_*")),
+        key=os.path.getmtime,
+    )
+    assert roots, "no ss22 index root found"
+    root = roots[-1]
+    codes = sorted(
+        p for p in os.listdir(root) if p.startswith("codes")
+    )
+    assert len(codes) == 1, f"superseded codes versions survive: {codes}"
+    assert codes[0].startswith("codes_v"), codes
+
+
+def test_ss21_resume_does_not_rewrite_feed(spark):
+    """ADVICE r12 low: resume with the default feed_path must NOT
+    rewrite the feed — mode('overwrite') would produce new part
+    filenames under the preserved checkpoint and the whole delta
+    would replay as new batches (ss21's fold has no row-level overlap
+    guard, so replayed rows would re-enter the day-N pass)."""
+    import os
+
+    from flink_luad_pipeline_spark.plans.streaming_queries import _ss21_drain
+
+    sf = "/root/testdata/sf0.001"
+    r1 = _ss21_drain(spark, sf, name="ss21nr")
+    files1 = sorted(os.listdir(r1["feed"]))
+    folded1 = set(r1["state"]["folded"])
+    assert folded1, "day 1 folded nothing"
+    r2 = _ss21_drain(spark, sf, name="ss21nr", resume=True)
+    assert sorted(os.listdir(r2["feed"])) == files1
+    assert set(r2["state"]["folded"]) == folded1  # nothing replayed
