@@ -1771,6 +1771,24 @@ def residual_ann_index_topk(
     return _ranked(scored, k)
 
 
+def _uri_norm(path: str) -> str:
+    """Scheme-aware URI normalization for the in-place-persist guard's
+    prefix comparison (ADVICE r12): local paths and ``file:`` URIs
+    normalize through the filesystem (absolute path); any OTHER scheme
+    (hdfs://, s3a://, ...) keeps its scheme + authority and a
+    trailing-slash-stripped path — running os.path.abspath over a
+    remote URI mangles both sides identically, which would make an
+    in-place persist silently BYPASS the guard instead of raising."""
+    import os
+    from urllib.parse import urlparse
+
+    u = urlparse(path)
+    if u.scheme in ("", "file"):
+        local = u.path if u.scheme == "file" else path
+        return "file://" + os.path.abspath(local)
+    return f"{u.scheme}://{u.netloc}{u.path.rstrip('/')}"
+
+
 def residual_ann_index_persist(
     index: dict[str, DataFrame], root: str
 ) -> dict[str, DataFrame]:
@@ -1787,17 +1805,16 @@ def residual_ann_index_persist(
     index's lazy frames read files under ``root``, mode("overwrite")
     would truncate parquet the write job is concurrently reading and
     corrupt the index, so that call raises instead (the meta-stamp
-    guard's discipline). Probe answers are layout-invariant (pinned by
-    test): compaction changes file boundaries, never rows."""
-    import os
-
+    guard's discipline; the comparison is scheme-aware — ``_uri_norm``
+    — so remote URIs like hdfs://s3a:// can't slip past it, ADVICE
+    r12). Probe answers are layout-invariant (pinned by test):
+    compaction changes file boundaries, never rows."""
     spark = index["meta"].sparkSession
-    root_abs = os.path.abspath(root)
+    root_n = _uri_norm(root)
     for name_, df_ in index.items():
         for in_file in df_.inputFiles():
-            p = in_file[5:] if in_file.startswith("file:") else in_file
-            p = os.path.abspath(p)
-            if p == root_abs or p.startswith(root_abs + os.sep):
+            p = _uri_norm(in_file)
+            if p == root_n or p.startswith(root_n + "/"):
                 raise ValueError(
                     "residual_ann_index_persist: frame"
                     f" {name_!r} reads {in_file} under the target root"

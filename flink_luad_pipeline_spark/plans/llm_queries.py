@@ -3379,8 +3379,15 @@ _LL108_ORACLE = (
     # denominator = least(k, per-query exact count), mirroring
     # ann_index_recall_probe (ADVICE r11): at registered scale every
     # probe query has >= 10 exact neighbors so this reads /10.0, but
-    # the metric no longer floors below 1.0 on small candidate sets
-    " q AS (SELECT query_id, count(*) AS ne FROM exact GROUP BY query_id),"
+    # the metric no longer floors below 1.0 on small candidate sets.
+    # The query universe is the PROBE SET (vec_id < 5), not exact's
+    # survivors (ADVICE r12): a probe query with zero exact neighbors
+    # must still emit a row (hits 0, recall NULL) exactly as the
+    # engine's left joins do on degenerate/small fixtures
+    " qn AS (SELECT query_id, count(*) AS ne FROM exact GROUP BY query_id),"
+    " q AS (SELECT p.vec_id AS query_id, coalesce(qn.ne, 0) AS ne"
+    "  FROM embeddings p LEFT JOIN qn ON qn.query_id = p.vec_id"
+    "  WHERE p.vec_id < 5),"
     " hits AS (SELECT e.query_id, count(*) AS h FROM exact e"
     " JOIN approx a ON a.query_id = e.query_id AND a.cand_id = e.cand_id"
     " GROUP BY e.query_id)"
@@ -3441,7 +3448,13 @@ _LL110_ORACLE = (
     f"WITH exact AS ({_LL8_ORACLE}),"
     f" approx_b AS ({_LL107_ORACLE}),"
     f" approx_a AS ({_RESIDUAL_IVFPQ_ORACLE}),"
-    " q AS (SELECT query_id, count(*) AS ne FROM exact GROUP BY query_id),"
+    # query universe = the probe set, not exact's survivors (ADVICE
+    # r12, same fix as ll108): zero-exact-neighbor probe queries emit
+    # NULL-recall rows on both sides
+    " qn AS (SELECT query_id, count(*) AS ne FROM exact GROUP BY query_id),"
+    " q AS (SELECT p.vec_id AS query_id, coalesce(qn.ne, 0) AS ne"
+    "  FROM embeddings p LEFT JOIN qn ON qn.query_id = p.vec_id"
+    "  WHERE p.vec_id < 5),"
     " hb AS (SELECT e.query_id, count(*) AS h FROM exact e"
     "  JOIN approx_b a ON a.query_id = e.query_id AND a.cand_id = e.cand_id"
     "  GROUP BY e.query_id),"

@@ -2465,3 +2465,35 @@ def test_ann_index_persist_refuses_in_place_compaction(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, idx_b["codes"].collect())) == sorted(
         map(tuple, idx["codes"].collect())
     )
+
+
+def test_uri_norm_scheme_aware():
+    """The in-place-persist guard's path normalization is scheme-aware
+    (ADVICE r12): a remote URI (hdfs://, s3a://) keeps its scheme +
+    authority, so a same-root persist on a remote filesystem still
+    matches the prefix check — os.path.abspath would mangle BOTH sides
+    of a remote URI and silently bypass the guard; local paths and
+    'file:' URIs normalize identically through the filesystem."""
+    import os
+
+    from flink_luad_pipeline_spark.operators.similarity import _uri_norm
+
+    # local spellings converge
+    assert _uri_norm("/a/b") == "file:///a/b"
+    assert _uri_norm("file:/a/b") == "file:///a/b"
+    assert _uri_norm("file:///a/b") == "file:///a/b"
+    assert _uri_norm("/a/b/../b") == "file:///a/b"
+    assert _uri_norm("rel/x") == "file://" + os.path.abspath("rel/x")
+    # remote URIs keep scheme+authority; trailing slash stripped
+    assert _uri_norm("s3a://bucket/idx/") == "s3a://bucket/idx"
+    assert _uri_norm("hdfs://nn:8020/idx") == "hdfs://nn:8020/idx"
+    # the guard's prefix relation holds for remote in_files
+    root = _uri_norm("s3a://bucket/idx")
+    inside = _uri_norm("s3a://bucket/idx/codes.parquet/part-0.parquet")
+    outside = _uri_norm("s3a://other/idx/codes.parquet/part-0.parquet")
+    assert inside.startswith(root + "/")
+    assert not outside.startswith(root + "/")
+    # and a local file: in_file against a local root still matches
+    assert _uri_norm("file:/a/b/codes.parquet").startswith(
+        _uri_norm("/a/b") + "/"
+    )
