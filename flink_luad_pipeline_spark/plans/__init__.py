@@ -254,43 +254,14 @@ _GREEN_R11 = (
 )
 
 
-_BANKED_GREEN = frozenset(
-    _GREEN_R04_AND_EARLIER + _GREEN_R05 + _GREEN_R06 + _GREEN_R07
-    + _GREEN_R09 + _GREEN_R10 + _GREEN_R11
-)
-
-
-# Queries NEW or touched this round (round 12): the new ll110
-# re-train-on-drift action (VERDICT r11 item 1) and its streaming
-# twin ss24 (stream-fold → detect → retrain → verify, oracle =
-# ll110's verbatim), ll108 whose recall denominator became
-# least(k, exact-count) on both sides (ADVICE r11), and the three
-# streaming folds whose code paths changed — ss21/ss23 gained
-# compact-then-DELETE GC + manifests + restart-resume + the
-# skip-whole replay guard (VERDICT r11 items 2-3), ss22 switched its
-# fold to the lazy on_overlap='skip' (ADVICE r11).
-_NEW_THIS_ROUND = (
-    "ll110_ann_retrain_on_drift",
-    "ss24_streaming_ann_retrain_gate",
-    "ll108_ann_recall_drift",
-    "ss23_streaming_ann_ingest_trained",
-    "ss21_streaming_incremental_curation",
-    "ss22_streaming_ann_ingest",
-)
-
-
-# Regression insurance, rebuilt each round from the ACTUAL cumulative
-# record (max green round per query across CORRECTNESS_r*.json), not
-# from the VERDICT's estimate — r10 found rows staler than estimated.
-_RECHECK_OLDEST = (
-    # Rebuilt for r12 from CORRECTNESS_r01..r11: after r11's window
-    # re-attested the r03-stale tier, the oldest attestations are
-    # 41 rows last green in the r05 window, then 48 in r06, then 40 in
-    # r08. Oldest-first; the window takes what fits after the new tier
-    # and r13 continues from the cut.
-    # last attested r05
+# The 50 rows the r12 window attested hash-green (CORRECTNESS_r12 —
+# the 6 r12-new/touched + the full r05-stale tier + 3 of the r06
+# tier). Freshest bank: the banked spillover visits these LAST.
+_GREEN_R12 = (
+    "a1_defs_last_wins", "a2_dict_encode", "a3_probe_moments",
     "c7_naive_bayes_langid", "c8_logistic_irls", "g10_scc_event_types",
     "g8_two_hop_reach", "g9_personalized_pagerank", "j12_pit_join",
+    "ll108_ann_recall_drift", "ll110_ann_retrain_on_drift",
     "ll24_fuzzy_match", "ll25_bpe_token_count", "ll26_corpus_datacard",
     "ll27_source_overlap", "ll28_tfidf_topterms",
     "ll29_repetition_signals", "ll32_unigram_logprob",
@@ -306,25 +277,83 @@ _RECHECK_OLDEST = (
     "sql19_tpch_q9_shared_text", "sql20_tpch_q11_shared_text",
     "sql21_tpch_q16_shared_text", "sql22_tpch_q20_shared_text",
     "ss17_dynamic_session_window", "ss18_streaming_neardup_probe",
-    "x5_skew_profile",
+    "ss21_streaming_incremental_curation", "ss22_streaming_ann_ingest",
+    "ss23_streaming_ann_ingest_trained",
+    "ss24_streaming_ann_retrain_gate", "x5_skew_profile",
+)
+
+
+_BANKED_GREEN = frozenset(
+    _GREEN_R04_AND_EARLIER + _GREEN_R05 + _GREEN_R06 + _GREEN_R07
+    + _GREEN_R09 + _GREEN_R10 + _GREEN_R11 + _GREEN_R12
+)
+
+
+# Queries NEW or touched this round (round 13): the new ss25 two-day
+# snapshot-publish arc (VERDICT r12 item 1 — manifest swap to v2 +
+# superseded-root GC, day-2 folds against the retrained quantizers),
+# ss24 which now PUBLISHES after its retrain (report materialized
+# before the v1 delete), ll108/ll110 whose oracle query-universe CTE
+# became the probe set (ADVICE r12 low), ss22 whose fold gained the
+# skip-whole replay guard + delete-after-swap (ADVICE r12 medium /
+# VERDICT r12 item 4), and ss21/ss23 whose drains stopped rewriting
+# the feed on resume (ADVICE r12 low) and version their manifests.
+_NEW_THIS_ROUND = (
+    "ss25_streaming_snapshot_publish",
+    "ss24_streaming_ann_retrain_gate",
+    "ll110_ann_retrain_on_drift",
+    "ll108_ann_recall_drift",
+    "ss22_streaming_ann_ingest",
+    "ss23_streaming_ann_ingest_trained",
+    "ss21_streaming_incremental_curation",
+)
+
+
+# Regression insurance, rebuilt each round from the ACTUAL cumulative
+# record (max green round per query across CORRECTNESS_r*.json), not
+# from the VERDICT's estimate — r10 found rows staler than estimated.
+_RECHECK_OLDEST = (
+    # Rebuilt for r13 from CORRECTNESS_r01..r12 (the ACTUAL cumulative
+    # record): after r12's window re-attested the whole r05-stale tier
+    # plus a1/a2/a3, the oldest attestations are 45 rows last green in
+    # the r06 window, then 40 in r08 (everything else is r09+).
+    # Oldest-first; the window takes what fits after the new tier and
+    # r14 continues from the cut.
     # last attested r06
-    "a1_defs_last_wins", "a2_dict_encode", "a3_probe_moments",
     "a4_missing_cells", "a5_grouped_min", "a6_component_representative",
     "a7_vector_assemble", "a8_distinct", "a9_count", "b27_median_mad",
-    "b28_trimmed_mean", "c9_pca_power_iteration", "g11_harmonic_centrality",
-    "j13_nearest_event_join", "j1_equi_join_flat", "j2_join_filter",
-    "j3_join_on_array", "ll76_jl_projection", "ll78_sq8_quantize",
-    "ll81_hashed_embeddings", "ll82_ngram_novelty", "ll83_char_entropy",
-    "ll84_signal_agreement", "ll85_vocab_coverage", "ll86_bpe_fertility",
+    "b28_trimmed_mean", "c9_pca_power_iteration",
+    "g11_harmonic_centrality", "j13_nearest_event_join",
+    "j1_equi_join_flat", "j2_join_filter", "j3_join_on_array",
+    "ll76_jl_projection", "ll78_sq8_quantize", "ll81_hashed_embeddings",
+    "ll82_ngram_novelty", "ll83_char_entropy", "ll84_signal_agreement",
+    "ll85_vocab_coverage", "ll86_bpe_fertility",
     "ll87_excise_repeated_spans", "ll88_cluster_balanced_sample",
     "ll89_dsir_select", "ll91_concordance", "ll92_byte_histogram_arrow",
     "ll93_filter_rule_ablation", "o10_max_drawdown", "o9_vwap",
     "p1_project_tuple", "p2_filter_semi", "p3_filter_split",
     "p4_flatmap_symmetrize", "p5_dict_decode", "p6_scalar_funcs",
-    "s19_corrupt_record_audit", "s1_scan_csv_defs", "s2_scan_csv_projected",
-    "s3_from_collection", "s4_sink_print", "s5_sink_csv_roundtrip",
-    "s6_sink_path_template", "ss19_streaming_dsir_gate",
-    "x6_observation_metrics",
+    "s19_corrupt_record_audit", "s1_scan_csv_defs",
+    "s2_scan_csv_projected", "s3_from_collection", "s4_sink_print",
+    "s5_sink_csv_roundtrip", "s6_sink_path_template",
+    "ss19_streaming_dsir_gate", "x6_observation_metrics",
+    # last attested r08
+    "b11_distinct_aggregates", "b12_moving_average",
+    "b15_window_navigation", "b16_ordered_string_agg",
+    "b17_time_bucket_agg", "b18_upsert_compaction", "b20_array_hof",
+    "b23_sessionize", "b24_incremental_agg_merge", "b4_cube_agg",
+    "b7_window_rank", "b9_sql_subqueries", "c6_ridge_closed_form",
+    "g5_kcore", "g6_weighted_sssp", "g7_random_walks",
+    "ll10_multimodal_features", "ll11_embedding_neardup",
+    "ll11b_neardup_exact", "ll1_text_stats", "ll21_quality_filter",
+    "ll34_deduped_corpus", "ll40_pipeline_end2end", "ll53_dsir_weights",
+    "ll56_remove_repeated_segments", "ll57_source_quota_cap",
+    "ll58_contamination_attribution", "ll5_jaccard_pairs",
+    "ll6_minhash_lsh", "ll8_cosine_topk", "ll9_ann_lsh_topk",
+    "sql17_tpch_q12_shared_text", "sql1_tpch_q1_shared_text",
+    "ss1_tumbling_window", "ss20_streaming_curation_gate",
+    "ss2_sliding_window", "ss3_session_window", "ss4_streaming_dedup",
+    "ss5_stateful_totals", "ss6_stream_stream_join",
 )
 
 
@@ -358,7 +387,8 @@ def _rotated() -> list[str]:
     # tiers and appended LAST — last-attested order, not first-green
     # order, is what makes the spillover insurance work.
     fresh = (
-        frozenset(_GREEN_R09) | frozenset(_GREEN_R10) | frozenset(_GREEN_R11)
+        frozenset(_GREEN_R09) | frozenset(_GREEN_R10)
+        | frozenset(_GREEN_R11) | frozenset(_GREEN_R12)
     )
     banked = [
         k
@@ -370,17 +400,25 @@ def _rotated() -> list[str]:
         )
         if k in QUERIES and k not in seen and k not in fresh
     ]
-    later = frozenset(_GREEN_R10) | frozenset(_GREEN_R11)
+    later = (
+        frozenset(_GREEN_R10) | frozenset(_GREEN_R11)
+        | frozenset(_GREEN_R12)
+    )
     banked += [
         k for k in _GREEN_R09
         if k in QUERIES and k not in seen and k not in later
     ]
-    r11 = frozenset(_GREEN_R11)
+    r11up = frozenset(_GREEN_R11) | frozenset(_GREEN_R12)
     banked += [
         k for k in _GREEN_R10
-        if k in QUERIES and k not in seen and k not in r11
+        if k in QUERIES and k not in seen and k not in r11up
     ]
-    banked += [k for k in _GREEN_R11 if k in QUERIES and k not in seen]
+    r12 = frozenset(_GREEN_R12)
+    banked += [
+        k for k in _GREEN_R11
+        if k in QUERIES and k not in seen and k not in r12
+    ]
+    banked += [k for k in _GREEN_R12 if k in QUERIES and k not in seen]
     # The no-oracle tail (c1_als_completion, c4_c5_svm_train_predict,
     # c2b_dimsum_corr_edges, x2_sketch_aggs) can never be hash-green —
     # their values are optimizer-/sampling-dependent by design (SURVEY
