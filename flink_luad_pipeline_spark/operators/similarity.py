@@ -86,6 +86,68 @@ def _coarse_cells(
     )
 
 
+def _nearest_one(
+    scored: DataFrame,
+    key: str,
+    payload: tuple[str, ...] = (),
+    sim_col: str = "csim",
+    cell_col: str = "centroid_id",
+) -> DataFrame:
+    """First row of ``ORDER BY csim DESC, centroid_id ASC`` per key —
+    the single-cell assignment argmax — as ONE partial-aggregable
+    ``max(struct(csim, -centroid_id))`` instead of a row_number window
+    (guide §2.3, "aggregate before you shuffle"): the map side
+    collapses the M scored rows per key to one before the exchange, so
+    the shuffle carries ~N rows instead of N·M and no per-partition
+    sort runs. Equivalence with the window formulation: struct min/max
+    uses the same total order as SortOrder (doubles: -0.0 == 0.0, NaN
+    largest), and negating the BIGINT cell id (exact) turns the
+    ``centroid_id ASC`` tie-break into the max's second field. Payload
+    columns must be functionally dependent on the key (each key's rows
+    carry identical values — true for the source vector joined against
+    every centroid), so ``first()`` is value-deterministic."""
+    aggs = [
+        F.max(
+            F.struct(
+                F.col(sim_col).alias("sim_"),
+                (-F.col(cell_col)).alias("nid_"),
+            )
+        ).alias("b_")
+    ] + [F.first(c).alias(c) for c in payload]
+    return (
+        scored.groupBy(key)
+        .agg(*aggs)
+        .select(key, *payload, (-F.col("b_.nid_")).alias(cell_col))
+    )
+
+
+def _argmin_code(
+    scored: DataFrame,
+    keys: list[str],
+    payload: tuple[str, ...] = (),
+    d_col: str = "d",
+    code_col: str = "code",
+) -> DataFrame:
+    """First row of ``ORDER BY d ASC, code ASC`` per key group — the
+    PQ code argmin — as one partial-aggregable ``min(struct(d, code))``
+    instead of a row_number window (guide §2.3): with a ``max_codes``-
+    sized codebook the window shuffled and sorted N·m·codes rows; the
+    aggregate collapses them map-side to one row per (cand, subspace).
+    ``d`` is an exact DECIMAL and codes are unique per (s, code), so
+    the lexicographic struct min reproduces the window's tie-break
+    bit-for-bit. Payload columns must be functionally dependent on the
+    group key (e.g. the residual subvector per (cand_id, s))."""
+    aggs = [
+        F.min(F.struct(F.col(d_col).alias("d_"), F.col(code_col).alias("c_")))
+        .alias("b_")
+    ] + [F.first(c).alias(c) for c in payload]
+    return (
+        scored.groupBy(*keys)
+        .agg(*aggs)
+        .select(*keys, *payload, F.col("b_.c_").alias(code_col))
+    )
+
+
 def _ranked(scored: DataFrame, k: int) -> DataFrame:
     """Deterministic top-k: order by rounded sim desc, then cand_id —
     rounding first so engine-specific low bits can't flip ranks."""
@@ -439,29 +501,30 @@ def semantic_dedup(
     cents = vectors.where(F.col(id_col) % centroid_mod == 0).select(
         F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centv")
     )
-    w = Window.partitionBy("m_id").orderBy(
-        F.col("csim").desc(), F.col("centroid_id")
-    )
     members = (
         # _spread: the N x M cosine assignment is the CPU-heavy pass;
         # a single-row-group test scan would otherwise serialize it
-        # onto 1-2 cores (no-op at cluster scale — see dedup._spread)
-        _spread(
-            vectors.select(F.col(id_col).alias("m_id"), F.col(vec_col).alias("v"))
-        )
-        .crossJoin(F.broadcast(cents))
-        .select(
+        # onto 1-2 cores (no-op at cluster scale — see dedup._spread).
+        # _nearest_one replaces the row_number window (guide §2.3).
+        _nearest_one(
+            _spread(
+                vectors.select(
+                    F.col(id_col).alias("m_id"), F.col(vec_col).alias("v")
+                )
+            )
+            .crossJoin(F.broadcast(cents))
+            .select(
+                "m_id",
+                "v",
+                "centroid_id",
+                F.round(
+                    cosine_similarity(F.col("v"), F.col("centv")), round_digits
+                ).alias("csim"),
+            )
+            .where(F.col("csim").isNotNull()),
             "m_id",
-            "v",
-            "centroid_id",
-            F.round(
-                cosine_similarity(F.col("v"), F.col("centv")), round_digits
-            ).alias("csim"),
+            payload=("v",),
         )
-        .where(F.col("csim").isNotNull())
-        .withColumn("crank", F.row_number().over(w))
-        .where(F.col("crank") == 1)
-        .select("m_id", "v", "centroid_id")
         # load-bearing boundary (cf. the MinHash tier): the assignment
         # subtree — N×M cosines + a per-vector window — feeds BOTH pair
         # sides and the final left join; without a materialization
@@ -643,10 +706,7 @@ def ivf_topk(
     candidates = _spread(candidates)
 
     def nearest_cells(df: DataFrame, in_id: str, out_id: str, vec: str, n: int):
-        w = Window.partitionBy(out_id).orderBy(
-            F.col("csim").desc(), F.col("centroid_id")
-        )
-        return (
+        scored = (
             df.select(F.col(in_id).alias(out_id), F.col(vec).alias("v"))
             .crossJoin(F.broadcast(cents))
             .select(
@@ -658,7 +718,16 @@ def ivf_topk(
                 ).alias("csim"),
             )
             .where(F.col("csim").isNotNull())
-            .withColumn("crank", F.row_number().over(w))
+        )
+        if n == 1:
+            # corpus-sized assignment: partial-agg argmax, not a
+            # row_number window over N·M rows (guide §2.3)
+            return _nearest_one(scored, out_id, payload=("v",))
+        w = Window.partitionBy(out_id).orderBy(
+            F.col("csim").desc(), F.col("centroid_id")
+        )
+        return (
+            scored.withColumn("crank", F.row_number().over(w))
             .where(F.col("crank") <= n)
             .drop("csim", "crank")
         )
@@ -760,16 +829,24 @@ def pq_topk(
             .where(F.col(dot_name).isNotNull())
         )
 
-    enc_w = Window.partitionBy("cand_id", "s").orderBy(
-        F.col("d").desc(), F.col("centroid_id")
-    )
+    # argmax by (d DESC, centroid_id ASC) as a partial-aggregable
+    # max(struct(d, -centroid_id)) instead of a row_number window over
+    # N·m·codes rows (guide §2.3); d is exact DECIMAL, id negation is
+    # exact, so the tie-break matches the window bit-for-bit
     codes = (
         partial_dots(
             subvectors(_spread(candidates), "cand_id"), "cand_id", "d"
         )
-        .withColumn("rk", F.row_number().over(enc_w))
-        .where(F.col("rk") == 1)
-        .select("cand_id", "s", F.col("centroid_id").alias("code"))
+        .groupBy("cand_id", "s")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("d").alias("d_"),
+                    (-F.col("centroid_id")).alias("nid_"),
+                )
+            ).alias("b_")
+        )
+        .select("cand_id", "s", (-F.col("b_.nid_")).alias("code"))
     )
     lut = partial_dots(
         subvectors(queries, "query_id"), "query_id", "qd"
@@ -854,10 +931,7 @@ def ivfpq_topk(
     )
 
     def nearest_cells(df: DataFrame, out_id: str, n: int) -> DataFrame:
-        w = Window.partitionBy(out_id).orderBy(
-            F.col("csim").desc(), F.col("centroid_id")
-        )
-        return (
+        scored = (
             df.select(F.col(id_col).alias(out_id), F.col(vec_col).alias("v"))
             .crossJoin(F.broadcast(cents))
             .select(
@@ -868,7 +942,17 @@ def ivfpq_topk(
                 ).alias("csim"),
             )
             .where(F.col("csim").isNotNull())
-            .withColumn("crank", F.row_number().over(w))
+        )
+        if n == 1:
+            # the corpus-sized assignment: partial-agg argmax instead
+            # of a row_number window over N·k rows (guide §2.3)
+            return _nearest_one(scored, out_id)
+        # n > 1 only for the probe side (tens of query rows)
+        w = Window.partitionBy(out_id).orderBy(
+            F.col("csim").desc(), F.col("centroid_id")
+        )
+        return (
+            scored.withColumn("crank", F.row_number().over(w))
             .where(F.col("crank") <= n)
             .select(out_id, "centroid_id")
         )
@@ -915,12 +999,11 @@ def ivfpq_topk(
             .where(F.col(dot_name).isNotNull())
         )
 
-    enc_w = Window.partitionBy("cand_id", "s").orderBy(
-        F.col("d").desc(), F.col("code")
-    )
     # encode only the shortlisted candidates — query-time IVF-PQ never
     # touches unprobed cells' vectors (at index-build time you'd encode
-    # everything once instead; same codes either way)
+    # everything once instead; same codes either way). Argmax by
+    # (d DESC, code ASC) as a partial-aggregable max(struct) instead of
+    # a row_number window over N·m·codes rows (guide §2.3)
     short_cands = candidates.join(
         shortlist.select(F.col("cand_id").alias(id_col)).distinct(),
         id_col,
@@ -928,9 +1011,15 @@ def ivfpq_topk(
     )
     codes = (
         partial_dots(subvectors(short_cands, "cand_id"), "cand_id", "d")
-        .withColumn("rk", F.row_number().over(enc_w))
-        .where(F.col("rk") == 1)
-        .select("cand_id", "s", F.col("code"))
+        .groupBy("cand_id", "s")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("d").alias("d_"), (-F.col("code")).alias("nid_")
+                )
+            ).alias("b_")
+        )
+        .select("cand_id", "s", (-F.col("b_.nid_")).alias("code"))
     )
     lut = partial_dots(subvectors(queries, "query_id"), "query_id", "qd")
     # LUT via shuffle equi-join on its hash key, NOT broadcast: the
@@ -1019,10 +1108,7 @@ def residual_ivfpq_topk(
     )
 
     def nearest_cells(df: DataFrame, out_id: str, n: int) -> DataFrame:
-        w = Window.partitionBy(out_id).orderBy(
-            F.col("csim").desc(), F.col("centroid_id")
-        )
-        return (
+        scored = (
             df.select(F.col(id_col).alias(out_id), F.col(vec_col).alias("v"))
             .crossJoin(F.broadcast(cents))
             .select(
@@ -1033,7 +1119,17 @@ def residual_ivfpq_topk(
                 ).alias("csim"),
             )
             .where(F.col("csim").isNotNull())
-            .withColumn("crank", F.row_number().over(w))
+        )
+        if n == 1:
+            # the corpus-sized assignment: partial-agg argmax instead
+            # of a row_number window over N·k rows (guide §2.3)
+            return _nearest_one(scored, out_id)
+        # n > 1 only for the probe side (tens of query rows)
+        w = Window.partitionBy(out_id).orderBy(
+            F.col("csim").desc(), F.col("centroid_id")
+        )
+        return (
+            scored.withColumn("crank", F.row_number().over(w))
             .where(F.col("crank") <= n)
             .select(out_id, "centroid_id")
         )
@@ -1124,6 +1220,15 @@ def residual_ivfpq_topk(
             "cand_id",
             "rv",
         ).localCheckpoint(eager=True)
+        # scale-adaptive task sizing for the bounded Lloyd sample
+        # (guide §2, the clustering._fit device): the sample is capped
+        # at max_codes·64 rows, so 32 near-empty tasks per training
+        # stage are pure scheduler latency; coalesce never increases
+        # partition count, so this is a no-op whenever the sample
+        # actually fills the cores
+        train = train.coalesce(
+            max(1, -(-(n_cands // eff_train_mod) * m // 2048))
+        )
         cb = {
             (int(r["s"]), int(r["code"])): list(r["cent"])
             for r in init.collect()
@@ -1135,40 +1240,35 @@ def residual_ivfpq_topk(
                 rows, "s int, code bigint, cent array<double>"
             )
 
-        train_w = Window.partitionBy("cand_id", "s").orderBy(
-            F.col("d").asc(), F.col("code")
-        )
         for _ in range(train_iters):
-            asg = (
+            # _argmin_code instead of the row_number window (guide
+            # §2.3): the sample·codes scored rows collapse map-side
+            asg = _argmin_code(
                 train.join(F.broadcast(cb_df()), "s")
                 .select("cand_id", "s", "code", "sub", l2sq.alias("d"))
-                .where(F.col("d").isNotNull())
-                .withColumn("rk", F.row_number().over(train_w))
-                .where(F.col("rk") == 1)
+                .where(F.col("d").isNotNull()),
+                ["cand_id", "s"],
+                payload=("sub",),
             )
-            upd = (
-                asg.select("s", "code", F.posexplode("sub").alias("i", "val"))
-                .groupBy("s", "code", "i")
-                .agg(F.round(F.avg("val"), round_digits).alias("av"))
-                .groupBy("s", "code")
-                .agg(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("i"), F.col("av")))
-                    ).alias("pairs")
-                )
-                .select(
-                    "s",
-                    "code",
-                    F.transform(F.col("pairs"), lambda p: p["av"]).alias(
-                        "cent"
-                    ),
-                )
+            # per-dimension means as subdim parallel avg() aggregates
+            # in ONE groupBy (guide §2.4, the clustering._fit device):
+            # the posexplode + two-groupBy shape paid two exchanges
+            # per training stage for the same numbers
+            upd = asg.groupBy("s", "code").agg(
+                *[
+                    F.round(
+                        F.avg(F.element_at("sub", i + 1)), round_digits
+                    ).alias(f"a{i}")
+                    for i in range(subdim)
+                ]
             )
             # k_codes × m rows of subdim doubles — the documented
             # driver boundary; codes that lose every member keep their
             # previous centroid
             for r in upd.collect():
-                cb[(int(r["s"]), int(r["code"]))] = list(r["cent"])
+                cb[(int(r["s"]), int(r["code"]))] = [
+                    r[f"a{i}"] for i in range(subdim)
+                ]
         codebook = cb_df()
     else:
         # the DEFAULT (train_iters=0) branch takes the mod-sampled
@@ -1195,18 +1295,13 @@ def residual_ivfpq_topk(
         id_col,
         "left_semi",
     )
-    enc_w = Window.partitionBy("cand_id", "s").orderBy(
-        F.col("d").asc(), F.col("code")
-    )
-    codes = (
+    codes = _argmin_code(
         subvectors(residuals(short_cands), "cand_id", "cand_id", "rv")
         .join(F.broadcast(codebook), "s")
         .select("cand_id", "s", "code", l2sq.alias("d"))
-        .where(F.col("d").isNotNull())
-        .withColumn("rk", F.row_number().over(enc_w))
-        .where(F.col("rk") == 1)
-        .select("cand_id", "s", "code")
-    )
+        .where(F.col("d").isNotNull()),
+        ["cand_id", "s"],
+    ).select("cand_id", "s", "code")
     # LUT: raw query subvectors against the residual codebook (the
     # q·r̂ half of the estimate); shuffle equi-join, never broadcast
     lut = (
@@ -1311,12 +1406,11 @@ def residual_ann_index_frames(
     )
     candidates = _spread(candidates)
 
-    w1 = Window.partitionBy("cand_id").orderBy(
-        F.col("csim").desc(), F.col("centroid_id")
-    )
     # same boundary as residual_ivfpq_topk: assignment feeds residuals
-    # for codebook init, training sample, and the full encode
-    assigned = (
+    # for codebook init, training sample, and the full encode.
+    # _nearest_one replaces the row_number window (guide §2.3): the
+    # N·k scored rows collapse map-side to N before the exchange.
+    assigned = _nearest_one(
         candidates.select(
             F.col(id_col).alias("cand_id"), F.col(vec_col).alias("v")
         )
@@ -1328,12 +1422,9 @@ def residual_ann_index_frames(
                 cosine_similarity(F.col("v"), F.col("centv")), round_digits
             ).alias("csim"),
         )
-        .where(F.col("csim").isNotNull())
-        .withColumn("crank", F.row_number().over(w1))
-        .where(F.col("crank") == 1)
-        .select("cand_id", "centroid_id")
-        .localCheckpoint(eager=True)
-    )
+        .where(F.col("csim").isNotNull()),
+        "cand_id",
+    ).localCheckpoint(eager=True)
 
     def residuals(src: DataFrame) -> DataFrame:
         return (
@@ -1386,6 +1477,15 @@ def residual_ann_index_frames(
             "cand_id",
             "rv",
         ).localCheckpoint(eager=True)
+        # scale-adaptive task sizing for the bounded Lloyd sample
+        # (guide §2, the clustering._fit device): the sample is capped
+        # at max_codes·64 rows, so 32 near-empty tasks per training
+        # stage are pure scheduler latency; coalesce never increases
+        # partition count, so this is a no-op whenever the sample
+        # actually fills the cores
+        train = train.coalesce(
+            max(1, -(-(n_cands // eff_train_mod) * m // 2048))
+        )
         cb = {
             (int(r["s"]), int(r["code"])): list(r["cent"])
             for r in init.collect()
@@ -1397,37 +1497,32 @@ def residual_ann_index_frames(
                 rows, "s int, code bigint, cent array<double>"
             )
 
-        train_w = Window.partitionBy("cand_id", "s").orderBy(
-            F.col("d").asc(), F.col("code")
-        )
         for _ in range(train_iters):
-            asg = (
+            # _argmin_code instead of the row_number window (guide
+            # §2.3): the sample·codes scored rows collapse map-side
+            asg = _argmin_code(
                 train.join(F.broadcast(cb_df()), "s")
                 .select("cand_id", "s", "code", "sub", l2sq.alias("d"))
-                .where(F.col("d").isNotNull())
-                .withColumn("rk", F.row_number().over(train_w))
-                .where(F.col("rk") == 1)
+                .where(F.col("d").isNotNull()),
+                ["cand_id", "s"],
+                payload=("sub",),
             )
-            upd = (
-                asg.select("s", "code", F.posexplode("sub").alias("i", "val"))
-                .groupBy("s", "code", "i")
-                .agg(F.round(F.avg("val"), round_digits).alias("av"))
-                .groupBy("s", "code")
-                .agg(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("i"), F.col("av")))
-                    ).alias("pairs")
-                )
-                .select(
-                    "s",
-                    "code",
-                    F.transform(F.col("pairs"), lambda p: p["av"]).alias(
-                        "cent"
-                    ),
-                )
+            # per-dimension means as subdim parallel avg() aggregates
+            # in ONE groupBy (guide §2.4, the clustering._fit device):
+            # the posexplode + two-groupBy shape paid two exchanges
+            # per training stage for the same numbers
+            upd = asg.groupBy("s", "code").agg(
+                *[
+                    F.round(
+                        F.avg(F.element_at("sub", i + 1)), round_digits
+                    ).alias(f"a{i}")
+                    for i in range(subdim)
+                ]
             )
             for r in upd.collect():
-                cb[(int(r["s"]), int(r["code"]))] = list(r["cent"])
+                cb[(int(r["s"]), int(r["code"]))] = [
+                    r[f"a{i}"] for i in range(subdim)
+                ]
         codebook = cb_df()
     else:
         codebook = subvectors(
@@ -1442,17 +1537,14 @@ def residual_ann_index_frames(
             "rv",
         ).select("code", "s", F.col("sub").alias("cent"))
 
-    enc_w = Window.partitionBy("cand_id", "s").orderBy(
-        F.col("d").asc(), F.col("code")
-    )
     codes = (
-        subvectors(residuals(candidates), "cand_id", "cand_id", "rv")
-        .join(F.broadcast(codebook), "s")
-        .select("cand_id", "s", "code", l2sq.alias("d"))
-        .where(F.col("d").isNotNull())
-        .withColumn("rk", F.row_number().over(enc_w))
-        .where(F.col("rk") == 1)
-        .select("cand_id", "s", "code")
+        _argmin_code(
+            subvectors(residuals(candidates), "cand_id", "cand_id", "rv")
+            .join(F.broadcast(codebook), "s")
+            .select("cand_id", "s", "code", l2sq.alias("d"))
+            .where(F.col("d").isNotNull()),
+            ["cand_id", "s"],
+        )
         .join(assigned, "cand_id")
         .select("cand_id", "centroid_id", "s", "code")
     )
@@ -1547,10 +1639,10 @@ def residual_ann_index_encode_delta(
         raise ValueError(f"on_overlap must be 'error' or 'skip': {on_overlap}")
 
     delta = _spread(delta)
-    w1 = Window.partitionBy("cand_id").orderBy(
-        F.col("csim").desc(), F.col("centroid_id")
-    )
-    assigned = (
+    # _nearest_one instead of the row_number window (guide §2.3); the
+    # vector payload rides along (identical per cand_id, so first()
+    # is value-deterministic)
+    assigned = _nearest_one(
         delta.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("v"))
         .crossJoin(F.broadcast(cents))
         .select(
@@ -1561,10 +1653,9 @@ def residual_ann_index_encode_delta(
                 cosine_similarity(F.col("v"), F.col("centv")), round_digits
             ).alias("csim"),
         )
-        .where(F.col("csim").isNotNull())
-        .withColumn("crank", F.row_number().over(w1))
-        .where(F.col("crank") == 1)
-        .select("cand_id", "v", "centroid_id")
+        .where(F.col("csim").isNotNull()),
+        "cand_id",
+        payload=("v",),
     )
     resid = assigned.join(F.broadcast(cents), "centroid_id").select(
         "cand_id",
@@ -1584,20 +1675,18 @@ def residual_ann_index_encode_delta(
         ),
         round_digits,
     ).cast("decimal(18,6)")
-    enc_w = Window.partitionBy("cand_id", "s").orderBy(
-        F.col("d").asc(), F.col("code")
-    )
-    delta_codes = (
+    # _argmin_code instead of the row_number window (guide §2.3);
+    # centroid_id is functionally dependent on cand_id, so adding it
+    # to the group key changes nothing but keeps it in the output
+    delta_codes = _argmin_code(
         resid.select(
             "cand_id", "centroid_id", F.posexplode(subs).alias("s", "sub")
         )
         .join(F.broadcast(codebook), "s")
         .select("cand_id", "centroid_id", "s", "code", l2sq.alias("d"))
-        .where(F.col("d").isNotNull())
-        .withColumn("rk", F.row_number().over(enc_w))
-        .where(F.col("rk") == 1)
-        .select("cand_id", "centroid_id", "s", "code")
-    )
+        .where(F.col("d").isNotNull()),
+        ["cand_id", "centroid_id", "s"],
+    ).select("cand_id", "centroid_id", "s", "code")
     return delta_codes
 
 
@@ -1839,6 +1928,7 @@ def ann_index_recall_probe(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    exact: DataFrame | None = None,
     **probe_params,
 ) -> DataFrame:
     """QUANTIZER-DRIFT DETECTOR (VERDICT r10 item 3 — the ll104
@@ -1866,11 +1956,21 @@ def ann_index_recall_probe(
     (small candidate set, null-sim exclusions) can still reach recall
     1.0, so the metric floor is not distribution-dependent near that
     edge; a query with ZERO exact neighbors has no defined recall and
-    reads NULL."""
-    exact = brute_force_topk(
-        queries, candidates, k=k, id_col=id_col, vec_col=vec_col,
-        round_digits=round_digits,
-    ).select("query_id", "cand_id")
+    reads NULL.
+
+    ``exact``: optionally a PRECOMPUTED (query_id, cand_id) exact
+    top-k over the same (queries, candidates, k) — the retrain arc
+    probes twice against the SAME ground truth, so computing the
+    brute-force side once and passing it here halves the exact work
+    (guide §1.2: don't compute things twice). When None it is computed
+    here and localCheckpointed: the frame is |probe|·k tiny rows but
+    feeds two consumers (the per-query denominator and the hit join),
+    which would otherwise each re-run the full brute-force chain."""
+    if exact is None:
+        exact = brute_force_topk(
+            queries, candidates, k=k, id_col=id_col, vec_col=vec_col,
+            round_digits=round_digits,
+        ).select("query_id", "cand_id").localCheckpoint(eager=True)
     approx = residual_ann_index_topk(
         queries, index, k=k, id_col=id_col, vec_col=vec_col,
         round_digits=round_digits, **probe_params,
@@ -1960,10 +2060,21 @@ def ann_index_retrain_on_drift(
         m=m, dim=dim, code_mod=code_mod, train_iters=train_iters,
         train_mod=train_mod, max_codes=max_codes, nprobe=nprobe,
     )
+    # ONE exact brute-force pass serves both probes (guide §1.2): the
+    # before- and after-probe ground truth is identical (same queries,
+    # same candidates, same k), so the |probe|×corpus exact chain runs
+    # once instead of twice (and, uncheckpointed, it previously re-ran
+    # per consumer inside each probe — 4x total).
+    exact = brute_force_topk(
+        queries, candidates, k=k, id_col=id_col, vec_col=vec_col,
+        round_digits=round_digits,
+    ).select("query_id", "cand_id").localCheckpoint(eager=True)
+    # the probe output is |probe| tiny rows but feeds the decide mean
+    # AND the report join — checkpoint so the probe chain runs once
     before = ann_index_recall_probe(
         queries, candidates, index, k=k, id_col=id_col, vec_col=vec_col,
-        round_digits=round_digits, **probe_params,
-    )
+        round_digits=round_digits, exact=exact, **probe_params,
+    ).localCheckpoint(eager=True)
     mean_before = before.agg(F.avg("recall_at_k")).collect()[0][0]
     retrained = mean_before is not None and float(mean_before) < threshold
     if not retrained:
@@ -1994,7 +2105,8 @@ def ann_index_retrain_on_drift(
     new_index = residual_ann_index_persist(frames, root)
     after = ann_index_recall_probe(
         queries, candidates, new_index, k=k, id_col=id_col,
-        vec_col=vec_col, round_digits=round_digits, **probe_params,
+        vec_col=vec_col, round_digits=round_digits, exact=exact,
+        **probe_params,
     )
     report = (
         before.select(
@@ -2088,33 +2200,32 @@ def semantic_decontaminate(
     cents = vectors.where(F.col(id_col) % centroid_mod == 0).select(
         F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centv")
     )
-    w = Window.partitionBy("m_id").orderBy(
-        F.col("csim").desc(), F.col("centroid_id")
-    )
     members = (
         # _spread: see semantic_dedup — the assignment pass must not
-        # serialize onto a single-row-group scan's 1-2 partitions
-        _spread(
-            vectors.select(
-                F.col(id_col).alias("m_id"),
-                F.col(vec_col).alias("v"),
-                is_eval.alias("is_eval"),
+        # serialize onto a single-row-group scan's 1-2 partitions.
+        # _nearest_one replaces the row_number window (guide §2.3).
+        _nearest_one(
+            _spread(
+                vectors.select(
+                    F.col(id_col).alias("m_id"),
+                    F.col(vec_col).alias("v"),
+                    is_eval.alias("is_eval"),
+                )
             )
-        )
-        .crossJoin(F.broadcast(cents))
-        .select(
+            .crossJoin(F.broadcast(cents))
+            .select(
+                "m_id",
+                "v",
+                "is_eval",
+                "centroid_id",
+                F.round(
+                    cosine_similarity(F.col("v"), F.col("centv")), round_digits
+                ).alias("csim"),
+            )
+            .where(F.col("csim").isNotNull()),
             "m_id",
-            "v",
-            "is_eval",
-            "centroid_id",
-            F.round(
-                cosine_similarity(F.col("v"), F.col("centv")), round_digits
-            ).alias("csim"),
+            payload=("v", "is_eval"),
         )
-        .where(F.col("csim").isNotNull())
-        .withColumn("crank", F.row_number().over(w))
-        .where(F.col("crank") == 1)
-        .select("m_id", "v", "is_eval", "centroid_id")
         # same load-bearing boundary as semantic_dedup: the assignment
         # feeds both pair sides and the final left join.
         # localCheckpoint, not cache(): released by the ContextCleaner
@@ -2127,9 +2238,9 @@ def semantic_decontaminate(
     ev = members.where(F.col("is_eval")).select(
         "centroid_id", F.col("m_id").alias("eval_id"), F.col("v").alias("ve")
     )
-    hit_w = Window.partitionBy("train_id").orderBy(
-        F.col("sim").desc(), F.col("eval_id")
-    )
+    # best hit by (sim DESC, eval_id ASC) as a partial-aggregable
+    # max(struct(sim, -eval_id)) instead of a row_number window over
+    # the train×eval pair rows (guide §2.3)
     hits = (
         train.join(ev, "centroid_id")
         .select(
@@ -2140,9 +2251,19 @@ def semantic_decontaminate(
             ).alias("sim"),
         )
         .where(F.col("sim") >= threshold)
-        .withColumn("hrank", F.row_number().over(hit_w))
-        .where(F.col("hrank") == 1)
-        .select("train_id", "eval_id", "sim")
+        .groupBy("train_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("sim").alias("s_"), (-F.col("eval_id")).alias("nid_")
+                )
+            ).alias("b_")
+        )
+        .select(
+            "train_id",
+            (-F.col("b_.nid_")).alias("eval_id"),
+            F.col("b_.s_").alias("sim"),
+        )
     )
     return (
         members.where(~F.col("is_eval"))
@@ -2219,9 +2340,7 @@ def semantic_decontaminate_sized(
     ev = members.where(F.col("is_eval")).select(
         "cell", F.col("m_id").alias("eval_id"), F.col("v").alias("ve")
     )
-    hit_w = Window.partitionBy("train_id").orderBy(
-        F.col("sim").desc(), F.col("eval_id")
-    )
+    # same partial-agg argmax as the centroid tier (guide §2.3)
     hits = (
         train.join(ev, "cell")
         .select(
@@ -2232,9 +2351,19 @@ def semantic_decontaminate_sized(
             ).alias("sim"),
         )
         .where(F.col("sim") >= threshold)
-        .withColumn("hrank", F.row_number().over(hit_w))
-        .where(F.col("hrank") == 1)
-        .select("train_id", "eval_id", "sim")
+        .groupBy("train_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("sim").alias("s_"), (-F.col("eval_id")).alias("nid_")
+                )
+            ).alias("b_")
+        )
+        .select(
+            "train_id",
+            (-F.col("b_.nid_")).alias("eval_id"),
+            F.col("b_.s_").alias("sim"),
+        )
     )
     return (
         members.where(~F.col("is_eval"))

@@ -465,7 +465,19 @@ def stateful_user_ewma(events: DataFrame, alpha: float = 0.1) -> DataFrame:
 def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-replay stream of the documents table (same symlink-dir
     staging as read_events_stream; schema probed from the batch
-    footer since streaming readers need one up front)."""
+    footer since streaming readers need one up front).
+
+    The feed is round-robin repartitioned to the session's parallelism
+    — the streaming twin of ``dedup._spread`` (optimization guide §2):
+    a file-replay micro-batch arrives in 1-2 scan partitions, and every
+    consumer of this feed runs a CPU-heavy per-document text pass
+    (tokenize/shingle/minhash for ss18, Gopher signals + DSIR for
+    ss19/ss20, fingerprinting for ss10) that would otherwise serialize
+    onto 1-2 of local[32]'s cores (measured 18.6 s -> ~4 s on the ss18
+    drain). Row-to-partition assignment is Spark's deterministic
+    sort-before-repartition round-robin, and every consumer is
+    key-based (band joins, fingerprint keys, keyed dropDuplicates), so
+    the emitted rows are partitioning-invariant."""
     src = f"{sf_dir.rstrip('/')}/documents.parquet"
     tag = hashlib.md5(src.encode()).hexdigest()[:8]
     stream_dir = os.path.join(tempfile.gettempdir(), "flps_stream", tag)
@@ -474,7 +486,12 @@ def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(link):
         os.symlink(src, link)
     schema = spark.read.parquet(src).schema
-    return spark.readStream.schema(schema).format("parquet").load(stream_dir)
+    return (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .load(stream_dir)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
 
 def snapshot_dedup_stream(
