@@ -479,15 +479,23 @@ def main() -> None:
                      "bench_full.json"), "w"
     ) as fh:
         json.dump(out, fh, indent=1)
-    compact = dict(out)
+    # Key layout (VERDICT r13 item 7): scalars/totals/canaries FIRST,
+    # the per-query dict and the sf1 section LAST — BENCH_r12's stored
+    # tail was truncated mid-way through the per-query dict and the
+    # whole round-over-round comparison was lost; with this order a
+    # truncated capture still carries every headline scalar up front.
+    # Same keys, same values, same one-line contract — layout only.
+    compact = {
+        k: v for k, v in out.items() if k not in ("queries", "sf1")
+    }
     compact["queries"] = {
         k: (round(v, 2) if v is not None else None)
         for k, v in out["queries"].items()
     }
-    if isinstance(compact.get("sf1"), dict):
+    if isinstance(out.get("sf1"), dict):
         compact["sf1"] = {
             k: v
-            for k, v in compact["sf1"].items()
+            for k, v in out["sf1"].items()
             if k not in ("queries", "queries_cold")
         }
     print(json.dumps(compact, separators=(",", ":")))

@@ -507,8 +507,10 @@ def pca_power_iteration(
       row-order-free. cov = Σv_iv_j/n − μ_iμ_j, rounded 9dp.
     - iteration: x₀ = 1/√dim (exactly 0.125 at dim 64); each step is
       a dim²-row join y = C·x (terms quantized DECIMAL before the
-      sum), a 1-row norm, and x = round(y/‖y‖, 9) — five steps of
-      64-row frames, driver never sees a number.
+      sum) and x = round(y/‖y‖, 9) with ‖y‖ computed as a GLOBAL
+      WINDOW sum over the dim-row iterate (single-reference — see the
+      loop comment) — five steps of 64-row frames, driver never sees
+      a number.
 
     The covariance frame is localCheckpointed once (dim² rows — a
     documented metadata-sized boundary like the k-means centroids):
@@ -566,7 +568,25 @@ def pca_power_iteration(
     x = cov.select("i").distinct().select(
         "i", F.lit(1.0 / math.sqrt(dim)).alias("x")
     )
-    nm = None
+    # The norm is a GLOBAL WINDOW over the dim-row iterate instead of a
+    # separate agg + crossJoin(broadcast) (r14, guide §1.2/§2.4): the
+    # old shape referenced y TWICE per iteration (once in the broadcast
+    # norm subquery, once in the normalize), doubling the plan's
+    # subtree count per iteration — 2^iters copies of the first
+    # iterate, 29 AQE stage-jobs and ~4 s wall for a 64-row problem.
+    # The window form references y exactly once, so the plan is a
+    # linear chain of (join → partial-agged exchange → one
+    # SinglePartition window over dim rows). The window's decimal sum
+    # is the same order-free exact arithmetic as the old agg, so every
+    # emitted number is bit-identical; the SinglePartition exchange
+    # carries dim rows — the documented metadata-sized boundary, never
+    # the corpus.
+    wall = Window.partitionBy()
+    nm_col = F.sqrt(
+        F.sum(F.round(F.col("y") * F.col("y"), 12).cast(dec))
+        .over(wall)
+        .cast("double")
+    )
     for _ in range(iters):
         y = (
             cov.join(x.select(F.col("i").alias("j"), "x"), "j")
@@ -579,17 +599,10 @@ def pca_power_iteration(
                 .alias("y")
             )
         )
-        nm = y.agg(
-            F.sqrt(
-                F.sum(
-                    F.round(F.col("y") * F.col("y"), 12).cast(dec)
-                ).cast("double")
-            ).alias("nm")
+        x = y.withColumn("nm", nm_col).select(
+            "i", F.round(F.col("y") / F.col("nm"), 9).alias("x"), "nm"
         )
-        x = y.crossJoin(F.broadcast(nm)).select(
-            "i", F.round(F.col("y") / F.col("nm"), 9).alias("x")
-        )
-    return x.crossJoin(F.broadcast(nm)).select(
+    return x.select(
         F.col("i").cast("bigint").alias("dim_idx"),
         F.col("x").alias("loading"),
         F.round(F.col("nm"), 6).alias("eigenvalue"),

@@ -1509,9 +1509,16 @@ def excise_repeated_spans(
         F.posexplode(tokenize(F.col(text_col))).alias("idx", "tok"),
     )
     kept = toks.join(covered, ["doc_id", "idx"], "left_anti")
-    counts = toks.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_tokens")
-    )
+    # per-doc token count as a NARROW projection (guide §2.4, r14):
+    # size(tokenize(text)) is exactly the posexplode row count
+    # (tokenize filters empty artifacts), and the > 0 filter reproduces
+    # the groupBy's docs-with->=1-token universe (NULL text sizes to
+    # -1) — same rows, same values, one fewer tokenize pass and one
+    # fewer exchange per excise call
+    counts = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokenize(F.col(text_col))).cast("bigint").alias("n_tokens"),
+    ).where(F.col("n_tokens") > 0)
     body = F.array_join(
         F.transform(
             F.array_sort(F.collect_list(F.struct("idx", "tok"))),

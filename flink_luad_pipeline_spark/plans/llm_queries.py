@@ -22,6 +22,7 @@ from pyspark.sql.window import Window as W
 from ..catalog import load
 from ..functions import text as T
 from ..operators import dedup, multimodal, similarity
+from ..operators.io import write_frames
 from .registry import query
 
 # ---------------------------------------------------------------------------
@@ -3054,11 +3055,15 @@ def ll105_ann_index_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, centroids=cents, train_iters=2, train_mod=4
     )
     root = sink_path("ll105_index", sf_dir)
-    for name_, df_ in frames.items():
-        df_.write.mode("overwrite").parquet(f"{root}/{name_}.parquet")
+    # independent single-directory writes, overlapped on driver
+    # threads (guide §2.6; operators/io.write_frames); read-back uses
+    # the writer frames' schemas — no footer-inference jobs (§1.2)
+    write_frames(frames, root)
     index = {
-        name_: spark.read.parquet(f"{root}/{name_}.parquet")
-        for name_ in frames
+        name_: spark.read.schema(df_.schema).parquet(
+            f"{root}/{name_}.parquet"
+        )
+        for name_, df_ in frames.items()
     }
     out = similarity.residual_ann_index_topk(
         emb.where(F.col("vec_id") < 5), index, k=10,
@@ -3188,18 +3193,22 @@ def ll106_ann_index_delta_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         base, centroid_mod=23, train_iters=0
     )
     root = sink_path("ll106_index", sf_dir)
-    for name_, df_ in frames.items():
-        df_.write.mode("overwrite").parquet(f"{root}/{name_}.parquet")
+    write_frames(frames, root)  # guide §2.6: overlapped independent writes
     index = {
-        name_: spark.read.parquet(f"{root}/{name_}.parquet")
-        for name_ in frames
+        name_: spark.read.schema(df_.schema).parquet(
+            f"{root}/{name_}.parquet"
+        )
+        for name_, df_ in frames.items()
     }
     updated = similarity.residual_ann_index_update(index, delta)
     updated["codes"].write.mode("overwrite").parquet(
         f"{root}/codes_v1.parquet"
     )
     updated = dict(
-        updated, codes=spark.read.parquet(f"{root}/codes_v1.parquet")
+        updated,
+        codes=spark.read.schema(updated["codes"].schema).parquet(
+            f"{root}/codes_v1.parquet"
+        ),
     )
     out = similarity.residual_ann_index_topk(
         emb.where(F.col("vec_id") < 5), updated, k=10
@@ -3292,11 +3301,12 @@ def _ll107_folded_index(
         base, centroids=cents, train_iters=2, train_mod=4
     )
     root = sink_path(root_name, sf_dir)
-    for name_, df_ in frames.items():
-        df_.write.mode("overwrite").parquet(f"{root}/{name_}.parquet")
+    write_frames(frames, root)  # guide §2.6: overlapped independent writes
     index = {
-        name_: spark.read.parquet(f"{root}/{name_}.parquet")
-        for name_ in frames
+        name_: spark.read.schema(df_.schema).parquet(
+            f"{root}/{name_}.parquet"
+        )
+        for name_, df_ in frames.items()
     }
     delta_codes = similarity.residual_ann_index_encode_delta(
         index, delta, train_iters=2, train_mod=4
@@ -3304,7 +3314,7 @@ def _ll107_folded_index(
     delta_codes.write.mode("overwrite").parquet(f"{root}/codes_d1.parquet")
     folded = dict(
         index,
-        codes=spark.read.parquet(
+        codes=spark.read.schema(frames["codes"].schema).parquet(
             f"{root}/codes.parquet", f"{root}/codes_d1.parquet"
         ),
     )
@@ -3337,11 +3347,12 @@ def ll107_components(spark: SparkSession, sf_dir: str) -> dict:
         base, centroids=cents, train_iters=2, train_mod=4
     )
     root = sink_path("ll107c_index", sf_dir)
-    for name_, df_ in frames.items():
-        df_.write.mode("overwrite").parquet(f"{root}/{name_}.parquet")
+    write_frames(frames, root)  # guide §2.6: overlapped independent writes
     index = {
-        name_: spark.read.parquet(f"{root}/{name_}.parquet")
-        for name_ in frames
+        name_: spark.read.schema(df_.schema).parquet(
+            f"{root}/{name_}.parquet"
+        )
+        for name_, df_ in frames.items()
     }
     build_s = _time.perf_counter() - t0
 
@@ -3353,7 +3364,7 @@ def ll107_components(spark: SparkSession, sf_dir: str) -> dict:
 
     folded = dict(
         index,
-        codes=spark.read.parquet(
+        codes=spark.read.schema(frames["codes"].schema).parquet(
             f"{root}/codes.parquet", f"{root}/codes_d1.parquet"
         ),
     )
@@ -3746,8 +3757,7 @@ def ll63_incremental_dedup_persisted(
     delta = corpus.where(F.col("doc_id") % 5 == 0)
     sh, banded = dedup.build_minhash_index(snapshot, "doc_id", "text", k=3)
     base = sink_path("ll63_index", sf_dir)
-    sh.write.mode("overwrite").parquet(f"{base}/sh.parquet")
-    banded.write.mode("overwrite").parquet(f"{base}/banded.parquet")
+    write_frames({"sh": sh, "banded": banded}, base)  # §2.6 overlap
     sh_l = spark.read.parquet(f"{base}/sh.parquet")
     banded_l = spark.read.parquet(f"{base}/banded.parquet")
     return dedup.minhash_dedup_incremental(
@@ -5808,6 +5818,11 @@ def _curation_stage_frames(
         "lang",
     )
     aug = base.unionAll(exact_copies).unionAll(near_copies)
+    # _spread before the text stages (guide §2.6 idle capacity, r14):
+    # the union of scan filters arrives on the scan's few partitions,
+    # serializing the Gopher regex + fingerprint passes; every
+    # downstream consumer is key-based (partitioning-invariant)
+    aug = dedup._spread(aug)
 
     # stage 1: Gopher gate — ll43's shared signal frame + rule set
     sig = _gopher_signal_frame(aug)
@@ -5837,7 +5852,11 @@ def _curation_stage_frames(
         .where(F.col("vertex") != F.col("component"))
         .select(F.col("vertex").alias("doc_id"))
     )
-    d3 = d2.join(dropped, "doc_id", "left_anti")
+    # d3 feeds the excision gram pass, the kept-token side, the narrow
+    # count, the cleaned projection, and ll99's s3 funnel row — without
+    # a boundary each consumer re-runs the anti-join over the CC
+    # labels (guide §1.2, r14)
+    d3 = d2.join(dropped, "doc_id", "left_anti").localCheckpoint(eager=True)
 
     # stage 4: ExactSubstr excision, reassembling cleaned TEXT
     ex = dedup.excise_repeated_spans(
@@ -6367,7 +6386,13 @@ def _ll100_fixture(
             )
         )
     )
-    return base, delta, t
+    # _spread both sides ONCE at the fixture boundary (guide §2.6, r14):
+    # the union-of-scan-filters arrives on the scan's few partitions and
+    # every consumer (ll100/ll104/ll109 day-0 + day-N text stages,
+    # ss21's feed write — whose file count is the drain's batch
+    # parallelism) is key-based, so results are partitioning-invariant;
+    # no-op whenever the scan already carries >= cores partitions
+    return dedup._spread(base), dedup._spread(delta), t
 
 
 def _ll100_kept_pred():
@@ -6409,12 +6434,10 @@ def _ll100_build_state(
     if root is None:
         root = sink_path("ll100_state", sf_dir)
     s = _ll100_state_frames(base)
-    s["fps"].write.mode("overwrite").parquet(f"{root}/fps.parquet")
-    s["sh"].write.mode("overwrite").parquet(f"{root}/sh.parquet")
-    s["banded"].write.mode("overwrite").parquet(f"{root}/banded.parquet")
-    s["grams"].write.mode("overwrite").parquet(f"{root}/grams.parquet")
-    s["docs"].write.mode("overwrite").parquet(f"{root}/docs.parquet")
-    s["feats"].write.mode("overwrite").parquet(f"{root}/feats.parquet")
+    # six independent single-directory writes over shared checkpointed
+    # inputs — overlapped on driver threads (guide §2.6), so the day-0
+    # persist costs ~max(artifact) instead of the sum
+    write_frames(s, root)
     return root
 
 
@@ -6427,6 +6450,10 @@ def _ll100_state_frames(corpus: DataFrame) -> dict[str, DataFrame]:
     from ..operators import graph
     from ..operators.importance import dsir_doc_features
 
+    # _spread before the day-0 text stages (guide §2.6, r14 — the
+    # day-N twin above): the Gopher regex + fingerprint passes
+    # otherwise run on the scan's 1-10 partitions
+    corpus = dedup._spread(corpus)
     d1 = corpus.join(
         _gopher_signal_frame(corpus)
         .where(_ll100_kept_pred())
@@ -6465,13 +6492,24 @@ def _ll100_state_frames(corpus: DataFrame) -> dict[str, DataFrame]:
             .alias("n_kept"),
             F.coalesce("cleaned_text", F.lit("")).alias("ctext"),
         )
+        # two consumers (the docs artifact + the DSIR feature pass,
+        # i.e. two independent write actions in _ll100_build_state) —
+        # without this boundary the whole excision chain re-runs per
+        # consumer (guide §1.2: don't compute things twice; r14)
+        .localCheckpoint(eager=True)
     )
     feats = dsir_doc_features(
         cleaned.select("doc_id", F.col("ctext").alias("text"), "lang"),
         target=F.col("lang") == "en",
     )
     return {
-        "fps": d1.select("fp").distinct(),
+        # fps from the CHECKPOINTED d2, not d1 (guide §1.2, r14): d2
+        # keeps exactly one doc per fingerprint, so fingerprint(d2.text)
+        # IS d1.fp's distinct set — row-identical with no re-run of the
+        # gopher gate + fingerprint pass over the corpus and no distinct
+        # shuffle (the same equivalence _ll100_fold_delta_frames already
+        # relies on for the day-N fold).
+        "fps": d2.select(T.text_fingerprint(F.col("text")).alias("fp")),
         "sh": sh,
         "banded": banded,
         "grams": dedup.gram_doc_counts(d3, "doc_id", "text", min_len=8),
@@ -6486,7 +6524,7 @@ def _ll100_day_n(
     """Build the day-0 state (unless a prebuilt ``root`` is passed —
     the bench decomposition's lever), run the day-N incremental pass,
     and return every boundary frame — ``out`` (the registered query's
-    result) plus the delta-side artifacts (``d1_fps``, ``d2``, ``d3``,
+    result) plus the delta-side artifacts (``new_fps``, ``d2``, ``d3``,
     ``cleaned``, ``feats_d``) that ``ll100_updated_state_frames``
     folds into the persisted state for day N+1. See
     ``ll100_incremental_curation`` for the full stage-by-stage
@@ -6527,8 +6565,29 @@ def _ll100_state_reads(
     length."""
     roots = [root] if isinstance(root, str) else list(root)
 
+    # Explicit reader schemas for the schema-stable artifacts (r14,
+    # guide §1.2): each bare read.parquet otherwise runs a one-task
+    # footer-inference job — 6 driver-synchronized jobs per day-N pass
+    # (per BATCH in the ss21 fold) to rediscover contracts the writers
+    # pin (fps = text_fingerprint; grams = gram_doc_counts; docs/feats
+    # = the cleaned/dsir_doc_features projections; equality tests pin
+    # all four against from-scratch rebuilds, and a drifted file fails
+    # loudly at scan time — parquet refuses a mismatched column type).
+    # sh/banded stay INFERRED on purpose: their column METADATA carries
+    # the minhash hasher stamp the probe's _require_index_hasher guard
+    # validates — a hardcoded schema would forge that tag.
+    _SCHEMAS = {
+        "fps": "fp string",
+        "grams": "g bigint, nd bigint",
+        "docs": "doc_id bigint, n_kept bigint",
+        "feats": "doc_id bigint, is_target boolean, b bigint, c bigint",
+    }
+
     def rd(name: str) -> DataFrame:
-        return spark.read.parquet(*[f"{r}/{name}.parquet" for r in roots])
+        reader = spark.read
+        if name in _SCHEMAS:
+            reader = reader.schema(_SCHEMAS[name])
+        return reader.parquet(*[f"{r}/{name}.parquet" for r in roots])
 
     grams = rd("grams")
     if len(roots) > 1:
@@ -6569,6 +6628,14 @@ def _ll100_day_n_over(
     from ..operators.relational import exclusive_prefix_sum
 
     t = state_max_id
+
+    # _spread the batch ONCE before stage 1 (guide §2.6 idle capacity,
+    # r14): the delta arrives on the scan's (or the stream feed's) 1-10
+    # partitions, serializing the Gopher regex + fingerprint passes
+    # onto a fraction of the cores; round-robin to defaultParallelism
+    # is a no-op at cluster scale and every downstream consumer is
+    # key-based, so emitted rows are partitioning-invariant
+    delta = dedup._spread(delta)
 
     # ---- day-N: delta text + state parquet only from here on ----
     st = _ll100_state_reads(spark, root)
@@ -6625,7 +6692,11 @@ def _ll100_day_n_over(
         )
         .distinct()
     )
-    d3 = d2.join(dropped, "doc_id", "left_anti")
+    # d3 feeds the excision gram pass, the kept-token side, the narrow
+    # count, the cleaned projection, and (in the ss21 fold) the delta
+    # gram artifact — 4+ consumers that would each re-run the
+    # dropped-anti-join over the CC output (guide §1.2, r14)
+    d3 = d2.join(dropped, "doc_id", "left_anti").localCheckpoint(eager=True)
     # stage 4: excision against merged gram counts
     ex = dedup.excise_repeated_spans(
         d3, "doc_id", "text", min_len=8, min_docs=2, emit="text",
@@ -6693,7 +6764,12 @@ def _ll100_day_n_over(
         "out": out,
         "t": t,
         "root": root,
-        "d1_fps": d1.select("fp").distinct(),
+        # the batch's NEW fingerprints, from the checkpointed d2
+        # (guide §1.2, r14): stage 2 anti-joined the state and kept one
+        # doc per fp, so fingerprint(d2.text) == d1.fp \ state_fps —
+        # state ∪ this set == state ∪ d1_fps, the merged-fold identity
+        # _ll100_fold_delta_frames already documents
+        "new_fps": d2.select(T.text_fingerprint(F.col("text")).alias("fp")),
         "d2": d2,
         "d3": d3,
         "cleaned": cleaned,
@@ -6822,7 +6898,7 @@ def _ll100_fold_state(
         )
     )
     return {
-        "fps": st["fps"].unionAll(fr["d1_fps"]).distinct(),
+        "fps": st["fps"].unionAll(fr["new_fps"]).distinct(),
         "sh": st["sh"].unionByName(sh_d),
         "banded": st["banded"].unionByName(banded_d),
         "grams": merged_grams,
@@ -6884,8 +6960,7 @@ def _ll100_compact_state(
     NEW root, never in place, so no plan ever reads a directory being
     overwritten (the ss21 versioned-write discipline)."""
     st = _ll100_state_reads(spark, root)
-    for name_, df_ in st.items():
-        df_.write.mode("overwrite").parquet(f"{new_root}/{name_}.parquet")
+    write_frames(st, new_root)  # guide §2.6: overlapped independent writes
     return new_root
 
 
@@ -6981,7 +7056,15 @@ def ll104_component_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
     ).withColumn("fp", T.text_fingerprint(F.col("text")))
     d2 = (
-        d1.join(b1.select("fp").distinct(), "fp", "left_anti")
+        # base fps from the CHECKPOINTED b2, not b1 (guide §1.2, r14):
+        # b2 keeps one doc per fingerprint, so fingerprint(b2.text) IS
+        # b1.fp's distinct set — identical anti-join semantics with no
+        # re-run of the base gopher gate + fingerprint pass
+        d1.join(
+            b2.select(T.text_fingerprint(F.col("text")).alias("fp")),
+            "fp",
+            "left_anti",
+        )
         .withColumn("kp", F.min("doc_id").over(W.partitionBy("fp")))
         .where(F.col("doc_id") == F.col("kp"))
         .select("doc_id", "text", "lang")
@@ -7031,7 +7114,10 @@ def ll104_components(spark: SparkSession, sf_dir: str) -> dict:
     blab = graph.connected_components(
         bpairs, src="doc_a", dst="doc_b"
     ).localCheckpoint(eager=True)
-    fps = b1.select("fp").distinct().localCheckpoint(eager=True)
+    # fps from the checkpointed b2 (guide §1.2, r14 — see ll104)
+    fps = b2.select(
+        T.text_fingerprint(F.col("text")).alias("fp")
+    ).localCheckpoint(eager=True)
     day0_build_s = _time.perf_counter() - t0
 
     t0 = _time.perf_counter()
@@ -7176,7 +7262,12 @@ def ll109_bridge_recuration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
     ).withColumn("fp", T.text_fingerprint(F.col("text")))
     d2 = (
-        d1.join(b1.select("fp").distinct(), "fp", "left_anti")
+        # same fps-from-b2 device as ll104 (guide §1.2, r14)
+        d1.join(
+            b2.select(T.text_fingerprint(F.col("text")).alias("fp")),
+            "fp",
+            "left_anti",
+        )
         .withColumn("kp", F.min("doc_id").over(W.partitionBy("fp")))
         .where(F.col("doc_id") == F.col("kp"))
         .select("doc_id", "text", "lang")

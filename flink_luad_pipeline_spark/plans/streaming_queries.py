@@ -17,6 +17,7 @@ import itertools
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.io import write_frames
 from ..streaming import ops
 from .registry import query
 
@@ -839,7 +840,9 @@ def _ss21_drain(
         # has no row-level overlap guard, so replayed rows would
         # re-enter the day-N pass
         delta.write.mode("overwrite").parquet(feed)
-    schema = spark.read.parquet(feed).schema
+    # the feed was written from `delta` (resume appends the same
+    # shape), so its schema needs no footer-inference job (guide §1.2)
+    schema = delta.schema
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -894,10 +897,9 @@ def _ss21_drain(
             f"{out_path}/batch={batch_id}"
         )
         shutil.rmtree(delta_root, ignore_errors=True)
-        for name_, df_ in _ll100_fold_delta_frames(fr).items():
-            df_.write.mode("overwrite").parquet(
-                f"{delta_root}/{name_}.parquet"
-            )
+        # six O(delta) artifact writes per batch — independent
+        # directories, overlapped on driver threads (guide §2.6)
+        write_frames(_ll100_fold_delta_frames(fr), delta_root)
         mx = batch_df.agg(F.max("doc_id")).collect()[0][0]
         state["roots"].append(delta_root)
         state["folded"].add(batch_id)
@@ -1037,16 +1039,19 @@ def ss22_streaming_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         base, centroid_mod=23, train_iters=0
     )
     root = sink_path(f"ss22_index_{n}", sf_dir)
-    for name_, df_ in frames.items():
-        df_.write.mode("overwrite").parquet(f"{root}/{name_}.parquet")
+    write_frames(frames, root)  # guide §2.6: overlapped independent writes
     index = {
-        name_: spark.read.parquet(f"{root}/{name_}.parquet")
-        for name_ in frames
+        name_: spark.read.schema(df_.schema).parquet(
+            f"{root}/{name_}.parquet"
+        )
+        for name_, df_ in frames.items()
     }
     feed = sink_path(f"ss22_feed_{n}", sf_dir)
     shutil.rmtree(f"{feed}_chk", ignore_errors=True)  # ss21's stale guard
     delta.write.mode("overwrite").parquet(feed)
-    schema = spark.read.parquet(feed).schema
+    # the feed was written from `delta` (resume appends the same
+    # shape), so its schema needs no footer-inference job (guide §1.2)
+    schema = delta.schema
     stream = spark.readStream.schema(schema).parquet(feed)
 
     state = {
@@ -1076,7 +1081,10 @@ def ss22_streaming_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         updated["codes"].write.mode("overwrite").parquet(next_codes)
         prev_codes = state["codes_path"]
         state["index"] = dict(
-            updated, codes=spark.read.parquet(next_codes)
+            updated,
+            codes=spark.read.schema(updated["codes"].schema).parquet(
+                next_codes
+            ),
         )
         state["codes_path"] = next_codes
         state["folded"].add(batch_id)
@@ -1197,11 +1205,15 @@ def _ss23_drain(
         if _os.path.exists(manifest):
             _os.remove(manifest)
         shutil.rmtree(f"{feed}_chk", ignore_errors=True)
-        for name_, df_ in frames.items():
-            df_.write.mode("overwrite").parquet(f"{root}/{name_}.parquet")
+        write_frames(frames, root)  # §2.6: overlapped independent writes
+        # read-back with the writer frames' schemas — no footer-
+        # inference jobs (guide §1.2; the resume path keeps inference:
+        # there the manifest's artifacts are the only schema source)
         index = {
-            name_: spark.read.parquet(f"{root}/{name_}.parquet")
-            for name_ in frames
+            name_: spark.read.schema(df_.schema).parquet(
+                f"{root}/{name_}.parquet"
+            )
+            for name_, df_ in frames.items()
         }
         state = {
             "index": index,
@@ -1217,7 +1229,9 @@ def _ss23_drain(
         # whole delta would replay as fresh batches; a day-2 caller
         # lands its new delta with mode("append") instead (ss25)
         delta.write.mode("overwrite").parquet(feed)
-    schema = spark.read.parquet(feed).schema
+    # the feed was written from `delta` (resume appends the same
+    # shape), so its schema needs no footer-inference job (guide §1.2)
+    schema = delta.schema
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -1259,7 +1273,11 @@ def _ss23_drain(
             return
         cur = dict(
             state["index"],
-            codes=spark.read.parquet(*state["code_paths"]),
+            # the live index's codes schema IS the partitions' schema —
+            # skips a footer-inference job per micro-batch (guide §1.2)
+            codes=spark.read.schema(state["index"]["codes"].schema).parquet(
+                *state["code_paths"]
+            ),
         )
         # on_overlap="skip" covers the partial-retry tail: rows an
         # earlier attempt encoded but never registered anti-join away
@@ -1283,7 +1301,9 @@ def _ss23_drain(
             compacted = similarity.residual_ann_index_persist(
                 dict(
                     state["index"],
-                    codes=spark.read.parquet(*state["code_paths"]),
+                    codes=spark.read.schema(
+                        state["index"]["codes"].schema
+                    ).parquet(*state["code_paths"]),
                 ),
                 c_root,
             )
@@ -1414,7 +1434,10 @@ def ss23_streaming_ann_ingest_trained(
     r = _ss23_drain(spark, sf_dir)
     state = r["state"]
     folded = dict(
-        state["index"], codes=spark.read.parquet(*state["code_paths"])
+        state["index"],
+        codes=spark.read.schema(state["index"]["codes"].schema).parquet(
+            *state["code_paths"]
+        ),
     )
     out = similarity.residual_ann_index_topk(
         r["emb"].where(F.col("vec_id") < 5), folded, k=10,
@@ -1480,7 +1503,10 @@ def ss24_streaming_ann_retrain_gate(
     r = _ss23_drain(spark, sf_dir, name="ss24")
     state = r["state"]
     folded = dict(
-        state["index"], codes=spark.read.parquet(*state["code_paths"])
+        state["index"],
+        codes=spark.read.schema(state["index"]["codes"].schema).parquet(
+            *state["code_paths"]
+        ),
     )
     v2_root = sink_path("ss24_index_v2", sf_dir)
     res = similarity.ann_index_retrain_on_drift(
@@ -1578,7 +1604,10 @@ def ss25_streaming_snapshot_publish(
     )
     state = day1["state"]
     folded = dict(
-        state["index"], codes=spark.read.parquet(*state["code_paths"])
+        state["index"],
+        codes=spark.read.schema(state["index"]["codes"].schema).parquet(
+            *state["code_paths"]
+        ),
     )
     corpus1 = day1["emb"].where(
         (F.col("vec_id") % 5 != 0) | (F.col("vec_id") % 10 == 0)
@@ -1599,7 +1628,10 @@ def ss25_streaming_snapshot_publish(
     day2 = _ss23_drain(spark, sf_dir, name="ss25", resume=True)
     st2 = day2["state"]
     final = dict(
-        st2["index"], codes=spark.read.parquet(*st2["code_paths"])
+        st2["index"],
+        codes=spark.read.schema(st2["index"]["codes"].schema).parquet(
+            *st2["code_paths"]
+        ),
     )
     out = similarity.residual_ann_index_topk(
         day1["emb"].where(F.col("vec_id") < 5), final, k=10,
@@ -1645,7 +1677,9 @@ def ss21_components(spark: SparkSession, sf_dir: str) -> dict:
         shutil.rmtree(stale, ignore_errors=True)
     delta.write.mode("overwrite").parquet(feed)
     n_delta = spark.read.parquet(feed).count()
-    schema = spark.read.parquet(feed).schema
+    # the feed was written from `delta` (resume appends the same
+    # shape), so its schema needs no footer-inference job (guide §1.2)
+    schema = delta.schema
 
     state = {"roots": [state_root], "max_id": t}
 
@@ -1662,10 +1696,9 @@ def ss21_components(spark: SparkSession, sf_dir: str) -> dict:
             f"{out_path}/batch={batch_id}"
         )
         shutil.rmtree(delta_root, ignore_errors=True)
-        for name_, df_ in _ll100_fold_delta_frames(fr).items():
-            df_.write.mode("overwrite").parquet(
-                f"{delta_root}/{name_}.parquet"
-            )
+        # six O(delta) artifact writes per batch — independent
+        # directories, overlapped on driver threads (guide §2.6)
+        write_frames(_ll100_fold_delta_frames(fr), delta_root)
         mx = batch_df.agg(F.max("doc_id")).collect()[0][0]
         state["roots"].append(delta_root)
         if mx is not None:

@@ -42,3 +42,36 @@ def duck(sf_dir):
     con = make_duck(sf_dir)
     yield con
     con.close()
+
+
+# --- smoke subset (VERDICT r13 item 5) -------------------------------------
+# The full suite is ~47 min on this host — longer than the driver's
+# verification budget, so its pytest record kept truncating mid-run.
+# `pytest -m smoke` is the <10-min subset a bounded verifier can finish:
+# every bench-HEADLINE query's oracle-parity test (the driver-visible
+# rows), the entire plan-audit suite, the entry smoke, and the streaming
+# fold basics. Selection is derived from bench.HEADLINE at collection
+# time so the subset can never drift out of sync with the bench set.
+
+_SMOKE_STREAMING = {
+    "test_watermark_seals_windows_append_mode",
+    "test_session_windows_match_batch",
+    "test_transform_with_state_totals",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    import bench
+
+    headline = set(bench.HEADLINE)
+    smoke = pytest.mark.smoke
+    for item in items:
+        fname = item.fspath.basename
+        if fname == "test_plans.py":
+            item.add_marker(smoke)
+        elif fname == "test_oracle_parity.py":
+            param = item.name.split("[", 1)[1].rstrip("]") if "[" in item.name else None
+            if item.name == "test_entry_smoke" or param in headline:
+                item.add_marker(smoke)
+        elif fname == "test_streaming.py" and item.name in _SMOKE_STREAMING:
+            item.add_marker(smoke)
