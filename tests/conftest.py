@@ -59,11 +59,25 @@ _SMOKE_STREAMING = {
     "test_transform_with_state_totals",
 }
 
+# Headline rows EXCLUDED from smoke (measured: the full headline set
+# reads ~10:06 at local[4], over the driver budget): each is the
+# COMPOSITION of members that stay in smoke — ll110/ss24/ss25 compose
+# ll105+ll107+ll108's build/fold/detect with a retrain/publish, and
+# ss21 streams ll100's day-N path — so a breakage in the shared code
+# surfaces through the retained members, and the driver's correctness
+# gate still hash-attests the composites themselves.
+_SMOKE_EXCLUDE = {
+    "ll110_ann_retrain_on_drift",
+    "ss24_streaming_ann_retrain_gate",
+    "ss25_streaming_snapshot_publish",
+    "ss21_streaming_incremental_curation",
+}
+
 
 def pytest_collection_modifyitems(config, items):
     import bench
 
-    headline = set(bench.HEADLINE)
+    headline = set(bench.HEADLINE) - _SMOKE_EXCLUDE
     smoke = pytest.mark.smoke
     for item in items:
         fname = item.fspath.basename
